@@ -1,0 +1,39 @@
+"""Query registry.
+
+Every implemented operator from SURVEY.md §2 registers itself here as a
+named query ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+a DuckDB oracle SQL string over the same parquet tables. The driver
+cross-checks the pair at sf0.01 (row-count + schema + order-insensitive
+value hash), so:
+
+- alias every computed column identically on both sides;
+- avoid raw float aggregates in output — ROUND to fixed decimals on
+  both sides so independent summation orders hash identically;
+- avoid struct/array outputs — stringify (concat_ws / array_to_string);
+- break ties in every top-k with a unique key so LIMIT is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query and its optional oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
