@@ -1,0 +1,255 @@
+"""Scalar function surface (SURVEY §2.10 F1–F6): string, date/time,
+math, array, map/JSON, conditional/null functions.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen; no Python UDFs anywhere on this path.
+
+Cross-engine hash-stability notes (vs the DuckDB oracle):
+- doubles produced by libm (sqrt/ln/exp) are rounded to 6 decimals —
+  identical inputs can differ by 1 ulp across math libraries;
+- day-of-week aligned to DuckDB's 0=Sunday convention;
+- timestamps stringified with date_format/strftime (tz-naive text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_mktsegment)                          AS seg_upper,
+           LOWER(c_name)                                AS name_lower,
+           SUBSTRING(c_name, 1, 8)                      AS name_prefix,
+           LENGTH(c_name)                               AS name_len,
+           REPLACE(c_name, 'Customer', 'Cust')          AS name_short,
+           CONCAT_WS('|', c_name, c_mktsegment)         AS name_seg,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1)        AS name_digits,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0')    AS key_padded,
+           REVERSE(c_mktsegment)                        AS seg_rev,
+           STRPOS(c_name, '#')                          AS hash_pos
+    FROM customer
+    WHERE c_name LIKE 'Customer#%'
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("Customer#%")).select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)                         AS yr,
+           CAST(month(o_orderdate) AS BIGINT)                        AS mo,
+           CAST(day(o_orderdate) AS BIGINT)                          AS dom,
+           CAST(dayofweek(o_orderdate) AS BIGINT)                    AS dow_sun0,
+           STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d')    AS month_start,
+           STRFTIME(last_day(o_orderdate), '%Y-%m-%d')               AS month_end,
+           DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate)     AS days_since_epoch_95,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')       AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT)                        AS epoch_s
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        # Spark: 1=Sunday..7 → align to DuckDB 0=Sunday..6
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sun0"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_95"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.unix_timestamp(d).alias("epoch_s"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25)                    AS abs_dev,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT)  AS price_k_ceil,
+           ROUND(SQRT(l_quantity), 6)              AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 6)           AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6)        AS price_log10,
+           ROUND(POWER(l_quantity, 2), 1)          AS qty_sq,
+           ROUND(EXP(l_discount), 6)               AS disc_exp,
+           CAST(l_orderkey % 7 AS BIGINT)          AS key_mod7
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 1).alias("qty_sq"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                        AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4)                AS e0,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sumsq,
+           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS emax,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kernel ops over array<float> embeddings — size, index,
+    higher-order transform/aggregate/filter. These stay JVM-side
+    (no UDF) and sum left-to-right, matching DuckDB's list_sum order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x_d = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("integer").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x_d(x) * x_d(x),
+            ),
+            4,
+        ).alias("sumsq"),
+        F.round(F.array_max(F.transform("embedding", x_d)), 4).alias("emax"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "scalar_array_posexplode",
+    oracle="""
+    SELECT vec_id, i AS pos,
+           ROUND(CAST(embedding[i + 1] AS DOUBLE), 4) AS val
+    FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+    WHERE vec_id < 5
+    """,
+)
+def scalar_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
+@query(
+    "scalar_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column access (events.props): parse once with from_json
+    into a typed struct — at scale this beats repeated get_json_object
+    string scans, and the parsed struct prunes to just the used field."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("p", F.from_json("props", "k INT"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "scalar_json_get_object",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+)
+def scalar_json_get_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "scalar_conditional_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END                         AS bal_bucket,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'n/a') AS seg_or_na,
+           CAST(c_acctbal IS NULL AS BOOLEAN)           AS bal_is_null
+    FROM customer
+    """,
+)
+def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("n/a")).alias(
+            "seg_or_na"
+        ),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+    )

@@ -1,0 +1,221 @@
+"""Window functions (SURVEY §2.5): ranking, lag/lead, running and
+moving frames, ntile/percent_rank, range frames.
+
+Every window is partitioned (never a global unpartitioned window —
+that single-tasks at scale) and ordered with a unique tiebreaker so
+results are deterministic and hash-stable against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, money_from_cents
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@query(
+    "window_rank_dense_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)        AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)        AS drnk,
+           NTILE(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    w_ties = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    w_uniq = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_uniq).alias("quartile"),
+    )
+
+
+@query(
+    "window_running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / 100, 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        money_from_cents(F.sum(cents("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+@query(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_moving_avg_3",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+    FROM events
+    """,
+)
+def window_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg3"),
+    )
+
+
+@query(
+    "window_range_frame_events_per_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER (PARTITION BY user_id
+                          ORDER BY CAST(epoch(ts) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def window_range_frame_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: events per user in the
+    trailing hour. Numeric range frames need a numeric sort key, so the
+    timestamp is projected to epoch seconds (identical trick works on
+    any engine)."""
+    events = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").alias("epoch_s")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select("user_id", "event_id", epoch).select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           ROUND(CUME_DIST()    OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-window analytics on a pre-filtered slice. The filter keeps
+    the single-partition window bounded; unpartitioned windows over full
+    fact tables are an anti-pattern at scale."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
