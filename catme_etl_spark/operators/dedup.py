@@ -1,0 +1,463 @@
+"""Deduplication operators (SURVEY §2.10 F8/F9; driver contract
+"dedup"): exact hash dedup, MinHash+LSH near-dup, SimHash near-dup,
+n-gram Jaccard verification, embedding-cosine near-dup.
+
+Scale design (the point of each algorithm at 100 TB):
+
+- **exact**: one scan + one shuffle on a 128-bit content hash. Never
+  shuffles the text itself — group on ``md5`` and keep min(doc_id).
+- **MinHash+LSH**: per-doc signature is a narrow map-side pass
+  (explode shingles × seeds, partial min); banding shuffles
+  O(docs × bands) small keys; only same-band docs are joined. The
+  verification join touches candidate pairs only — never all pairs.
+- **SimHash**: signature is a single groupBy (60 partial sums);
+  candidate generation bands the 60-bit signature into 4×15-bit keys
+  (Hamming ≤ 3 per band pigeonholes ≤ 12 total); verification is a
+  cheap ``bit_count(xor)`` on two int64s.
+- **n-gram Jaccard**: the exact verifier. The shared-shingle equi-join
+  scales as Σ freq(shingle)²; production runs drop stop-shingles
+  (document frequency cap) before joining — noted, not needed at test
+  scale.
+- **embedding cosine**: brute-force O(n²) kernel here (bounded input);
+  the scale path is the LSH/IVF candidate generation in
+  ``similarity.py`` feeding this same kernel.
+
+All hashes are md5-hex (identical in DuckDB) so every stage is
+oracle-checkable end to end. Swap ``F.xxhash64`` for md5 in production
+for ~5× hash throughput; the algorithms don't change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texttools import hex_prefix_long, seeded_md5, shingles, tokens
+from ..functions.vector import SQL_DOT, SQL_NORM, cosine
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup (F8).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_by_hash",
+    oracle="""
+    SELECT md5(text)           AS content_hash,
+           COUNT(*)            AS n_copies,
+           MIN(doc_id)         AS canonical_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle-set builders (word 3-gram shingles, set semantics).
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) x
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(shingles(tokens("text"), k=3)).alias("g")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (F9).
+# ---------------------------------------------------------------------------
+
+_N_SEEDS = 32
+_BAND_ROWS = 4  # 8 bands × 4 rows
+
+_MINHASH_CTES = (
+    _SHINGLE_SQL
+    + f""",
+  mh AS (
+    SELECT doc_id, s, MIN(md5(g || '#' || CAST(s AS VARCHAR))) AS h
+    FROM sh, (SELECT unnest(range({_N_SEEDS})) AS s)
+    GROUP BY doc_id, s
+  ),
+  bands AS (
+    SELECT doc_id, s // {_BAND_ROWS} AS band,
+           string_agg(h, ',' ORDER BY s) AS bkey
+    FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  ),
+  verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  pairs AS (
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+    FROM verified
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+  )
+"""
+)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via banded minhash, verified with exact Jaccard."""
+    sh = _shingle_sets(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    mh = (
+        sh.withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(_N_SEEDS - 1))))
+        .select("doc_id", "s", seeded_md5(F.col("g"), F.col("s")).alias("hv"))
+        .groupBy("doc_id", "s")
+        .agg(F.min("hv").alias("h"))
+    )
+    bands = mh.groupBy(
+        "doc_id", F.floor(F.col("s") / _BAND_ROWS).alias("band")
+    ).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "h"))),
+                lambda x: x.getField("h"),
+            ),
+        ).alias("bkey")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("bkey_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("bkey").alias("bkey_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (a["band"] == b["band"])
+            & (F.col("bkey_a") == F.col("bkey_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("ga") == F.col("gb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard
+    FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _minhash_pairs(spark, sf_dir)
+    return p.filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_minhash_canonical",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.9),
+    e AS (SELECT doc_a AS d, doc_b AS nb FROM strong
+          UNION ALL
+          SELECT doc_b, doc_a FROM strong)
+    SELECT doc_id,
+           LEAST(doc_id, COALESCE(MIN(e.nb), doc_id)) AS canonical_id
+    FROM documents LEFT JOIN e ON e.d = doc_id
+    GROUP BY doc_id
+    """,
+)
+def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hop canonicalization: every doc maps to the least doc_id in
+    its near-dup neighborhood (jaccard ≥ 0.9). Full transitive closure
+    would iterate this to a fixed point (connected components); planted
+    duplicates come in pairs, so one hop converges here."""
+    d = load_table(spark, sf_dir, "documents")
+    strong = _minhash_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    e = strong.select(
+        F.col("doc_a").alias("d"), F.col("doc_b").alias("nb")
+    ).unionByName(strong.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("nb")))
+    return (
+        d.join(e, d["doc_id"] == e["d"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.least(
+                F.col("doc_id"), F.coalesce(F.min("nb"), F.col("doc_id"))
+            ).alias("canonical_id")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (no LSH): candidate = docs sharing ≥1 shingle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard over docs sharing any shingle.
+    Production note: cap shingle document-frequency before the
+    self-join (stop-shingle removal) — join cost is Σ df(g)²."""
+    sh = _shingle_sets(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))
+    inter = (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, token multiset).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+# DuckDB: parse first 15 hex chars of md5 into a 60-bit BIGINT.
+_SQL_HEX2LONG = (
+    "CAST(list_sum(list_transform(range(15), j -> "
+    "CAST(strpos('0123456789abcdef', substring({h}, j + 1, 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << (4 * (14 - j))))) AS BIGINT)"
+)
+
+
+def _simhash_sql_cte() -> str:
+    h = _SQL_HEX2LONG.format(h="md5(t)")
+    weight_cols = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {_SIMHASH_BITS - 1 - k}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{k}"
+        for k in range(_SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s_{k} >= 0 THEN (CAST(1 AS BIGINT) << {_SIMHASH_BITS - 1 - k}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for k in range(_SIMHASH_BITS)
+    )
+    return f"""
+  tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ),
+  hashed AS (SELECT doc_id, {h} AS h FROM tok),
+  weights AS (
+    SELECT doc_id,
+      {weight_cols}
+    FROM hashed GROUP BY doc_id
+  ),
+  sigs AS (SELECT doc_id, {sig_terms} AS simhash FROM weights)
+"""
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit simhash over the token multiset (bit k = sign of the
+    popularity-weighted ±1 vote of hash-bit k across tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    hashed = tok.select(
+        "doc_id", hex_prefix_long(F.md5("t"), 15).alias("h")
+    )
+    weights = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), _SIMHASH_BITS - 1 - k).bitwiseAND(1) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s_{k}")
+            for k in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for k in range(_SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s_{k}") >= 0, F.lit(1 << (_SIMHASH_BITS - 1 - k)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return weights.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    WITH {_simhash_sql_cte()}
+    SELECT doc_id, simhash FROM sigs
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir)
+
+
+_N_SIM_BANDS = 4
+_SIM_BAND_BITS = _SIMHASH_BITS // _N_SIM_BANDS  # 15
+_HAMMING_MAX = 8
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_sql_cte()},
+    bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> ({_SIMHASH_BITS} - {_SIM_BAND_BITS} * (b + 1)))
+               & {(1 << _SIM_BAND_BITS) - 1} AS bval
+      FROM sigs, (SELECT unnest(range({_N_SIM_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash candidates (4×15-bit; Hamming ≤ 3 per band is
+    pigeonhole-guaranteed a band match) verified by exact Hamming
+    distance on the two int64 signatures."""
+    sigs = _simhash_signatures(spark, sf_dir)
+    banded = sigs.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_N_SIM_BANDS - 1)))
+    ).withColumn(
+        "bval",
+        # F.shiftright only takes a literal shift — use expr for the
+        # per-band dynamic shift
+        F.expr(
+            f"shiftright(simhash, {_SIMHASH_BITS} - {_SIM_BAND_BITS} * (b + 1))"
+            f" & {(1 << _SIM_BAND_BITS) - 1}"
+        ),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "b", "bval"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("b").alias("b2"),
+        F.col("bval").alias("bval2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bval") == F.col("bval2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return cand.filter(hamming <= _HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (brute force at test scale; see similarity.py
+# for the LSH/IVF candidate-generation scale path).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({SQL_NORM.format(a='a.embedding')}
+                    * {SQL_NORM.format(a='b.embedding')}), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                / ({SQL_NORM.format(a='a.embedding')}
+                   * {SQL_NORM.format(a='b.embedding')}), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cos, 6) >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
+    )

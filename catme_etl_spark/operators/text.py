@@ -1,0 +1,265 @@
+"""Text analysis operators over the ``documents`` table (SURVEY §2.10
+F11; driver contract "text analysis"): token statistics, quality
+scoring, language-ID heuristic, fingerprinting, n-gram top-k.
+
+All pure built-in column expressions — a 100 TB corpus streams through
+these scan-shaped (narrow) plans with no shuffle except the final
+aggregations, and the fingerprint/quality passes are single-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texttools import shingles, tokens
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text)                                   AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS BIGINT)   AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)       AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the', 'a'))) AS BIGINT)     AS n_stop,
+             LENGTH(text)                                 AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4)  AS distinct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4)      AS stopword_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 80
+                 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.25
+                THEN 1 ELSE 0 END                           AS passes_quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / lexical-diversity quality gate — the
+    standard cheap pre-filter of an LLM data pipeline."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias(
+            "stopword_ratio"
+        ),
+        F.when(
+            F.col("n_tokens").between(20, 80) & (distinct_ratio > 0.25), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("passes_quality"),
+    )
+
+
+# Marker wordlists for the language-ID heuristic. The synthetic corpus
+# shares one vocabulary across langs, so this demonstrates the scoring
+# mechanics (per-language marker hit-rate + deterministic argmax), not
+# linguistic accuracy.
+_LANG_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("table", "window", "batch"),
+    "fr": ("value", "merge", "line"),
+    "es": ("row", "scan", "sort"),
+    "zh": ("hash", "key", "join"),
+}
+
+
+def _lang_scores_sql() -> str:
+    parts = [
+        (
+            f"ROUND(CAST(len(list_filter(string_split(text,' '), x -> x IN "
+            f"({', '.join(repr(w) for w in ws)}))) AS DOUBLE)"
+            f" / len(string_split(text,' ')), 6) AS score_{lang}"
+        )
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+    return ",\n           ".join(parts)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+           {_lang_scores_sql()}
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE GREATEST(score_en, score_de, score_fr, score_es, score_zh)
+                WHEN score_en THEN 'en' WHEN score_de THEN 'de'
+                WHEN score_fr THEN 'fr' WHEN score_es THEN 'es'
+                ELSE 'zh' END AS lang_pred,
+           score_en, score_de, score_fr, score_es, score_zh
+    FROM s
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score = marker hit-rate per language,
+    prediction = argmax with fixed precedence (en,de,fr,es,zh)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+
+    def _marker_pred(ws):
+        # factory keeps the lambda single-argument — a `ws=ws` default
+        # would make PySpark's arity sniffing pass a second lambda var
+        return lambda x: x.isin(*ws)
+
+    scores = {
+        lang: F.round(
+            F.size(F.filter(toks, _marker_pred(ws))).cast("double") / F.size(toks),
+            6,
+        )
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    d2 = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(F.col("score_en") == best, "en")
+    for lang in ("de", "fr", "es"):
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    pred = pred.otherwise("zh")
+    return d2.select(
+        "doc_id",
+        "lang_label",
+        pred.alias("lang_pred"),
+        *[f"score_{lang}" for lang in _LANG_MARKERS],
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                  AS fp,
+           substring(md5(lower(trim(text))), 1, 4) AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over normalized text; the 16-bit hex prefix
+    is the shard/bucket key a 100 TB dedup would shuffle on."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("fp_bucket")
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    SELECT g AS bigram, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_transform(range(len(toks) - 1),
+                    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents) x
+    )
+    GROUP BY g
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(shingles(tokens("text"), k=2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_token_count_bpe_ish",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)            AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (letter-runs / digit-runs / single symbols) — the cheap proxy used
+    to budget LLM token counts at corpus scale."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
