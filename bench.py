@@ -1,0 +1,75 @@
+"""Headline benchmark for the engine (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution is forced through Spark's ``noop`` sink — the full plan runs
+(every column materialized, nothing short-circuited by count-only
+optimization) and nothing funnels through the driver, which is exactly
+the shape of a production write job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (join+agg, wide agg, window,
+# LSH dedup, self-join dedup, text agg, vector kernel, JSON/event agg).
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "q1_pricing_summary",
+    "window_running_total_per_customer",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "text_top_tokens",
+    "dedup_embedding_cosine_pairs",
+    "scalar_json_props",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from catme_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup
+    qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

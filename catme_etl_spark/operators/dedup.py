@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.texttools import hex_prefix_long, seeded_md5, shingles, tokens
-from ..functions.vector import SQL_DOT, SQL_NORM, cosine
+from ..functions.vector import SQL_DOT, SQL_NORM
 from ..sources.tables import load_table
 from .registry import query
 
@@ -129,26 +129,44 @@ _MINHASH_CTES = (
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs via banded minhash, verified with exact Jaccard."""
+    """Candidate pairs via banded minhash, verified with exact Jaccard.
+
+    Shuffle shape (the thing that matters at corpus scale): the 32-seed
+    hash family is computed as an ARRAY per shingle row, and the
+    signature is 32 positional ``min`` aggregates in a single
+    ``groupBy(doc_id)`` — map-side partial aggregation collapses the
+    shuffle to one 32-string row per doc. (The naive
+    explode-seeds-then-group form shuffles |shingles|×32 rows — 32×
+    more.) Band keys then derive from the signature columns with no
+    second shuffle.
+    """
     sh = _shingle_sets(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    mh = (
-        sh.withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(_N_SEEDS - 1))))
-        .select("doc_id", "s", seeded_md5(F.col("g"), F.col("s")).alias("hv"))
-        .groupBy("doc_id", "s")
-        .agg(F.min("hv").alias("h"))
+    hs = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_SEEDS - 1)),
+        lambda s: seeded_md5(F.col("g"), s),
     )
-    bands = mh.groupBy(
-        "doc_id", F.floor(F.col("s") / _BAND_ROWS).alias("band")
-    ).agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "h"))),
-                lambda x: x.getField("h"),
-            ),
-        ).alias("bkey")
+    sig = (
+        sh.select("doc_id", hs.alias("hs"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.element_at("hs", s + 1)).alias(f"h{s}")
+                for s in range(_N_SEEDS)
+            ]
+        )
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"h{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+            )
+            for b in range(_N_SEEDS // _BAND_ROWS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("bkey_a")
@@ -452,12 +470,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(F.round(cos, 6) >= 0.4)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
-    )
+    """All-pairs cosine ≥ threshold via a blocked numpy matmul inside
+    ``mapInPandas`` (Arrow-batched, BLAS kernel).
+
+    Why not pure column expressions: a 64-dim dot product per pair is
+    either an interpreted higher-order fold or a 130-term unrolled
+    expression that trips Spark's codegen hugeMethodLimit — both
+    evaluate interpreted, ~10× slower than one ``A @ B.T``. Dense O(n²)
+    math is exactly the documented Pandas-UDF escape hatch.
+
+    Scale shape: the broadcast side is the BOUNDED candidate/query set
+    (like a broadcast join build side); the stream side partitions
+    freely. For open-ended corpora, generate candidates first (MinHash/
+    SimHash/LSH above, or IVF in similarity.py) and feed this kernel
+    pairs, never the full cross product.
+    """
+    import numpy as np  # local import: keep module import light
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()  # bounded build side (see docstring)
+    ids_b = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat_b = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+
+    def gen(batches):
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ia = pdf["vec_id"].to_numpy()
+            na = np.sqrt((A * A).sum(axis=1))
+            cos = (A @ bmat.T) / (na[:, None] * bnorms[None, :])
+            mask = (ia[:, None] < bids[None, :]) & (np.round(cos, 6) >= 0.4)
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": ia[r], "vec_b": bids[c], "cos_raw": cos[r, c]}
+            )
+
+    return emb.mapInPandas(
+        gen, schema="vec_a long, vec_b long, cos_raw double"
+    ).select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))

@@ -1,0 +1,207 @@
+"""Approximate-nearest-neighbor similarity search over the
+``embeddings`` table (SURVEY §2.10 F10; driver contract "similarity
+search").
+
+Two tiers, same deterministic semantics (cosine, ties broken by
+neighbor id) so both are DuckDB-oracle-checkable:
+
+- **brute force** (`sim_topk_bruteforce`): every query scores every
+  vector via one blocked ``A @ B.T`` per Arrow batch. The baseline and
+  the exact answer; O(n·m) — fine when one side is bounded (it is the
+  broadcast side, like a broadcast join build side).
+- **IVF** (`sim_ivf_topk`): coarse quantization. A small deterministic
+  centroid set is broadcast; every vector is assigned to its nearest
+  centroid (inverted lists, PARTITIONED BY cluster id — this is the
+  100 TB layout); each query probes its ``NPROBE`` nearest clusters
+  via an equi-join on cluster id, so the shuffle moves only
+  |queries|×NPROBE probe rows and candidate scoring touches ~NPROBE/
+  n_clusters of the corpus instead of all of it. Scoring is an
+  Arrow-batched pandas UDF (dense math never runs interpreted).
+
+Centroids here are a fixed stride of the data (``vec_id % STRIDE``) —
+deterministic for the oracle; production would k-means them (same
+plumbing, different centroid table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import make_cosine_pandas_udf, sql_cosine
+from ..sources.tables import load_table
+from .registry import query
+
+TOP_K = 5
+NPROBE = 2
+CENTROID_STRIDE = 50
+
+
+def _broadcast_matrix(spark: SparkSession, df: DataFrame):
+    """Collect (id, embedding) to a numpy pair + Spark broadcast."""
+    import numpy as np
+
+    rows = df.collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return spark.sparkContext.broadcast((ids, mat, norms))
+
+
+def _topk_against(bc, k: int, exclude_self: bool):
+    """mapInPandas generator: per input batch, blocked matmul against
+    the broadcast matrix, emit top-k (cos desc, id asc) per row."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ia = pdf["vec_id"].to_numpy()
+            na = np.sqrt((A * A).sum(axis=1))
+            cos = (A @ bmat.T) / (na[:, None] * bnorms[None, :])
+            if exclude_self:
+                self_mask = ia[:, None] == bids[None, :]
+                cos = np.where(self_mask, -np.inf, cos)
+            # stable deterministic order: cos desc, then neighbor id asc
+            order = np.lexsort((np.broadcast_to(bids, cos.shape), -cos), axis=1)
+            top = order[:, :k]
+            n, kk = top.shape
+            rows_idx = np.repeat(np.arange(n), kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": ia[rows_idx],
+                    "rank": np.tile(np.arange(1, kk + 1), n),
+                    "neighbor_id": bids[top].ravel(),
+                    "cos_raw": cos[rows_idx, top.ravel()],
+                }
+            )
+
+    return gen
+
+
+_COS_AB = sql_cosine("a.embedding", "b.embedding")
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_AB} AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           ROUND(c, 4) AS cos
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = _broadcast_matrix(spark, emb)
+    out = emb.mapInPandas(
+        _topk_against(bc, TOP_K, exclude_self=True),
+        schema="query_id long, rank long, neighbor_id long, cos_raw double",
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cos_raw", 4).alias("cos")
+    )
+
+
+_COS_VC = sql_cosine("v.embedding", "c.ce")
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    vc AS (
+      SELECT v.vec_id, c.cid, {_COS_VC} AS vcos,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {_COS_VC} DESC, c.cid) AS rn
+      FROM embeddings v, cent c
+    ),
+    assign AS (SELECT vec_id, cid FROM vc WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM vc WHERE rn <= {NPROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {sql_cosine('qa.embedding', 'qb.embedding')} AS cos_raw
+      FROM cand c
+      JOIN embeddings qa ON qa.vec_id = c.query_id
+      JOIN embeddings qb ON qb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           ROUND(cos_raw, 4) AS cos
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign → probe → inverted-list equi-join → score → top-k.
+
+    The join on ``cid`` is the scale move: candidates co-locate with
+    probes by cluster, so a 1000-executor run shuffles only probe rows
+    and each task scores one cluster's list against its probes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+    bc = _broadcast_matrix(spark, cent)
+
+    # nearest-NPROBE centroids per vector; rn=1 is the list assignment
+    near = emb.mapInPandas(
+        _topk_against(bc, NPROBE, exclude_self=False),
+        schema="query_id long, rank long, neighbor_id long, cos_raw double",
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("rank").alias("rn"),
+        F.col("neighbor_id").alias("cid"),
+    )
+    assign = near.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = near.select(F.col("vec_id").alias("query_id"), "cid")
+
+    lists = assign.join(emb, "vec_id").select(
+        "cid", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(qv, "query_id")
+    )
+    cos_udf = make_cosine_pandas_udf()
+    scored = cand.select(
+        "query_id", "neighbor_id", cos_udf(F.col("ea"), F.col("eb")).alias("cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "neighbor_id", F.round("cos_raw", 4).alias("cos"),
+        )
+    )
