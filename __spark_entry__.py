@@ -18,11 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing these modules registers their queries/oracles.
 from catme_etl_spark.operators import registry
 from catme_etl_spark.operators import dedup  # noqa: F401
+from catme_etl_spark.operators import events  # noqa: F401
 from catme_etl_spark.operators import relational  # noqa: F401
 from catme_etl_spark.operators import scalars  # noqa: F401
 from catme_etl_spark.operators import similarity  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401
 from catme_etl_spark.operators import windows  # noqa: F401
+from catme_etl_spark.streaming import jobs  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

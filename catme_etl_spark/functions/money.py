@@ -39,6 +39,15 @@ def pct100(col: Column | str) -> Column:
     return F.round(c * 100, 0).cast("long")
 
 
+def money_sum(col: Column | str) -> Column:
+    """Exact SUM of a 2-decimal money double, back in dollars.
+
+    Oracle-side equivalent:
+    ``ROUND(SUM(CAST(ROUND(x * 100) AS BIGINT)) / 100.0, 2)``.
+    """
+    return money_from_cents(F.sum(cents(col)))
+
+
 def money_from_cents(sum_col: Column, scale: int = 100) -> Column:
     """Exact integer aggregate → dollars, rounded to 2 decimals.
 

@@ -1,0 +1,169 @@
+"""Event-time window aggregations over the ``events`` table (SURVEY
+§2.8 C5): tumbling, sliding, and session windows — the batch semantics
+that the streaming module (``catme_etl_spark.streaming``) re-runs
+incrementally with watermarks.
+
+Window identity crosses engines as integer epochs (``unix_micros`` ↔
+``epoch_us``) — string formatting of timestamps is the classic
+tz-dependent hash-flake, integers are not. All aggregations are single
+hash-shuffles on (window, key); at 100 TB the parquet would be
+date-partitioned and partition pruning keeps each window's scan local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import money_sum
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "events_tumbling_10min",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) * 1000000 AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_10min_5min",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k * 300) * 1000000
+               AS win_start_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events, (SELECT unnest(range(2)) AS k)
+    GROUP BY 1
+    """,
+)
+def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (width 10 min, slide 5 min): every event lands in
+    exactly width/slide = 2 windows; Spark's ``window()`` expands them
+    map-side before the shuffle."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "events_session_30min",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS sess_start_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def events_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via
+    ``F.session_window`` — a new session starts when the gap since the
+    previous event is >= the timeout (Spark extends a session to
+    ``[first, last + gap)`` and merges strictly-earlier arrivals).
+
+    The oracle reproduces it with the gaps-and-islands idiom. The
+    session START is stable output; the Spark session end is
+    ``last + gap`` while a SQL island's is ``last`` — don't compare ends.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_type_hourly_share",
+    oracle="""
+    WITH h AS (
+      SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) * 1000000
+                 AS hour_us,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_us, event_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY hour_us), 4)
+               AS share
+    FROM h
+    """,
+)
+def events_type_hourly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: event-time tumbling agg + analytic window over the
+    aggregate (share of each type within its hour)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    h = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    h = h.select(
+        F.unix_micros(F.col("w.start")).alias("hour_us"), "event_type", "n"
+    )
+    w = Window.partitionBy("hour_us")
+    return h.select(
+        "hour_us",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("share"),
+    )

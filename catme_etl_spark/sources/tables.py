@@ -53,9 +53,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: epoch-nanos (~1.7e18) overflows double's
+            # 53-bit mantissa, so `/ 1000` would round the microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -1,0 +1,154 @@
+"""Structured Streaming jobs over the ``events`` table (SURVEY §2.8
+C5–C7): the same event-time semantics as ``operators/events.py``, run
+incrementally with watermarks.
+
+Each job reads the events parquet as a file STREAM (``readStream``,
+``Trigger.AvailableNow`` — process everything currently present, in
+bounded micro-batches, then stop), lands results in a memory sink, and
+returns the sink's table, so the jobs double as driver-checkable
+queries:
+
+- complete-mode aggregations equal the batch answer (nothing is
+  dropped: the watermark only bounds STATE eviction, and complete mode
+  re-emits all windows) → full DuckDB oracle applies;
+- append-mode session windows emit only sessions sealed by the final
+  watermark (max event time − delay) — genuinely streaming-only
+  output, registered rows-only.
+
+Production notes, same code path: swap the memory sink for
+parquet/Kafka + ``checkpointLocation`` (exactly-once via offset + state
+checkpointing — the reference's SQLite chunk checkpoint is the
+single-node shadow of this, ``unified_code.py:96-148``), and swap
+AvailableNow for a continuous trigger. State stores shard by group key
+across executors, so watermarking + state TTL is what makes a 100 TB
+backfill's memory bounded.
+"""
+
+from __future__ import annotations
+
+import os
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import money_sum
+from ..operators.registry import query
+
+_SINK_SEQ = count()
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events parquet, normalized to a micro-
+    second ``ts`` (same integer-division nanos fix as the batch loader).
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    # Spark's file-stream source monitors a DIRECTORY (new files appear
+    # = new data). The test fixture is a single parquet file in a
+    # read-only dir, so stage a symlink dir — in production this is the
+    # landing directory that the upstream writer drops files into.
+    stage = os.path.join(
+        "/tmp/catme_etl_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(stage)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Execute a one-shot (AvailableNow) streaming query into a memory
+    sink; return the sink as a batch DataFrame."""
+    name = f"stream_sink_{next(_SINK_SEQ)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_10min",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) * 1000000 AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, streamed. Complete mode
+    → equals the batch tumbling aggregation bit-for-bit."""
+    e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+    sunk = _run_to_memory(agg, "complete")
+    return sunk.select(
+        F.unix_micros(F.col("w.start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_dedup_event_id",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           ROUND(CAST(ROUND(value * 100) AS BIGINT) / 100.0, 2) AS value2
+    FROM events
+    """,
+)
+def stream_dedup_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (C7): ``dropDuplicatesWithinWatermark`` on
+    the event key — state for a key is held only within the watermark
+    horizon, which is what bounds dedup state on an unbounded stream.
+    event_id is unique in the synthetic data, so the oracle is the
+    table itself (the semantics under test are: nothing is dropped that
+    shouldn't be, and the job runs stateful streaming end to end)."""
+    e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    dd = e.dropDuplicatesWithinWatermark(["event_id"])
+    out = dd.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.round(F.col("value") * 100, 0).cast("long") / 100.0, 2).alias(
+            "value2"
+        ),
+    )
+    return _run_to_memory(out, "append")
+
+
+@query("stream_session_sealed")
+def stream_session_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) in APPEND mode: only sessions the
+    final watermark (max event time − 1 h) has sealed are emitted —
+    late-data semantics that no batch SQL can express, so this is a
+    rows-only check (driver records row count + schema stability)."""
+    e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sunk = _run_to_memory(agg, "append")
+    return sunk.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+        "n_events",
+    )
