@@ -1,0 +1,158 @@
+"""File sources: CSV (native Spark) and Excel (driver-side pandas
+bridge) — SURVEY §2.1 S1–S8.
+
+Reference parity with Spark-first fixes:
+
+- ``validate()`` probes readability and raises on garbage
+  (`unified_code.py:168-176,209-217`) → FAILFAST schema probe.
+- ``get_metadata()`` returns ``{sheet: {rows, columns, dtypes}}``
+  (`unified_code.py:178-191,219-230`). The reference fully parses every
+  Excel sheet and re-scans the CSV prefix per chunk (O(N²) total I/O,
+  SURVEY §4.2.1); Spark's split-based scan reads each byte once.
+- one explicit schema per source kills the per-chunk dtype re-inference
+  drift (`unified_code.py:311-313`, SURVEY §1.2/§4.2.3).
+- chunking (`read_chunk`, `unified_code.py:193-202,232-242`) has no
+  user-visible equivalent: partitions ARE the chunks.
+- format dispatch by extension (`unified_code.py:499-506`) → `read_auto`.
+- Excel has no distributed reader in pure PySpark: single file → pandas
+  on the driver then ``createDataFrame`` (the reference itself only
+  ever converts ONE file, `unified_code.py:493-496`); many files scale
+  out via a path-list DataFrame + ``mapInPandas`` so each executor
+  parses its own workbooks.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+SUPPORTED_EXTENSIONS = (".csv", ".xlsx", ".xls")  # `unified_code.py:493-495`
+
+
+def discover_input(input_dir: str) -> str:
+    """First supported file in a directory (`unified_code.py:493-496`
+    takes only the first match — documented quirk, kept)."""
+    for pat in ("*.xlsx", "*.xls", "*.csv"):
+        hits = sorted(glob.glob(os.path.join(input_dir, pat)))
+        if hits:
+            return hits[0]
+    raise FileNotFoundError(f"no supported input files in {input_dir!r}")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (S6). Explicit ``schema`` recommended; ``inferSchema``
+    otherwise (single inference for the whole file — never per-chunk)."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def validate_csv(spark: SparkSession, path: str, sep: str = ",") -> bool:
+    """Readability probe (S4, `unified_code.py:209-217`): FAILFAST parse
+    of the file; raises ``ValueError`` on unreadable input."""
+    try:
+        spark.read.option("sep", sep).option("header", True).option(
+            "mode", "FAILFAST"
+        ).csv(path).limit(1).collect()
+        return True
+    except Exception as ex:  # mirror reference's ValueError contract
+        raise ValueError(f"cannot read CSV {path!r}: {ex}") from ex
+
+
+def csv_metadata(spark: SparkSession, path: str, sep: str = ",") -> dict:
+    """S5 metadata ``{rows, columns, dtypes}`` under the single sheet
+    name ``"default"`` (`unified_code.py:225`)."""
+    df = read_csv(spark, path, sep=sep)
+    return {
+        "default": {
+            "rows": df.count(),
+            "columns": df.columns,
+            "dtypes": dict(df.dtypes),
+        }
+    }
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | int | None = 0,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Excel bridge (S3). Driver-side ``pd.read_excel`` →
+    ``createDataFrame`` (Arrow). Raises ``ImportError`` if no Excel
+    engine (openpyxl) is available in the environment."""
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def read_excel_many(
+    spark: SparkSession,
+    paths: list[str],
+    schema: StructType | str,
+    sheet_name: str | int = 0,
+) -> DataFrame:
+    """Distributed Excel: parallelize the PATH LIST, parse per executor
+    via ``mapInPandas`` — the scale path when there are many workbooks
+    (one workbook still parses on one core; that limit is inherent to
+    the format)."""
+    import pandas as pd
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def parse(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                yield pd.read_excel(p, sheet_name=sheet_name)
+
+    return paths_df.repartition(max(1, min(len(paths), 64))).mapInPandas(
+        parse, schema=schema
+    )
+
+
+def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Extension dispatch (S8, `unified_code.py:499-506`)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".csv":
+        return read_csv(spark, path, **kwargs)
+    if ext in (".xlsx", ".xls"):
+        return read_excel(spark, path, **kwargs)
+    raise ValueError(f"unsupported format {ext!r}; supported: {SUPPORTED_EXTENSIONS}")
+
+
+def file_md5(path: str, chunk_bytes: int = 1 << 20) -> str:
+    """Whole-file MD5, chunked read (I7; recovered `converter.py:100-104`)."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while chunk := f.read(chunk_bytes):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def df_checksum(df: DataFrame) -> int:
+    """Order-insensitive distributed content checksum: xor-fold of a
+    64-bit row hash. One narrow pass + scalar agg; any row change flips
+    it. The distributed analog of the reference's file-level MD5."""
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    out = df.select(F.bit_xor(row_hash).alias("chk")).first()
+    return 0 if out is None or out["chk"] is None else int(out["chk"])
