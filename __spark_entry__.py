@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from catme_etl_spark.operators import registry
 from catme_etl_spark.operators import dedup  # noqa: F401
 from catme_etl_spark.operators import events  # noqa: F401
+from catme_etl_spark.operators import multimodal  # noqa: F401
 from catme_etl_spark.operators import pipeline  # noqa: F401
 from catme_etl_spark.operators import relational  # noqa: F401
 from catme_etl_spark.operators import scalars  # noqa: F401
