@@ -25,6 +25,7 @@ from catme_etl_spark.operators import relational  # noqa: F401
 from catme_etl_spark.operators import scalars  # noqa: F401
 from catme_etl_spark.operators import similarity  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401
+from catme_etl_spark.operators import tpch  # noqa: F401
 from catme_etl_spark.operators import windows  # noqa: F401
 from catme_etl_spark.streaming import jobs  # noqa: F401
 

@@ -30,11 +30,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship_revenue_by_nation",
     "q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "window_running_total_per_customer",
+    "events_tumbling_10min",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "text_top_tokens",
     "dedup_embedding_cosine_pairs",
+    "sim_ivf_topk",
     "scalar_json_props",
 ]
 

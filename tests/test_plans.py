@@ -1,0 +1,51 @@
+"""Plan-shape guardrails: pushdown, pruning, broadcast, shuffle counts
+(SURVEY §4.3/§4.4 — 'the plan you'd want at 100 TB', tested)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from catme_etl_spark.operators.pipeline import run_pipeline
+from catme_etl_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_columns_pruned,
+    assert_no_shuffle,
+    assert_pushed_filters,
+    codegen_stage_count,
+    count_shuffles,
+)
+from catme_etl_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert_pushed_filters(q, "GreaterThan(l_quantity,30")
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    # scan must not read the wide money/text columns
+    assert_columns_pruned(q, "l_extendedprice", "l_returnflag", "l_shipdate")
+
+
+def test_flagship_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    q = e.queries()["flagship_revenue_by_nation"](spark, sf_dir)
+    assert_broadcast_join(q, min_count=1)
+    assert_pushed_filters(q, "GreaterThanOrEqual(l_shipdate")
+
+
+def test_pipeline_is_narrow_and_codegend(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    out = run_pipeline(n)
+    assert_no_shuffle(out)
+    assert codegen_stage_count(out) >= 1
+
+
+def test_q1_has_single_shuffle(spark, sf_dir):
+    """Grouped agg = exactly one exchange (partial agg map-side, final
+    after one hash shuffle); the sort for ORDER BY may add one more."""
+    q = e.queries()["q1_pricing_summary"](spark, sf_dir)
+    assert count_shuffles(q) <= 2
