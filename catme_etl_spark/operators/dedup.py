@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texttools import hex_prefix_long, seeded_md5, shingles, tokens
+from ..functions.texttools import (
+    hex_prefix_long,
+    minhash_family,
+    sql_hex_long,
+    tokens,
+    word_shingles,
+)
 from ..functions.vector import SQL_DOT, SQL_NORM
 from ..sources.tables import load_table
 from .registry import query
@@ -79,10 +85,15 @@ _SHINGLE_SQL = """
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) with SET semantics. Deduplication happens
+    per-doc via ``array_distinct`` BEFORE the explode — a narrow
+    no-shuffle pass, unlike ``explode().distinct()`` which would
+    shuffle every shingle occurrence just to drop within-doc repeats."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.explode(shingles(tokens("text"), k=3)).alias("g")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", k=3))).alias("g"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -95,14 +106,20 @@ _BAND_ROWS = 4  # 8 bands × 4 rows
 _MINHASH_CTES = (
     _SHINGLE_SQL
     + f""",
+  hb AS (
+    SELECT doc_id,
+           {sql_hex_long('hx', 14, 1)} AS a,
+           {sql_hex_long('hx', 13, 15)} AS b
+    FROM (SELECT doc_id, md5(g) AS hx FROM sh) z
+  ),
   mh AS (
-    SELECT doc_id, s, MIN(md5(g || '#' || CAST(s AS VARCHAR))) AS h
-    FROM sh, (SELECT unnest(range({_N_SEEDS})) AS s)
+    SELECT doc_id, s, MIN(a + s * b) AS h
+    FROM hb, (SELECT unnest(range({_N_SEEDS})) AS s)
     GROUP BY doc_id, s
   ),
   bands AS (
     SELECT doc_id, s // {_BAND_ROWS} AS band,
-           string_agg(h, ',' ORDER BY s) AS bkey
+           string_agg(CAST(h AS VARCHAR), ',' ORDER BY s) AS bkey
     FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
   ),
   cand AS (
@@ -131,22 +148,27 @@ _MINHASH_CTES = (
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via banded minhash, verified with exact Jaccard.
 
-    Shuffle shape (the thing that matters at corpus scale): the 32-seed
-    hash family is computed as an ARRAY per shingle row, and the
-    signature is 32 positional ``min`` aggregates in a single
-    ``groupBy(doc_id)`` — map-side partial aggregation collapses the
-    shuffle to one 32-string row per doc. (The naive
-    explode-seeds-then-group form shuffles |shingles|×32 rows — 32×
-    more.) Band keys then derive from the signature columns with no
-    second shuffle.
+    Hot-path shape (the things that matter at corpus scale):
+
+    - ONE md5 per shingle; the 32-seed family derives from it as the
+      universal hash ``h_s = a + s·b`` (a = 56-bit, b = 52-bit hex
+      slices, so ``a + 31·b < 2^61`` — int64-safe in both engines,
+      and cheap integer math replaces 32 digest calls per shingle).
+    - the signature is 32 positional ``min`` aggregates in a single
+      ``groupBy(doc_id)`` — map-side partial aggregation collapses the
+      shuffle to one 32-long row per doc (the naive explode-seeds-
+      then-group form shuffles |shingles|×32 rows — 32× more).
+    - band keys derive from the signature columns with no second
+      shuffle.
+    - the shingle set feeds FOUR consumers (sizes, signatures, both
+      sides of the verification join); it is persisted so the tokenize/
+      shingle pass runs once. The 100 TB equivalent is materializing
+      the shingle table to storage between stages.
     """
-    sh = _shingle_sets(spark, sf_dir)
+    sh = _shingle_sets(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    hs = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_SEEDS - 1)),
-        lambda s: seeded_md5(F.col("g"), s),
-    )
+    hs = minhash_family(F.md5("g"), _N_SEEDS)
     sig = (
         sh.select("doc_id", hs.alias("hs"))
         .groupBy("doc_id")
@@ -284,7 +306,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard over docs sharing any shingle.
     Production note: cap shingle document-frequency before the
     self-join (stop-shingle removal) — join cost is Σ df(g)²."""
-    sh = _shingle_sets(spark, sf_dir)
+    sh = _shingle_sets(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "g")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texttools import shingles, tokens
+from ..functions.texttools import tokens, word_shingles
 from ..sources.tables import load_table
 from .registry import query
 
@@ -233,7 +233,7 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return (
-        d.select(F.explode(shingles(tokens("text"), k=2)).alias("bigram"))
+        d.select(F.explode(word_shingles("text", k=2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
