@@ -17,15 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Importing these modules registers their queries/oracles.
 from catme_etl_spark.operators import registry
+from catme_etl_spark.operators import asof  # noqa: F401
 from catme_etl_spark.operators import dedup  # noqa: F401
 from catme_etl_spark.operators import events  # noqa: F401
 from catme_etl_spark.operators import multimodal  # noqa: F401
 from catme_etl_spark.operators import pipeline  # noqa: F401
+from catme_etl_spark.operators import sampling  # noqa: F401
 from catme_etl_spark.operators import relational  # noqa: F401
 from catme_etl_spark.operators import scalars  # noqa: F401
 from catme_etl_spark.operators import similarity  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401
 from catme_etl_spark.operators import tpch  # noqa: F401
+from catme_etl_spark.operators import udfs  # noqa: F401
 from catme_etl_spark.operators import windows  # noqa: F401
 from catme_etl_spark.streaming import jobs  # noqa: F401
 

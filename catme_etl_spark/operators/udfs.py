@@ -1,0 +1,172 @@
+"""The UDF surface (SURVEY §2.10 F7): every Python extension mechanism
+the engine supports, each demonstrated on a driver table with a SQL
+oracle where expressible.
+
+Tiers, fastest first — this ordering IS the guidance:
+
+1. built-in column expressions (everything else in this repo) — JVM,
+   codegen, zero Python;
+2. ``pandas_udf`` — Arrow-batched vectorized Python; ~10-100× faster
+   than row UDFs; the right tier for numpy math on columns;
+3. ``applyInPandas`` (grouped map) — the Python UDAF/UDTF substitute:
+   whole group in, DataFrame out, one shuffle on the key;
+4. row-at-a-time ``F.udf`` — pickled per row; LAST RESORT, kept here
+   as the mechanism demo (and a measuring stick).
+
+A pivot demo rides along (grouped pivot = conditional aggregation).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Tier 2: vectorized pandas UDF.
+# ---------------------------------------------------------------------------
+
+
+def _logistic_udf():
+    import numpy as np
+
+    def logistic(n_chars):
+        x = (n_chars.to_numpy(dtype="float64") - 150.0) / 30.0
+        return pd.Series(1.0 / (1.0 + np.exp(-x)))
+
+    logistic.__annotations__ = {"n_chars": pd.Series, "return": pd.Series}
+    return F.pandas_udf(logistic, "double")
+
+
+@query(
+    "udf_pandas_logistic_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 150.0) / 30.0)), 4)
+               AS score
+    FROM documents
+    """,
+)
+def udf_pandas_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched logistic 'quality' score over n_chars: whole
+    batches hit numpy at once; no per-row Python."""
+    d = load_table(spark, sf_dir, "documents")
+    udf = _logistic_udf()
+    return d.select("doc_id", F.round(udf(F.col("n_chars")), 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: grouped map (applyInPandas) — the Python-UDAF substitute.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_map_user_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                 AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) + 1 AS n_events,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST((200 * SUM(gap_us) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 100
+               AS avg_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def grouped_map_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats via ``applyInPandas``: each user's
+    full history arrives as one pandas frame (shuffle on user_id —
+    same cost shape as any keyed agg), and arbitrary Python computes
+    the aggregate. Users with < 2 events are skipped (no gaps)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "max_gap_us", "avg_gap_us"]
+            )
+        ts = pdf["ts"].sort_values().astype("int64")  # ns
+        d_us = (ts.diff().dropna() // 1000).to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "max_gap_us": [int(d_us.max())],
+                # half-up rounding in EXACT integer math: float means
+                # drift by summation order, and Python's round() is
+                # half-even while SQL ROUND is half-away — integers
+                # sidestep both
+                "avg_gap_us": [
+                    ((200 * int(d_us.sum()) + len(d_us)) // (2 * len(d_us))) / 100
+                ],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        gaps, schema="user_id long, n_events long, max_gap_us long, avg_gap_us double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: row-at-a-time Python UDF — the mechanism, and the warning.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_python_reverse",
+    oracle="""
+    SELECT doc_id, reverse(lang) AS gnal
+    FROM documents
+    """,
+)
+def udf_python_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time UDF registration demo (F.udf). Deliberately on a
+    tiny column of a small table: per-row pickling makes this tier
+    ~100× slower than builtins — never put it on the 100 TB hot path
+    (F.reverse exists; the UDF is the point here, not the reverse)."""
+    d = load_table(spark, sf_dir, "documents")
+    rev = F.udf(lambda s: None if s is None else s[::-1], StringType())
+    return d.select("doc_id", rev(F.col("lang")).alias("gnal"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot (grouped pivot = conditional aggregation under the hood).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_type_counts_by_bucket",
+    oracle=f"""
+    SELECT user_id % 10 AS bucket,
+           {", ".join(
+               f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def pivot_type_counts_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().pivot(values).count()`` with the pivot values given
+    explicitly — at scale never let Spark run the extra distinct job to
+    discover them."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
