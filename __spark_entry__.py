@@ -24,6 +24,7 @@ from catme_etl_spark.operators import multimodal  # noqa: F401
 from catme_etl_spark.operators import pipeline  # noqa: F401
 from catme_etl_spark.operators import sampling  # noqa: F401
 from catme_etl_spark.operators import relational  # noqa: F401
+from catme_etl_spark.operators import relational2  # noqa: F401
 from catme_etl_spark.operators import scalars  # noqa: F401
 from catme_etl_spark.operators import similarity  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401

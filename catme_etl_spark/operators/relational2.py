@@ -1,0 +1,142 @@
+"""Second relational coverage batch: GROUPING SETS, INTERSECT ALL,
+exact median, scalar subquery, corpus-mix reporting (SURVEY §2.4/§2.7
+completions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A3 beyond rollup/cube) via Spark SQL —
+    one pass, each row fans into its grouping sets map-side."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "set_intersect_all_multiplicity",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the two
+    sides), completing the set-op family."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "agg_median_price_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5) / 100.0
+               AS median_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (continuous-interpolation) per group, computed on
+    the integer-cents grid so the even-count midpoint is exact in both
+    engines. Exact medians need the group's values together (sort or
+    full pass) — at 100 TB prefer approx_percentile unless exactness
+    is contractual."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        (F.median(cents("o_totalprice")) / 100.0).alias("median_price")
+    )
+
+
+@query(
+    "subquery_above_avg_customers",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) + 1e-9
+    """,
+)
+def subquery_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance.
+    The aggregate is a 1-row DataFrame broadcast-cross-joined against
+    the table — the distributed plan for any uncorrelated scalar
+    subquery (Catalyst produces the same shape for the SQL form).
+    The epsilon guards the comparison: rows AT the average (possible on
+    a 2-decimal money grid) would otherwise flip on last-ulp AVG
+    differences between engines."""
+    c = _t(spark, sf_dir, "customer")
+    avg = c.agg((F.sum(cents("c_acctbal")) / (100.0 * F.count(F.lit(1)))).alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal") + 1e-9)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+@query(
+    "text_corpus_mix",
+    oracle="""
+    WITH m AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents
+      GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
+    FROM m
+    """,
+)
+def text_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mix report a training pipeline budgets from: docs,
+    tokens, and token share per (lang, source) stratum. Agg then a
+    global-total window over the (tiny) aggregate — the big table is
+    touched once."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6).alias(
+            "token_share"
+        ),
+    )
