@@ -1,0 +1,65 @@
+"""Skew- and layout-aware join utilities (SURVEY §4.4; the knobs that
+decide whether a 100 TB join finishes).
+
+Three tiers for a skewed/huge equi-join, cheapest first:
+
+1. **AQE skew-join** (on by default in ``session.py``): runtime splits
+   oversized post-shuffle partitions. Zero code; handles moderate skew.
+2. **Salted join** (:func:`salted_join`): for pathological hot keys —
+   explode the small side ``n_salt`` ways, spread the big side's hot
+   keys across salted partitions. Deterministic salting (hash of a
+   unique column, not ``rand()``) keeps results reproducible.
+3. **Bucketed tables** (:func:`write_bucketed`): pre-shuffle the data
+   ONCE at write time into hash buckets on the join key; every later
+   join/agg on that key is shuffle-free (verified by
+   tests/test_skew_bucketing.py asserting no Exchange in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    salt_src: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting: ``big`` rows get a deterministic
+    salt in [0, n_salt); ``small`` is exploded n_salt× so every salted
+    key finds its match. A hot key's rows now land in ``n_salt``
+    shuffle partitions instead of one.
+
+    ``salt_src``: a column of ``big`` to derive the salt from
+    (defaults to the join key itself via xxhash — good spread unless
+    one literal key dominates, in which case pass a high-cardinality
+    column like the row's unique id).
+    """
+    src = F.col(salt_src) if salt_src else F.col(on)
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(n_salt)))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    out = b.join(s, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table:
+    the one-time shuffle that makes every subsequent join/aggregation
+    on ``bucket_col`` shuffle-free (SortMergeJoin reads co-located
+    buckets directly; with ``sort_col`` the sort is pre-done too)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
