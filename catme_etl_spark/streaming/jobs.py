@@ -136,6 +136,80 @@ def stream_dedup_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "append")
 
 
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (C7's
+    escape hatch for semantics no built-in stateful op covers): the
+    per-user state is an explicit (count, cents) record carried across
+    micro-batches, updated by arbitrary pandas code. State shards by
+    group key across executors; a watermark+TTL would bound it on an
+    unbounded stream. Totals equal the batch aggregate, so the
+    mechanism is oracle-checked."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = _stream_events(spark, sf_dir).select("user_id", "value")
+
+    def totals(key, pdfs, state):
+        n, cents_total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer cents, same exactness contract as money_sum
+            cents_total += int((pdf["value"] * 100).round(0).astype("int64").sum())
+        state.update((n, cents_total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(cents_total / 100.0, 2)],
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
+def stream_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Checkpointed ``foreachBatch`` parquet sink — the production
+    shape of the reference's chunk-checkpoint loop (C1–C3,
+    `unified_code.py:96-148,459-460`): offsets + sink commits live in
+    ``checkpoint_dir``, so a re-run after a crash resumes instead of
+    reprocessing, and each micro-batch write is atomic per batch id.
+    Returns rows written."""
+    e = _stream_events(spark, sf_dir)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        e.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).count()
+
+
 @query("stream_session_sealed")
 def stream_session_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) in APPEND mode: only sessions the

@@ -1,0 +1,30 @@
+"""Streaming-specific tests: checkpointed foreachBatch sink resume
+semantics and sealed-session append mode."""
+
+from __future__ import annotations
+
+import __spark_entry__ as e
+from catme_etl_spark.streaming.jobs import stream_to_parquet
+
+
+def test_foreachbatch_checkpoint_is_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = stream_to_parquet(spark, sf_dir, out, ckpt)
+    assert n1 > 0
+    # re-run with the same checkpoint: offsets already committed,
+    # nothing reprocessed, no duplicate rows appended
+    n2 = stream_to_parquet(spark, sf_dir, out, ckpt)
+    assert n2 == n1
+
+
+def test_sealed_sessions_are_subset_of_batch_sessions(spark):
+    sf = "/root/testdata/sf0.01"
+    qs = e.queries()
+    sealed = qs["stream_session_sealed"](spark, sf)
+    batch = qs["events_session_30min"](spark, sf).select(
+        "user_id", "sess_start_us", "n_events"
+    )
+    extra = sealed.exceptAll(batch).count()
+    assert extra == 0, "append mode must emit only watermark-sealed sessions"
+    assert 0 < sealed.count() <= batch.count()
