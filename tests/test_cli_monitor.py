@@ -1,0 +1,37 @@
+"""CLI and monitor parity tests."""
+
+from __future__ import annotations
+
+import json
+
+from catme_etl_spark.cli import main as cli_main
+from catme_etl_spark.monitor import check_resources, resource_snapshot, spark_job_snapshot
+
+
+def test_cli_converts_csv(tmp_path, capsys, spark):
+    src = tmp_path / "in.csv"
+    src.write_text("id;name\n1;a\n2;b\n")
+    out = str(tmp_path / "out")
+    rc = cli_main(
+        ["--input", str(src), "--output", out, "--csv-separator", ";",
+         "--output-mode", "merge", "--order-by", "id", "--array-parity"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 2
+    arr = json.load(open(out + ".array.json"))
+    assert [r["name"] for r in arr] == ["a", "b"]
+    assert all(r["finalized"] for r in arr)
+
+
+def test_monitor_snapshot_and_thresholds():
+    snap = resource_snapshot()
+    assert 0 <= snap["cpu_percent"] <= 100
+    assert 0 <= snap["memory_percent"] <= 100
+    assert len(check_resources(-1.0, -1.0)) == 2  # thresholds below any reading
+    assert check_resources(100.0, 100.0) == []
+
+
+def test_spark_job_snapshot(spark):
+    s = spark_job_snapshot(spark)
+    assert s["default_parallelism"] >= 1
