@@ -83,6 +83,35 @@ def _topk_against(bc, k: int, exclude_self: bool):
     return gen
 
 
+@query("sim_ml_lsh_pairs")
+def sim_ml_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml integration path: ``BucketedRandomProjectionLSH``
+    over L2-normalized vectors (unit sphere: d² = 2 − 2·cos, so the
+    Euclidean threshold √1.2 ≈ cos ≥ 0.4). Deterministic per seed but
+    the internal random projections aren't reproducible in SQL →
+    rows-only check; the oracle-checked equivalents are
+    ``dedup_embedding_cosine_pairs`` (exact) and the banded
+    MinHash/SimHash pipelines."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+    )
+    unit = Normalizer(inputCol="raw", outputCol="v", p=2.0).transform(emb)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=0.5,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(unit)
+    sj = model.approxSimilarityJoin(unit, unit, 1.0954451150103321)
+    return sj.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("vec_a"),
+        F.col("datasetB.vec_id").alias("vec_b"),
+        F.round("distCol", 4).alias("l2_dist"),
+    )
+
+
 _COS_AB = sql_cosine("a.embedding", "b.embedding")
 
 

@@ -44,6 +44,18 @@ def test_pipeline_is_narrow_and_codegend(spark, sf_dir):
     assert codegen_stage_count(out) >= 1
 
 
+def test_banded_interval_join_is_hash_join_not_bnl(spark, sf_dir):
+    """The point of banding: the |dt|<=W theta-join must plan as an
+    equi hash/merge join, never BroadcastNestedLoop over a cross
+    product."""
+    q = e.queries()["rangejoin_view_near_purchase"](spark, sf_dir)
+    from catme_etl_spark.plans.explain import executed_plan_str
+
+    plan = executed_plan_str(q)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
 def test_q1_has_single_shuffle(spark, sf_dir):
     """Grouped agg = exactly one exchange (partial agg map-side, final
     after one hash shuffle); the sort for ORDER BY may add one more."""
