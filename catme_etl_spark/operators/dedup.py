@@ -370,9 +370,12 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     popularity-weighted ±1 vote of hash-bit k across tokens)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    # persist = optimizer barrier: CollapseProject would otherwise fold
+    # the md5+conv chain into all 60 aggregate expressions (60 digests
+    # per token, measured 2× slower); materialized h is hashed once
     hashed = tok.select(
         "doc_id", hex_prefix_long(F.md5("t"), 15).alias("h")
-    )
+    ).persist()
     weights = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
