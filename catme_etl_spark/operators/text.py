@@ -242,6 +242,60 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    passed AS (
+      SELECT * FROM q
+      WHERE n_tokens BETWEEN 20 AND 80
+        AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.25
+        AND lang IN ('en', 'de', 'fr')
+    ),
+    canon AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM passed
+    )
+    SELECT doc_id, lang, source, n_tokens
+    FROM canon WHERE doc_id = canonical_id
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pass every LLM data pipeline runs:
+    quality gate (length + lexical diversity) → language filter →
+    exact near-dup removal keeping the least doc_id per content hash.
+    One scan, one window shuffle on the content hash — the same plan
+    shape at any corpus size."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    passed = q.filter(
+        F.col("n_tokens").between(20, 80)
+        & (F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.25)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        passed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+
+
+@query(
     "text_token_count_bpe_ish",
     oracle="""
     SELECT doc_id,
