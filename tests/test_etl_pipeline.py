@@ -131,6 +131,35 @@ def test_excel_roundtrip_if_engine_available(spark, tmp_path):
     assert sorted(r.a for r in df.collect()) == [1, 2]
 
 
+def test_corrupt_rows_are_isolated_not_fatal(spark, tmp_path):
+    """Reference parity I10 (`unified_code.py:469-470`): one bad record
+    must not abort the job. PERMISSIVE mode nulls unparseable fields
+    and captures the raw line in a corrupt-record column — the row-
+    level quarantine analog of the reference's per-chunk error skip."""
+    p = tmp_path / "bad.csv"
+    p.write_text("id,score\n1,2.5\nnot_a_number,oops\n3,7.0\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("id long, score double, _corrupt string")
+        .csv(str(p))
+    ).cache()
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert "not_a_number" in bad.first()._corrupt
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The sketch query is rows-only at the driver gate; here we pin
+    its accuracy contract instead: HLL++ within 5% of exact."""
+    import __spark_entry__ as e
+
+    row = e.queries()["agg_approx_count_distinct"](spark, sf_dir).first()
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05
+
+
 # ---------------------------------------------------------------------------
 # Sinks (S9–S11)
 # ---------------------------------------------------------------------------
