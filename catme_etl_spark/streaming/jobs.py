@@ -183,6 +183,60 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+@query(
+    "stream_stream_view_to_purchase",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to purchases by the same
+    user within the next 10 minutes, both sides watermarked — the time
+    bound in the join condition is what lets Spark EVICT buffered state
+    (a view older than max-seen-time − 10 min − watermark can never
+    match again). Inner join + bounded condition → output equals the
+    batch inequality join, so it's fully oracle-checked."""
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    sunk = _run_to_memory(joined, "append")
+    return sunk.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("delta_us"),
+    )
+
+
 def stream_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> int:
