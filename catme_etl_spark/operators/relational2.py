@@ -105,6 +105,52 @@ def subquery_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_try_functions",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN (p_size - 5) = 0 THEN NULL
+                ELSE CAST(p_retailprice / (p_size - 5) AS DOUBLE) END AS price_per,
+           TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+           TRY_CAST(SUBSTRING(p_name, 1, 2) AS INTEGER) AS name_prefix_int
+    FROM part
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic (Spark 4 enables ANSI by default, so
+    plain division by zero would FAIL the job): ``try_divide`` /
+    ``try_cast`` return NULL instead — the distributed-job-friendly
+    behavior (one poisoned row must not kill a 100 TB pass; pair with a
+    quarantine filter to collect offenders)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_divide(F.col("p_retailprice"), F.col("p_size") - 5).alias("price_per"),
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.substring("p_name", 1, 2).try_cast("int").alias("name_prefix_int"),
+    )
+
+
+@query(
+    "agg_having_heavy_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = filter over the aggregate (planned as one hash-agg +
+    post-filter; no second shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
     "text_corpus_mix",
     oracle="""
     WITH m AS (
