@@ -156,6 +156,44 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_plan",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_MEDIA_CASE} AS media_type, md5(text) AS hx
+               FROM documents),
+    f AS (
+      SELECT doc_id, media_type,
+             16 + {_sql_hex_int('hx', 1, 2)} AS w,
+             16 + {_sql_hex_int('hx', 3, 2)} AS h
+      FROM h WHERE media_type = 'image'
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST((w * 64) // GREATEST(w, h) AS BIGINT) AS resized_w,
+           CAST((h * 64) // GREATEST(w, h) AS BIGINT) AS resized_h
+    FROM f
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: target dims fitting a 64×64 box preserving
+    aspect ratio, in exact integer math (floor((d·64)/max_dim)) — the
+    JVM-side metadata step before the (stubbed) pixel resample, which
+    would run in the same mapInPandas kernel as decode. Planning
+    separately from decoding lets the expensive kernel receive its
+    output geometry and batch accordingly."""
+    f = multimodal_decode_features(spark, sf_dir).filter(
+        F.col("media_type") == "image"
+    )
+    mx = F.greatest(F.col("width"), F.col("height"))
+    return f.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * 64 / mx).cast("long").alias("resized_w"),
+        F.floor(F.col("height") * 64 / mx).cast("long").alias("resized_h"),
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle=f"""
     WITH h AS (SELECT doc_id, {_MEDIA_CASE} AS media_type, md5(text) AS hx

@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-SUPPORTED_EXTENSIONS = (".csv", ".xlsx", ".xls")  # `unified_code.py:493-495`
+# reference supports only the first three (`unified_code.py:493-495`);
+# the rest are native Spark formats exposed through the same dispatch
+SUPPORTED_EXTENSIONS = (".csv", ".xlsx", ".xls", ".parquet", ".json", ".jsonl", ".orc")
 
 
 def discover_input(input_dir: str) -> str:
@@ -128,6 +130,24 @@ def read_excel_many(
     )
 
 
+def read_json_lines(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines scan (reads back what ``sinks/json_sink.py`` writes;
+    splittable, unlike a single JSON array). Explicit schema skips the
+    sampling inference pass — always pass one in production."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar alternative to parquet, same pushdown/
+    pruning machinery (ABSENT in the reference; native in Spark)."""
+    return spark.read.orc(path)
+
+
 def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     """Extension dispatch (S8, `unified_code.py:499-506`)."""
     ext = os.path.splitext(path)[1].lower()
@@ -135,6 +155,12 @@ def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return read_csv(spark, path, **kwargs)
     if ext in (".xlsx", ".xls"):
         return read_excel(spark, path, **kwargs)
+    if ext == ".parquet":
+        return spark.read.parquet(path)
+    if ext in (".json", ".jsonl"):
+        return read_json_lines(spark, path, **kwargs)
+    if ext == ".orc":
+        return read_orc(spark, path)
     raise ValueError(f"unsupported format {ext!r}; supported: {SUPPORTED_EXTENSIONS}")
 
 

@@ -116,10 +116,27 @@ def test_discover_input_prefers_excel_then_csv(tmp_path, sample_csv):
 
 
 def test_read_auto_dispatch_unknown(spark, tmp_path):
-    p = tmp_path / "x.orc"
+    p = tmp_path / "x.xyz"
     p.write_text("")
     with pytest.raises(ValueError):
         read_auto(spark, str(p))
+
+
+def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
+    from catme_etl_spark.sources.files import read_auto
+    from catme_etl_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    orc_dir = str(tmp_path / "nation_orc")
+    n.write.orc(orc_dir)
+    back = read_auto(spark, orc_dir + "/*.orc")
+    assert back.count() == n.count()
+    assert dict(back.dtypes) == dict(n.dtypes)
+
+    json_dir = str(tmp_path / "nation_json")
+    n.write.json(json_dir)
+    jback = read_auto(spark, json_dir + "/*.json", schema=n.schema)
+    assert jback.count() == n.count()
 
 
 def test_excel_roundtrip_if_engine_available(spark, tmp_path):
