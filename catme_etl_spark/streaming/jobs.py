@@ -44,19 +44,44 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, "events.parquet")
     # Spark's file-stream source monitors a DIRECTORY (new files appear
-    # = new data). The test fixture is a single parquet file in a
-    # read-only dir, so stage a symlink dir — in production this is the
-    # landing directory that the upstream writer drops files into.
-    stage = os.path.join(
-        "/tmp/catme_etl_stream_src", sf_dir.strip("/").replace("/", "_")
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # = new data). The test fixture is one parquet file in a read-only
+    # dir, so stage it into /tmp as four TIME-ORDERED slices (event-
+    # time quartiles, written oldest first — the pattern of a real
+    # landing zone, where files arrive roughly in event-time order) and
+    # process one file per trigger: every streaming job here genuinely
+    # runs multiple micro-batches, so watermarks advance between
+    # batches and stateful operators carry state across them — not a
+    # degenerate single-batch pass. Time-ordering matters: slicing any
+    # other way would make whole batches arrive behind the advanced
+    # watermark and be dropped as late.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    df = spark.readStream.schema(schema).parquet(stage)
+    stage = os.path.join(
+        "/tmp/catme_etl_stream_src_v2", sf_dir.strip("/").replace("/", "_")
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        from pyspark.sql import Window
+
+        src = spark.read.parquet(path)
+        n = src.count()
+        per = (n + 3) // 4
+        ranked = src.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        for i in range(4):  # sequential writes → increasing mtimes
+            ranked.filter(
+                (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+            ).drop("_rn").coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, f"slice{i}")
+            )
+        open(done, "w").close()
+    schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
@@ -180,7 +205,14 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    sunk = _run_to_memory(out, "update")
+    # the memory sink keeps every per-batch update; the final state per
+    # user is the row with the (monotonically growing) max n_events
+    final = F.max(F.struct("n_events", "sum_value")).alias("s")
+    return sunk.groupBy("user_id").agg(final).select(
+        "user_id", F.col("s.n_events").alias("n_events"),
+        F.col("s.sum_value").alias("sum_value"),
+    )
 
 
 @query(
