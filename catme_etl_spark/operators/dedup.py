@@ -6,8 +6,9 @@ Scale design (the point of each algorithm at 100 TB):
 
 - **exact**: one scan + one shuffle on a 128-bit content hash. Never
   shuffles the text itself — group on ``md5`` and keep min(doc_id).
-- **MinHash+LSH**: per-doc signature is a narrow map-side pass
-  (explode shingles × seeds, partial min); banding shuffles
+- **MinHash+LSH**: one digest per shingle expanded to a 32-seed
+  universal hash family in codegen; the signature is 32 positional
+  mins in one map-side-combined groupBy; banding shuffles
   O(docs × bands) small keys; only same-band docs are joined. The
   verification join touches candidate pairs only — never all pairs.
 - **SimHash**: signature is a single groupBy (60 partial sums);
@@ -22,9 +23,11 @@ Scale design (the point of each algorithm at 100 TB):
   the scale path is the LSH/IVF candidate generation in
   ``similarity.py`` feeding this same kernel.
 
-All hashes are md5-hex (identical in DuckDB) so every stage is
-oracle-checkable end to end. Swap ``F.xxhash64`` for md5 in production
-for ~5× hash throughput; the algorithms don't change.
+All hashing derives from md5 (identical in DuckDB) so every stage is
+oracle-checkable end to end — string hex where lexicographic order is
+enough, integer slices (``texttools.hex_prefix_long``) where the
+algorithm needs arithmetic. Swap ``F.xxhash64`` in production for ~5×
+hash throughput; the algorithms don't change.
 """
 
 from __future__ import annotations

@@ -80,6 +80,34 @@ def agg_median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles_order_price",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5) / 100.0
+               AS p50,
+           quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.9) / 100.0
+               AS p90,
+           quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.99) / 100.0
+               AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p50/p90/p99) on the integer-cents
+    grid. Exact percentiles materialize each group's values — at 100 TB
+    use ``approx_percentile`` (t-digest sketch, mergeable map-side)
+    unless the number is contractual."""
+    o = _t(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        (F.percentile(c, F.lit(0.5)) / 100.0).alias("p50"),
+        (F.percentile(c, F.lit(0.9)) / 100.0).alias("p90"),
+        (F.percentile(c, F.lit(0.99)) / 100.0).alias("p99"),
+    )
+
+
+@query(
     "subquery_above_avg_customers",
     oracle="""
     SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
