@@ -179,6 +179,32 @@ def agg_having_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS metric, ROUND(p_retailprice, 2) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (inverse of pivot): wide metric columns → long
+    (key, metric, value) rows — a narrow map-side explode, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    w = p.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return w.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
     "text_corpus_mix",
     oracle="""
     WITH m AS (
