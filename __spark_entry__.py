@@ -30,6 +30,7 @@ from catme_etl_spark.operators import scalars  # noqa: F401
 from catme_etl_spark.operators import similarity  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401
 from catme_etl_spark.operators import tpch  # noqa: F401
+from catme_etl_spark.operators import tpch2  # noqa: F401
 from catme_etl_spark.operators import udfs  # noqa: F401
 from catme_etl_spark.operators import windows  # noqa: F401
 from catme_etl_spark.streaming import jobs  # noqa: F401
