@@ -28,6 +28,8 @@ from catme_etl_spark.operators import relational  # noqa: F401
 from catme_etl_spark.operators import relational2  # noqa: F401
 from catme_etl_spark.operators import scalars  # noqa: F401
 from catme_etl_spark.operators import similarity  # noqa: F401
+from catme_etl_spark.operators import stats  # noqa: F401
+from catme_etl_spark.operators import timeseries  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401
 from catme_etl_spark.operators import tpch  # noqa: F401
 from catme_etl_spark.operators import tpch2  # noqa: F401

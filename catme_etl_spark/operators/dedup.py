@@ -541,3 +541,89 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         gen, schema="vec_a long, vec_b long, cos_raw double"
     ).select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Transitive closure of the near-dup graph (connected components).
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_simhash_sql_cte()},
+    bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> ({_SIMHASH_BITS} - {_SIM_BAND_BITS} * (b + 1)))
+               & {(1 << _SIM_BAND_BITS) - 1} AS bval
+      FROM sigs, (SELECT unnest(range({_N_SIM_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+    ),
+    near_pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM near_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    walk AS (
+      SELECT doc_id AS d, doc_id AS lab FROM documents
+      UNION
+      SELECT e.t AS d, w.lab FROM walk w JOIN edges e ON e.s = w.d
+    )
+    SELECT d AS doc_id, MIN(lab) AS component FROM walk GROUP BY d
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the simhash near-dup graph (Hamming ≤ 8):
+    each document labeled with the least doc_id reachable through any
+    chain of near-dup pairs — the transitive closure that one-hop
+    canonicalization (``dedup_minhash_canonical``) deliberately skips.
+
+    Iterative min-label propagation: every round each vertex takes the
+    min of its own label and its neighbors'; converges in O(component
+    diameter) rounds. Each round is one distributed join + hash-agg;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1 (the classic iterative-algorithm trap
+    — production jobs use reliable checkpoints or GraphX/GraphFrames'
+    Pregel loop, same algorithm). Convergence is detected by the label
+    sum, which strictly decreases until the fixed point.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+        )
+        .localCheckpoint()  # materialize once; rounds re-read, not re-hash
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("d"), F.col("doc_id").alias("lab")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(20):  # diameter bound; planted dup chains are short
+        nbr = (
+            labels.join(edges, F.col("d") == F.col("s"))
+            .groupBy("t")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(nbr, F.col("d") == F.col("t"), "left")
+            .select(
+                "d",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("d").alias("doc_id"), F.col("lab").alias("component"))

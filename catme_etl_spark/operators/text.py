@@ -317,3 +317,37 @@ def text_token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bpe_ish_tokens"),
     )
+
+
+@query(
+    "text_levenshtein_near_names",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND a.p_size = 15 AND b.p_size = 15
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY part_a, part_b
+    """,
+)
+def text_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching (edit distance ≤ 2) with blocking: the
+    quadratic compare runs only within a block (here p_size), the
+    standard entity-resolution shape — at 100 TB the block key would be
+    a cheap canopy (first token, soundex, length band) so each block's
+    pair count stays bounded, and blocks parallelize independently."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    a = p.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("part_a") < F.col("part_b"))
+        .filter(dist <= 2)
+        .select(
+            "part_a", "part_b", "name_a", "name_b",
+            dist.cast("long").alias("edit_dist"),
+        )
+        .orderBy("part_a", "part_b")
+    )

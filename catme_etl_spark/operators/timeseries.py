@@ -1,0 +1,164 @@
+"""Time-series / hypertable-rollup operators over ``events`` (SURVEY
+§2.10 EXT; driver contract "LLM-data-pipeline" + event analytics):
+dense gap-filled rollups, OHLC candles (arg-min/arg-max aggregates),
+and forward-fill interpolation.
+
+The reference (`waldfalke/catme-etl`) has no time semantics at all
+(SURVEY §2.8); this surface is the batch analog of the hypertable
+rollups a metrics store provides.
+
+Cross-engine identity: buckets travel as integer epoch quantities
+(``floor(epoch/600)`` bucket index, ``win_start_us`` micros) — never
+formatted timestamps, which are the classic tz hash-flake.
+
+Scale notes:
+- the spine (dense bucket range) is generated from a one-row min/max
+  aggregate — O(range) rows, independent of event count, and joins
+  against the *aggregated* series (already one row per bucket), never
+  against raw events;
+- OHLC open/close use ``min_by/max_by(value, event_id)`` — a single
+  hash-agg pass with map-side partials; ``event_id`` is unique and
+  time-ordered, so the pick is deterministic in any engine (a raw
+  ``ts`` key could tie);
+- forward-fill is a ``last(ignorenulls)`` running window; here the
+  series is global (one sort partition) — in production partition the
+  window by series key so each executor sorts only its own series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_BUCKET_S = 600  # 10-minute buckets
+
+
+def _bucket_idx(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    """(bucket index i, value, event_id) for one event type; the type
+    filter pushes into the parquet scan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == event_type)
+    return e.select(
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+        "value",
+        "event_id",
+    )
+
+
+def _spine(counts: DataFrame) -> DataFrame:
+    """Dense bucket-index spine [min(i), max(i)] from a one-row agg."""
+    bounds = counts.agg(F.min("i").alias("lo"), F.max("i").alias("hi"))
+    return bounds.select(F.explode(F.sequence("lo", "hi")).alias("i"))
+
+
+@query(
+    "ts_gapfill_10min_purchase",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i
+      FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (SELECT i, COUNT(*) AS n FROM b GROUP BY i),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(i) FROM b),
+                                    (SELECT MAX(i) FROM b))) AS i
+    )
+    SELECT i * {_BUCKET_S} * 1000000 AS win_start_us,
+           COALESCE(n, 0) AS n_events
+    FROM spine LEFT JOIN agg USING (i)
+    """,
+)
+def ts_gapfill_10min_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 10-minute purchase counts: every bucket in the observed
+    range appears, empty ones as 0 — the rollup shape dashboards and
+    downstream joins need (a sparse series silently drops gaps)."""
+    ev = _bucket_idx(spark, sf_dir, "purchase")
+    counts = ev.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        _spine(counts)
+        .join(counts, "i", "left")
+        .select(
+            (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "ts_ohlc_10min_by_type",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT)
+             * {_BUCKET_S} * 1000000 AS win_start_us,
+           event_type,
+           ROUND(arg_min(value, event_id), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, event_id), 4) AS close,
+           COUNT(*) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_10min_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles per (10-min bucket, event type). open/close are
+    arg-min/arg-max on the unique, time-ordered event_id — one hash-agg
+    pass, no window sort, deterministic under ties (unlike keying on
+    ``ts``)."""
+    e = load_table(spark, sf_dir, "events")
+    i = F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long")
+    return (
+        e.groupBy(i.alias("i"), "event_type")
+        .agg(
+            F.round(F.min_by("value", "event_id"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "event_id"), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+@query(
+    "ts_forward_fill_10min_purchase",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i, value, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    closes AS (SELECT i, arg_max(value, event_id) AS val FROM b GROUP BY i),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(i) FROM b),
+                                    (SELECT MAX(i) FROM b))) AS i
+    ),
+    sparse AS (SELECT spine.i, val FROM spine LEFT JOIN closes USING (i))
+    SELECT i * {_BUCKET_S} * 1000000 AS win_start_us,
+           ROUND(last_value(val IGNORE NULLS) OVER (
+             ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS close_ffill
+    FROM sparse
+    """,
+)
+def ts_forward_fill_10min_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the dense spine: each empty
+    bucket inherits the most recent close. The running
+    ``last(ignorenulls)`` window is the distributed LOCF idiom; the
+    first spine bucket holds data by construction, so no leading null."""
+    ev = _bucket_idx(spark, sf_dir, "purchase")
+    closes = ev.groupBy("i").agg(F.max_by("value", "event_id").alias("val"))
+    sparse = _spine(closes).join(closes, "i", "left")
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sparse.select(
+        (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
+        F.round(F.last("val", ignorenulls=True).over(w), 4).alias("close_ffill"),
+    )
