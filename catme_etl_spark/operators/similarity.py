@@ -234,3 +234,141 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id", F.round("cos_raw", 4).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (deterministic, oracle-checkable).
+# ---------------------------------------------------------------------------
+
+_SRP_PLANES = 16
+_SRP_BANDS = 4
+_SRP_BAND_BITS = _SRP_PLANES // _SRP_BANDS  # 4
+
+
+def _srp_weight(p: int, d: int) -> float:
+    """±1 hyperplane weight derived from md5(f"{p}_{d}") — the same
+    digest DuckDB computes, so both engines build identical planes."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) & 1 else -1.0
+
+
+def _srp_proj_sql(p: int) -> str:
+    """DuckDB: sequential Σ emb[d]·w(p,d) — same fold order as Spark's
+    unrolled chain, so the sign bit can't disagree."""
+    w = (
+        f"(CASE WHEN (strpos('0123456789abcdef', "
+        f"substring(md5('{p}_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+    return (
+        "list_sum(list_transform(range(len(embedding)), "
+        f"d -> CAST(embedding[d+1] AS DOUBLE) * {w}))"
+    )
+
+
+_SRP_KEY_SQL = " + ".join(
+    f"(CASE WHEN {_srp_proj_sql(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_SRP_PLANES)
+)
+
+
+@query(
+    "sim_srp_lsh_pairs",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {_SRP_KEY_SQL} AS key
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b,
+             (key >> ({_SRP_BAND_BITS} * b)) & {(1 << _SRP_BAND_BITS) - 1} AS bval
+      FROM proj, (SELECT unnest(range({_SRP_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bval = b.bval AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND({sql_cosine('ea.embedding', 'eb.embedding')}, 4) AS cos
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = vec_a
+    JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE ROUND({sql_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    """,
+)
+def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via sign-random-projection LSH, verified by exact
+    cosine — the pure-DataFrame ANN scale path (vs. the seeded
+    pyspark.ml variant `sim_ml_lsh_pairs`, which is rows-only because
+    its planes are library-internal randoms).
+
+    The {p}×{d} hyperplane grid derives from md5, so DuckDB rebuilds
+    the exact same planes and the whole pipeline — signature, banding,
+    candidate join, verification — is hash-checked end to end.
+
+    Scale shape: one narrow scan computes the 16-bit signature in
+    codegen (unrolled FMA chains, no Python); banding shuffles
+    O(vectors × 4) tiny keys; the candidate join touches only same-band
+    buckets (16 values per 4-bit band → dense buckets at corpus scale
+    would add more planes/bands, same plan); exact cosine runs on
+    candidates only (Arrow-batched numpy), never all pairs.
+
+    Plan-construction note: the unrolled signature is generated as ONE
+    SQL string handed to ``F.expr`` — building it from Column operators
+    would issue thousands of py4j round-trips (measured 30+ s of pure
+    driver time before any execution).
+    """
+    from ..functions.vector import dim_of, make_cosine_pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = dim_of(emb)
+    key_sql = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(
+            f"CAST(element_at(embedding, {d + 1}) AS DOUBLE) * "
+            f"({_srp_weight(p, d)})"
+            for d in range(dim)
+        )
+        + f") >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_SRP_PLANES)
+    )
+    sig = emb.select("vec_id", F.expr(key_sql).alias("key"))
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_BANDS - 1))).alias("b"),
+        F.col("key").alias("key"),
+    ).select(
+        "vec_id",
+        "b",
+        F.expr(
+            f"shiftright(key, {_SRP_BAND_BITS} * b) & {(1 << _SRP_BAND_BITS) - 1}"
+        ).alias("bval"),
+    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), "b", "bval")
+    bb = banded.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("b").alias("b2"),
+        F.col("bval").alias("bval2"),
+    )
+    cand = (
+        a.join(
+            bb,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bval") == F.col("bval2"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos_udf = make_cosine_pandas_udf()
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_raw", cos_udf("emb_a", "emb_b"))
+        .filter(F.round("cos_raw", 6) >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+    )

@@ -351,3 +351,64 @@ def text_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (
+      SELECT t, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, t,
+             ROUND(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN df USING (t), n
+    )
+    SELECT doc_id, t AS term, tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, t
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic IR relevance
+    weight, entirely in built-ins: one tokenize scan feeds both the
+    term-frequency agg and the document-frequency agg; N is a one-row
+    aggregate broadcast into the scorer; per-doc top-k is a window
+    row_number (ties broken by term, so ordering is deterministic even
+    when two terms share a (tf, df) pair and therefore an identical
+    score)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "t")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "tfidf")
+    )
