@@ -22,6 +22,7 @@ from catme_etl_spark.operators import dedup  # noqa: F401
 from catme_etl_spark.operators import events  # noqa: F401
 from catme_etl_spark.operators import multimodal  # noqa: F401
 from catme_etl_spark.operators import pipeline  # noqa: F401
+from catme_etl_spark.operators import quality  # noqa: F401
 from catme_etl_spark.operators import rangejoin  # noqa: F401
 from catme_etl_spark.operators import sampling  # noqa: F401
 from catme_etl_spark.operators import relational  # noqa: F401

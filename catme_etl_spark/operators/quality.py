@@ -1,0 +1,162 @@
+"""Data-quality operators (SURVEY §2.10 EXT; pipeline ops a training-
+data engine runs before anything else): referential-integrity audit
+and per-slice profiling.
+
+The reference's only quality machinery is the 4-stage contract checks
+(`unified_code.py:257-269,282-293` — presence assertions on injected
+flags); these operators are the relational generalization: every check
+is a declarative count of violations, so the whole audit compiles to
+broadcast anti-joins and conditional aggregates — one scan per table,
+no row ever leaves the executors.
+
+At 100 TB: each FK check is a shuffle-free broadcast anti-join when
+the dimension fits (all do here); fact-fact checks would shuffle on
+the key once. Violation counts, not violating rows, cross to the
+driver — quarantining actual bad rows is the same plan with the
+filter's complement written to a side output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _fk_violations(
+    fact: DataFrame, key: str, dim: DataFrame, ref: str, label: str
+) -> DataFrame:
+    """COUNT of fact rows whose key has no match in dim (NULL-safe:
+    null keys are orphans too, matching the SQL LEFT JOIN ... IS NULL
+    idiom)."""
+    return (
+        fact.select(F.col(key))
+        .join(F.broadcast(dim.select(F.col(ref))), F.col(key) == F.col(ref), "left")
+        .filter(F.col(ref).isNull())
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit(label).alias("check_name"), "violations")
+    )
+
+
+def _domain_violations(df: DataFrame, bad: Column, label: str) -> DataFrame:
+    return (
+        df.agg(F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("violations"))
+        .select(F.lit(label).alias("check_name"), "violations")
+    )
+
+
+@query(
+    "quality_fk_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS check_name,
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS violations
+    UNION ALL SELECT 'lineitem.l_orderkey->orders',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+    UNION ALL SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+              ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+    UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+              ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+    UNION ALL SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+              ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    UNION ALL SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+              ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    UNION ALL SELECT 'nation.n_regionkey->region',
+           (SELECT COUNT(*) FROM nation n LEFT JOIN region r
+              ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+    UNION ALL SELECT 'lineitem.l_discount in [0,1]',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL SELECT 'lineitem.l_quantity > 0',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL SELECT 'documents.text not null',
+           (SELECT COUNT(*) FROM documents WHERE text IS NULL)
+    UNION ALL SELECT 'documents.n_chars = length(text)',
+           (SELECT COUNT(*) FROM documents WHERE n_chars <> LENGTH(text))
+    ORDER BY check_name
+    """,
+)
+def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + domain audit across the star schema:
+    one row per check, value = violation count (0 = constraint holds).
+    The audit is the gate a production pipeline runs on every new
+    partition before publishing it downstream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    d = load_table(spark, sf_dir, "documents")
+    checks = [
+        _fk_violations(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        _fk_violations(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        _fk_violations(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"),
+        _fk_violations(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier"),
+        _fk_violations(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"),
+        _fk_violations(s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation"),
+        _fk_violations(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region"),
+        _domain_violations(
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "lineitem.l_discount in [0,1]",
+        ),
+        _domain_violations(li, F.col("l_quantity") <= 0, "lineitem.l_quantity > 0"),
+        _domain_violations(d, F.col("text").isNull(), "documents.text not null"),
+        _domain_violations(
+            d,
+            F.col("n_chars") != F.length("text"),
+            "documents.n_chars = length(text)",
+        ),
+    ]
+    out = checks[0]
+    for extra in checks[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("check_name")
+
+
+@query(
+    "quality_profile_documents",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+           CAST(SUM(CASE WHEN n_chars < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tiny
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (counts, source diversity, length
+    spread, tiny-doc tally) — the summary a curation run reads before
+    choosing filter thresholds. One hash-agg; avg is exact integer
+    sum ÷ count so the hash never flakes."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_chars"),
+            F.sum(F.when(F.col("n_chars") < 20, 1).otherwise(0))
+            .cast("long")
+            .alias("n_tiny"),
+        )
+        .orderBy("lang")
+    )
