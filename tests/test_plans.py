@@ -61,3 +61,38 @@ def test_q1_has_single_shuffle(spark, sf_dir):
     after one hash shuffle); the sort for ORDER BY may add one more."""
     q = e.queries()["q1_pricing_summary"](spark, sf_dir)
     assert count_shuffles(q) <= 2
+
+
+def test_tpch2_q7_pushes_nation_disjunction_and_broadcasts(spark, sf_dir):
+    """Catalyst must infer the per-side nation filters from the OR pair
+    predicate and push them into both broadcast nation scans, and the
+    ship-date range must reach the lineitem scan."""
+    q = e.queries()["tpch_q7_volume_shipping"](spark, sf_dir)
+    assert_broadcast_join(q, min_count=2)
+    assert_pushed_filters(
+        q,
+        "GreaterThanOrEqual(l_shipdate",
+        "EqualTo(n_name,NATION_1)",
+    )
+
+
+def test_tpch2_q18_having_rollup_joins_broadcast(spark, sf_dir):
+    q = e.queries()["tpch_q18_large_volume_customers"](spark, sf_dir)
+    assert_broadcast_join(q, min_count=1)
+    # the qty roll-up reads only the two columns it needs
+    assert_columns_pruned(q, "l_extendedprice", "l_discount", "l_shipdate")
+
+
+def test_gapfill_spine_join_stays_small(spark, sf_dir):
+    """Gap-fill joins the spine against the AGGREGATED series; the raw
+    events scan must read only ts (plus the pushed type filter) — a
+    plan that drags value/props into the count would be reading ~3x
+    the bytes at 100 TB."""
+    q = e.queries()["ts_gapfill_10min_purchase"](spark, sf_dir)
+    assert_pushed_filters(q, "EqualTo(event_type,purchase)")
+    assert_columns_pruned(q, "props", "user_id", "value")
+
+
+def test_quality_audit_broadcasts_every_dim(spark, sf_dir):
+    q = e.queries()["quality_fk_audit"](spark, sf_dir)
+    assert_broadcast_join(q, min_count=7)
