@@ -190,9 +190,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_SEEDS // _BAND_ROWS)
         ]
     )
+    # persist: both sides of the candidate self-join read `bands`;
+    # without it the whole shingle→md5→32-min signature pipeline runs
+    # twice (measured: the band join was 3.5s of the 6s total at sf0.1,
+    # ~1.5s of it the duplicated signature pass)
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bkey")
-    )
+    ).persist()
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("bkey_a")
     )
@@ -441,6 +445,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded simhash candidates (4×15-bit; Hamming ≤ 3 per band is
     pigeonhole-guaranteed a band match) verified by exact Hamming
     distance on the two int64 signatures."""
+    # persist: the candidate self-join reads `banded` twice; without it
+    # the 60-sum signature aggregation runs once per side
     sigs = _simhash_signatures(spark, sf_dir)
     banded = sigs.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_N_SIM_BANDS - 1)))
@@ -452,7 +458,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"shiftright(simhash, {_SIMHASH_BITS} - {_SIM_BAND_BITS} * (b + 1))"
             f" & {(1 << _SIM_BAND_BITS) - 1}"
         ),
-    )
+    ).persist()
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "b", "bval"
     )

@@ -334,7 +334,9 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f") >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(_SRP_PLANES)
     )
-    sig = emb.select("vec_id", F.expr(key_sql).alias("key"))
+    # persist: the candidate self-join reads the signature twice; the
+    # 16×dim unrolled projection must not run once per side
+    sig = emb.select("vec_id", F.expr(key_sql).alias("key")).persist()
     banded = sig.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(_SRP_BANDS - 1))).alias("b"),
