@@ -240,3 +240,44 @@ def text_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@query(
+    "join_null_safe_segment_counts",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n_low
+      FROM customer WHERE c_acctbal < 1000 GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n_high
+      FROM customer WHERE c_acctbal >= 1000 GROUP BY 1
+    )
+    SELECT a.seg AS seg, n_low, n_high
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    ORDER BY seg NULLS FIRST
+    """,
+)
+def join_null_safe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    segment buckets (here manufactured via nullif) match each other,
+    where plain `=` would silently drop them — the semantics gap that
+    corrupts outer-join-then-group pipelines. Plans exactly like an
+    equi-join (hashable key), so the scale story is unchanged."""
+    c = _t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    a = (
+        c.filter(F.col("c_acctbal") < 1000)
+        .groupBy(seg.alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n_low"))
+    )
+    b = (
+        c.filter(F.col("c_acctbal") >= 1000)
+        .groupBy(seg.alias("seg_b"))
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    return (
+        a.join(b, F.col("seg").eqNullSafe(F.col("seg_b")))
+        .select("seg", "n_low", "n_high")
+        .orderBy(F.col("seg").asc_nulls_first())
+    )
