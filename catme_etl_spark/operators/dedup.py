@@ -272,7 +272,12 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     would iterate this to a fixed point (connected components); planted
     duplicates come in pairs, so one hop converges here."""
     d = load_table(spark, sf_dir, "documents")
-    strong = _minhash_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    # persist: both directions of the symmetric edge union read `strong`
+    # — without it the entire minhash pipeline runs twice (measured 12
+    # shuffles in the plan vs 8 after)
+    strong = (
+        _minhash_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9).persist()
+    )
     e = strong.select(
         F.col("doc_a").alias("d"), F.col("doc_b").alias("nb")
     ).unionByName(strong.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("nb")))
