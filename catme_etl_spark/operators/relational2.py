@@ -281,3 +281,32 @@ def join_null_safe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("seg", "n_low", "n_high")
         .orderBy(F.col("seg").asc_nulls_first())
     )
+
+
+@query(
+    "agg_bool_count_if_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 0)        AS all_positive,
+           bool_or(o_orderstatus = 'F')      AS any_finished,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_bool_count_if_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / conditional aggregates (ALL / ANY / COUNT IF) — the
+    declarative constraint-check shape; one hash-agg with boolean
+    partial states (three booleans+one long per group cross the
+    shuffle, nothing else)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )
