@@ -310,3 +310,62 @@ def agg_bool_count_if_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scd2_priority_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(LEAD(o_orderdate) OVER v, '%Y-%m-%d'), '9999-12-31')
+               AS valid_to,
+           CAST(LEAD(o_orderdate) OVER v IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    WINDOW v AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an event log: per
+    customer, collapse the order stream into validity intervals of its
+    priority attribute (row survives only when the value changes; end
+    date = next change's start; open interval = current). Two window
+    passes over ONE shuffle — both windows partition on the same key,
+    so Spark reuses the partitioning; this is the standard
+    dimension-history build a warehouse runs incrementally at scale.
+    Ties are impossible: (o_orderdate, o_orderkey) is unique per row.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority"))
+        )
+        .drop("prev_p")
+    )
+    v = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(v)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+    )
