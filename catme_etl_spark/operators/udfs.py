@@ -170,3 +170,114 @@ def pivot_type_counts_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3b: co-grouped map (two tables' groups side by side in pandas).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cogroup_customer_order_lineitem",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+             ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_spent
+      FROM orders GROUP BY o_custkey
+    ),
+    l AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    )
+    SELECT o.custkey, n_orders, total_spent, COALESCE(n_lines, 0) AS n_lines
+    FROM o LEFT JOIN l USING (custkey)
+    """,
+)
+def cogroup_customer_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup().applyInPandas``: both tables shuffle once on the key
+    and each task receives the customer's orders AND its lineitems as
+    two aligned pandas frames — the two-input custom-aggregation shape
+    (a Python FULL OUTER merge-combine) that a join + UDAF can't express
+    in one pass. Integer-cents sum keeps the pandas float sum exact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.round(F.col("o_totalprice") * 100, 0)).cast("long").alias("cents"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+    def combine(key, orders_pdf, lines_pdf):
+        custkey = key[0]
+        return pd.DataFrame(
+            {
+                "custkey": [custkey],
+                "n_orders": [len(orders_pdf)],
+                "total_spent": [round(orders_pdf["cents"].sum() / 100.0, 2)],
+                "n_lines": [len(lines_pdf)],
+            }
+        )
+
+    return (
+        o.groupBy("custkey")
+        .cogroup(li.groupBy("custkey"))
+        .applyInPandas(
+            combine,
+            schema="custkey long, n_orders long, total_spent double, n_lines long",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3c: Python UDTF (one row in, many rows out, arbitrary logic).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(pos AS INTEGER) - 1 AS sent_idx,
+           trim(s) AS sentence
+    FROM (
+      SELECT doc_id, unnest(string_split(text, '.')) AS s,
+             generate_subscripts(string_split(text, '.'), 1) AS pos
+      FROM documents
+    )
+    WHERE trim(s) <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): each document row expands to one
+    row per sentence with its index — the lateral-view shape with
+    arbitrary Python inside. Built-ins could express this split (and
+    would be faster); the UDTF is the mechanism demo for expansions
+    that genuinely need Python (parsers, tokenizers, decoders). Runs
+    narrow: no shuffle, expansion happens map-side."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, sent_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            idx = 0
+            for part in (text or "").split("."):
+                s = part.strip()
+                if s:
+                    yield doc_id, idx, s
+                    idx += 1
+
+    d = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT s.* FROM docs_for_udtf, "
+        "LATERAL sentence_split(doc_id, text) s"
+    )
