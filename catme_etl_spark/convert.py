@@ -63,10 +63,21 @@ def convert(
     if test_mode:
         df = df.limit(TEST_MODE_CHUNKS * chunk_size)
 
-    # limit/pipeline may reorder nothing, but force the row count once:
-    # it's the "processed_rows" the reference checkpoints per chunk
-    rows = df.count()
-    write_json(df, output_path, mode=output_mode, order_by=order_by)
+    # "processed_rows" (the quantity the reference checkpoints per
+    # chunk, `unified_code.py:460`) rides the write as an observation —
+    # a separate df.count() would be a second full pass over the input.
+    # The sort happens BELOW the metrics node: a global orderBy runs a
+    # range-partitioner sampling pass over its child, and an
+    # observation under the sort would be double-counted by it.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if order_by:
+        df = df.orderBy(*order_by)
+    obs = Observation("convert")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    write_json(df, output_path, mode=output_mode, order_by=None)
+    rows = int(obs.get["rows"])
     stats = {}
     if array_parity:
         stats = merged_json_array(df, output_path + ".array.json", order_by=order_by)
