@@ -135,10 +135,10 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding)                                        AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4)                AS e0,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0          AS e0,
            ROUND(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sumsq,
-           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS emax,
+           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS emax,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
     FROM embeddings
     """,

@@ -144,7 +144,7 @@ def window_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            COUNT(*) OVER (PARTITION BY user_id
-                          ORDER BY CAST(epoch(ts) AS BIGINT)
+                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
     FROM events
     """,
@@ -153,7 +153,10 @@ def window_range_frame_events_per_hour(spark: SparkSession, sf_dir: str) -> Data
     """RANGE frame over event-time seconds: events per user in the
     trailing hour. Numeric range frames need a numeric sort key, so the
     timestamp is projected to epoch seconds (identical trick works on
-    any engine)."""
+    any engine). Spark's ``unix_timestamp`` TRUNCATES sub-second parts;
+    the oracle must ``floor(epoch(ts))`` to match — DuckDB's
+    double→BIGINT cast rounds, which flips frame boundaries for events
+    with fractional seconds ≥ .5 (surfaced at sf0.1, not sf0.01)."""
     events = _t(spark, sf_dir, "events")
     epoch = F.unix_timestamp("ts").alias("epoch_s")
     w = (
