@@ -62,6 +62,7 @@ from .registry import query
     """,
 )
 def dedup_exact_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (F8): group on md5(text) — the 16-byte digest shuffles, the document text never does; min(doc_id) is the canonical survivor."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.groupBy(F.md5("text").alias("content_hash"))
@@ -246,6 +247,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (F9): banded 32-hash signatures generate candidates, exact shingle-Jaccard verifies — only same-band docs are ever compared."""
     p = _minhash_pairs(spark, sf_dir)
     return p.filter(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
@@ -416,6 +418,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document: one hash-agg of ±1 bit votes over the token multiset; near-dups differ in few bits."""
     return _simhash_signatures(spark, sf_dir)
 
 

@@ -36,6 +36,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (C5): count + exact-cents value sum per (window, type); window identity crosses engines as integer epoch micros."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")

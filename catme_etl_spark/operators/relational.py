@@ -51,6 +51,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship slice (SURVEY §7.2): lineitem⋈orders⋈customer⋈nation with a ship-date filter, revenue by nation, top 10 — scan, filter, 3 joins, agg, sort, limit in one declarative plan."""
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -106,6 +107,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide aggregate (8 measures × 4 groups) over a date-filtered scan; exact integer-cents arithmetic end to end."""
     li = _t(spark, sf_dir, "lineitem")
     e, d, t = cents("l_extendedprice"), pct100("l_discount"), pct100("l_tax")
     n = F.count(F.lit(1))
@@ -146,6 +148,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join (J2) + count: zero-order customers kept via the null-key count."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -177,6 +180,7 @@ def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (J2) over disjoint key subsets: both unmatched sides survive with NULLs."""
     cust = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -208,6 +212,7 @@ def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def join_semi_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (J3): customers having at least one big order — EXISTS with early-out, emits each left row once."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return customer.join(
@@ -224,6 +229,7 @@ def join_semi_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> Dat
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J3): customers with no orders — the distributed NOT EXISTS, no row duplication."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return customer.join(
@@ -245,6 +251,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     """,
 )
 def join_cross_region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (J6) of two tiny dimension projections — the bounded-input grid shape (deliberately never fact×fact)."""
     region = _t(spark, sf_dir, "region")
     segs = (
         _t(spark, sf_dir, "customer")
@@ -284,6 +291,7 @@ _BANDS = [  # p_retailprice spans [900, 1000) in the synthetic data
     """,
 )
 def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join (J5) against a tiny bands table — BNL over a broadcast side; the banded equi-join variant for big inputs lives in rangejoin.py."""
     part = _t(spark, sf_dir, "part")
     bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
     return (
@@ -321,6 +329,7 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table aggregate without GROUP BY (A1/A2): one partial state per task, single final combine."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -339,6 +348,7 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only check (no oracle entry; SURVEY §2.4 A1 approx variant).
 @query("agg_approx_count_distinct")
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch — mergeable map-side, O(KB) state per group vs a full shuffle of keys for the exact count (rows-only: sketch estimates are engine-specific)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
@@ -364,6 +374,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (A3): per-nation, per-region, and grand-total rows from one scan."""
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
@@ -394,6 +405,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) (A3): all 4 grouping sets in one pass; NULL marks the rolled-up dimensions."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
@@ -429,6 +441,7 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_conditional_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (A4): sum/count under CASE predicates in one pass — the pivot-free way to split measures by flag."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         money_from_cents(
@@ -458,6 +471,7 @@ def agg_conditional_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation (A5): per-nation set of market segments, emitted sorted+joined so the hash is order-stable."""
     customer = _t(spark, sf_dir, "customer")
     return customer.groupBy("c_nationkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments")
@@ -480,6 +494,7 @@ def agg_collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (O3): orderBy+limit plans as TakeOrderedAndProject — per-partition heaps, no full sort."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -502,6 +517,7 @@ def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union_distinct_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT: concatenate then dedup — one shuffle on the key."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
@@ -516,6 +532,7 @@ def set_union_distinct_nation_keys(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def set_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): keys present on both sides."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -530,6 +547,7 @@ def set_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, distinct semantics) on key projections."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)  # EXCEPT (set semantics); exceptAll would keep multiplicity
@@ -564,4 +582,5 @@ def set_except_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def distinct_flag_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection = group-by-all-columns; hash-shuffle on the pair."""
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

@@ -43,6 +43,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (F1): case, trim, substring, concat_ws, regexp extract/replace, split, length, LIKE."""
     c = _t(spark, sf_dir, "customer")
     return c.filter(F.col("c_name").like("Customer#%")).select(
         "c_custkey",
@@ -77,6 +78,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions (F2): trunc, datediff, year/month/dow, unix epoch round-trips."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     d = F.col("o_orderdate")
     return o.select(
@@ -114,6 +116,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions (F3): round/abs/floor/ceil/pow/sqrt/log on money and quantity grids."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     return li.select(
         "l_orderkey",
@@ -176,6 +179,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (F4): array → (pos, value) rows, the lateral-view expansion."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
         "vec_id",
@@ -219,6 +223,7 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_json_get_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / json path extraction (F5) from the events.props JSON string."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
     return ev.select(
         "event_id",
@@ -240,6 +245,7 @@ def scalar_json_get_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null functions (F6): when/otherwise, coalesce, nullif, isnull over order attributes."""
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",

@@ -135,6 +135,7 @@ _COS_AB = sql_cosine("a.embedding", "b.embedding")
     """,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors (F10 baseline): blocked A@B.T per Arrow batch against the broadcast corpus; ties broken by neighbor id."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bc = _broadcast_matrix(spark, emb)
     out = emb.mapInPandas(

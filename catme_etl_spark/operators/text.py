@@ -34,6 +34,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (F11): counts, distinct counts, and length checks from one narrow tokenize pass."""
     d = _docs(spark, sf_dir)
     toks = tokens("text")
     return d.select(
@@ -206,6 +207,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: tokenize → explode → count, the canonical word-count shuffle."""
     d = _docs(spark, sf_dir)
     return (
         d.select(F.explode(tokens("text")).alias("token"))
@@ -231,6 +233,7 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top bigrams: adjacent-token pairs via array zip, exploded and counted — one shuffle on the bigram."""
     d = _docs(spark, sf_dir)
     return (
         d.select(F.explode(word_shingles("text", k=2)).alias("bigram"))

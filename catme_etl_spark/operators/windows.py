@@ -34,6 +34,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number over a fully tie-broken ordering, filtered to rn<=3."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -56,6 +57,7 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank over a per-group ordering — gap vs no-gap tie semantics."""
     customer = _t(spark, sf_dir, "customer")
     w_ties = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
     w_uniq = Window.partitionBy("c_nationkey").orderBy(
@@ -83,6 +85,7 @@ def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (unboundedPreceding→current) per customer on the integer-cents grid — exact cumulative sums at any parallelism."""
     orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -106,6 +109,7 @@ def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataF
     """,
 )
 def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time: previous/next values without self-joins."""
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
@@ -126,6 +130,7 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (rowsBetween frame) per user, deterministically ordered by (ts, event_id)."""
     events = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -210,6 +215,7 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with explicit frames — frame-end semantics (current row vs unbounded following) made explicit."""
     orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
