@@ -158,6 +158,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       universal hash ``h_s = a + s·b`` (a = 56-bit, b = 52-bit hex
       slices, so ``a + 31·b < 2^61`` — int64-safe in both engines,
       and cheap integer math replaces 32 digest calls per shingle).
+      (A distinct-shingle dictionary + broadcast join back — the
+      simhash module's trick — was measured here too: warm-equal but
+      ~1.4s extra first-run broadcast cost, so the narrow per-row form
+      stays.)
     - the signature is 32 positional ``min`` aggregates in a single
       ``groupBy(doc_id)`` — map-side partial aggregation collapses the
       shuffle to one 32-long row per doc (the naive explode-seeds-
@@ -384,12 +388,18 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     popularity-weighted ±1 vote of hash-bit k across tokens)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
-    # persist = optimizer barrier: CollapseProject would otherwise fold
-    # the md5+conv chain into all 60 aggregate expressions (60 digests
-    # per token, measured 2× slower); materialized h is hashed once
-    hashed = tok.select(
-        "doc_id", hex_prefix_long(F.md5("t"), 15).alias("h")
-    ).persist()
+    # hash the dictionary, not the stream: md5 runs once per DISTINCT
+    # token and broadcast-joins back (narrow on the token stream) —
+    # also a hard optimizer barrier, so CollapseProject can't fold the
+    # digest chain into all 60 aggregate expressions (the original
+    # failure mode, measured 2× slower; then fixed with persist; the
+    # dictionary join removes ~all of the digest work instead)
+    vocab = (
+        tok.select("t")
+        .distinct()
+        .select("t", hex_prefix_long(F.md5("t"), 15).alias("h"))
+    )
+    hashed = tok.join(F.broadcast(vocab), "t").select("doc_id", "h")
     weights = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
