@@ -312,3 +312,37 @@ def stream_session_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("w.start")).alias("sess_start_us"),
         "n_events",
     )
+
+
+@query(
+    "stream_sliding_10min_5min",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k * 300) * 1000000
+               AS win_start_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events, (SELECT unnest(range(2)) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation, streamed (width 10 min,
+    slide 5 min): each event lands in width/slide = 2 window instances,
+    expanded map-side before the stateful aggregation — the state store
+    keys on (window, -) exactly like tumbling, just 2× as many keys.
+    Complete mode → equals the batch sliding aggregation
+    (`events_sliding_10min_5min`) bit-for-bit."""
+    e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    # COUNT(DISTINCT) is unsupported in streaming aggregations —
+    # collect_set carries the distinct users in state (bounded: users
+    # per 10-min window), counted by size() at emit
+    agg = e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.collect_set("user_id").alias("_users"),
+    )
+    sunk = _run_to_memory(agg, "complete")
+    return sunk.select(
+        F.unix_micros(F.col("w.start")).alias("win_start_us"),
+        "n_events",
+        F.size("_users").cast("long").alias("n_users"),
+    )
