@@ -1,0 +1,90 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API):
+``sheetdir`` — a directory of per-sheet CSV files exposed as ONE
+DataFrame with a ``_sheet`` column, one input partition per sheet.
+
+This is the Spark-native shape of the reference's workbook model: a
+file is a collection of named sheets iterated sheet-by-sheet
+(`unified_code.py:182-191,426`), and every sheet's chunks are
+processed independently (`unified_code.py:435-453`). Here each sheet
+IS an ``InputPartition``, so Spark schedules sheets exactly like the
+reference's process pool scheduled chunk tasks — except retries,
+locality, and result collection come from the engine.
+
+The same class is the template for an Excel source when an xlsx
+engine (openpyxl) is present: replace the csv module with
+``openpyxl.load_workbook(read_only=True)`` per partition — partition
+planning and scheduling are identical. (This container has no xlsx
+engine, so the CSV-sheet form keeps the path fully tested;
+``files.read_excel_many`` covers the pandas-bridge variant.)
+
+Scale notes: partition planning reads only directory listings and one
+header line; actual rows are parsed executor-side per partition. A
+giant single sheet should be split upstream (or use the native CSV
+reader, which splits by byte ranges) — the Python DataSource API
+v1 deliberately trades raw speed for arbitrary-source flexibility, so
+it is the right tool for *format* gaps, not a replacement for native
+scans.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _SheetPartition(InputPartition):
+    def __init__(self, path: str, sheet: str):
+        self.path = path
+        self.sheet = sheet
+
+
+class _SheetDirReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema_names = [f.name for f in schema.fields]
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("sheetdir: pass the directory via .load(path)")
+
+    def partitions(self):
+        files = sorted(glob.glob(os.path.join(self.dir, "*.csv")))
+        if not files:
+            raise ValueError(f"sheetdir: no *.csv in {self.dir!r}")
+        return [
+            _SheetPartition(p, os.path.splitext(os.path.basename(p))[0])
+            for p in files
+        ]
+
+    def read(self, partition: _SheetPartition):
+        data_cols = [c for c in self.schema_names if c != "_sheet"]
+        with open(partition.path, newline="") as f:
+            rdr = csv.DictReader(f)
+            for rec in rdr:
+                yield tuple(rec.get(c) for c in data_cols) + (partition.sheet,)
+
+
+class SheetDirDataSource(DataSource):
+    """``spark.read.format("sheetdir").load(dir)`` after registration
+    via ``spark.dataSource.register(SheetDirDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sheetdir"
+
+    def schema(self) -> str:
+        # all-string columns from the first sheet's header + _sheet;
+        # callers cast downstream (one explicit schema per source kills
+        # the reference's per-chunk re-inference drift, SURVEY §1.2)
+        path = self.options.get("path")
+        files = sorted(glob.glob(os.path.join(path, "*.csv"))) if path else []
+        if not files:
+            raise ValueError(f"sheetdir: no *.csv in {path!r}")
+        with open(files[0], newline="") as f:
+            header = next(csv.reader(f))
+        cols = ", ".join(f"`{c}` string" for c in header)
+        return f"{cols}, `_sheet` string"
+
+    def reader(self, schema) -> _SheetDirReader:
+        return _SheetDirReader(schema, self.options)
