@@ -259,3 +259,39 @@ def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.isnull("c_acctbal").alias("bal_is_null"),
     )
+
+
+@query(
+    "scalar_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS max_k,
+           CAST(COUNT(*) FILTER (json_extract_string(props, '$.k') IS NOT NULL)
+                AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT column (Spark 4, F5 modernized):
+    ``parse_json`` builds a binary variant once per row and
+    ``variant_get`` extracts typed paths without a fixed schema — the
+    open-schema alternative to ``from_json(schema)`` when event
+    payloads drift. Parsing happens map-side in one scan; the shuffle
+    carries only the extracted int."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
