@@ -168,3 +168,100 @@ def events_type_hourly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("share"),
     )
+
+
+@query(
+    "events_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-click): each stage is a per-user MIN over the
+    time-filtered join against the previous stage's anchor — three
+    hash-aggs and two same-key joins, all partitioned by user_id so
+    one partitioning serves every stage. The classic product-analytics
+    query a 100 TB event store answers daily."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+@query(
+    "events_weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_w,
+             CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_w AS w_off
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_w, w_off, COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_w, w_off
+    ORDER BY cohort_w, w_off
+    """,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users keyed by first-activity week,
+    counted per week-offset of later activity — the retention matrix.
+    One shuffle computes cohorts; the activity join is same-key
+    (user_id) so it reuses that partitioning; the distinct collapses
+    (user, cohort, offset) before the final count. Week identity is
+    integer epoch-weeks, hash-stable across engines."""
+    e = _events(spark, sf_dir)
+    wk = lambda col: F.floor(F.unix_timestamp(col) / 604800).cast("long")  # noqa: E731
+    firsts = e.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_w"))
+    activity = (
+        e.select("user_id", wk(F.col("ts")).alias("w"))
+        .join(firsts, "user_id")
+        .select("user_id", "cohort_w", (F.col("w") - F.col("cohort_w")).alias("w_off"))
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_w", "w_off")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_w", "w_off")
+    )
