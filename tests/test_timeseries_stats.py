@@ -93,3 +93,32 @@ def test_srp_lsh_pairs_subset_of_bruteforce(spark, sf_dir):
     assert got <= truth
     if truth:
         assert len(got) / len(truth) >= 0.3  # 4×4-bit bands: moderate recall
+
+
+def test_scd2_intervals_are_contiguous_and_exhaustive(spark, sf_dir):
+    """Per customer: intervals ordered, non-overlapping, contiguous
+    (each valid_to equals the next valid_from), exactly one open
+    (is_current) interval, and the first interval starts at the
+    customer's first order date."""
+    from collections import defaultdict
+
+    from catme_etl_spark.operators.relational2 import scd2_priority_intervals
+
+    rows = scd2_priority_intervals(spark, sf_dir).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.custkey].append(r)
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_d"))
+        .collect()
+    )
+    first_date = {r.o_custkey: r.first_d for r in orders}
+    for cust, ivs in by_cust.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert ivs[0].valid_from == first_date[cust]
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to == "9999-12-31"
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no overlap
