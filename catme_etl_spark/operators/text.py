@@ -415,3 +415,59 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", F.col("t").alias("term"), "tfidf")
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH salted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-0100'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\\+?[0-9][0-9-]{7,}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '\\+?[0-9][0-9-]{7,}', '<PHONE>', 'g') AS scrubbed
+    FROM salted
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers) — the
+    compliance pass every training-data pipeline runs before anything
+    ships. Pure regexp built-ins: one narrow scan, counts for the audit
+    trail, redacted text for the output. The corpus is synthetic and
+    clean, so deterministic PII is INJECTED for every 10th doc on both
+    engines — the scrubber is tested against text that actually
+    contains what it must remove. Regexes stay in the RE2-compatible
+    subset so Java (Spark) and RE2 (DuckDB) agree."""
+    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    phone_re = "\\+?[0-9][0-9-]{7,}"
+    d = _docs(spark, sf_dir)
+    salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-0100"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return salted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("scrubbed"),
+    )
