@@ -26,12 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (join+agg, wide agg, window,
-# LSH dedup, self-join dedup, text agg, vector kernel, JSON/event agg).
+# LSH dedup, self-join dedup, text agg, vector kernel, JSON/event agg,
+# heavy multi-join TPC-H, deterministic SRP-LSH ANN, and a genuine
+# Structured Streaming job so round-over-round tracking covers the
+# join-heavy and streaming families too).
 HEADLINE = [
     "flagship_revenue_by_nation",
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_revenue",
+    "tpch_q18_large_volume_customers",
     "window_running_total_per_customer",
     "events_tumbling_10min",
     "dedup_minhash_lsh_pairs",
@@ -39,7 +44,9 @@ HEADLINE = [
     "text_top_tokens",
     "dedup_embedding_cosine_pairs",
     "sim_ivf_topk",
+    "sim_srp_lsh_pairs",
     "scalar_json_props",
+    "stream_tumbling_10min",
 ]
 
 

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one file vs part files (Archive --output-mode)")
     p.add_argument("--test-mode", action="store_true",
                    help="process only the first 3 chunks")
+    p.add_argument("--test-then-full", action="store_true",
+                   help="non-interactive version of the reference's "
+                        "test-run → confirm → full-run flow: run test "
+                        "mode to <output>.test first, print its stats, "
+                        "then run the full conversion")
     p.add_argument("--order-by", default=None,
                    help="comma-separated explicit output ordering")
     p.add_argument("--array-parity", action="store_true",
@@ -43,25 +48,47 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    from .convert import convert, convert_dir
+    from .convert import convert
     from .session import get_spark
 
     master = f"local[{args.workers}]" if args.workers else None
     spark = get_spark("catme-etl-spark-cli", master=master)
-    fn = convert_dir if os.path.isdir(args.input) else convert
+    # Resolve directory inputs BEFORE deciding reader kwargs: discovery
+    # prefers *.xlsx over *.csv (`unified_code.py:493-496`), and
+    # read_excel takes no `sep` — only a resolved .csv gets the
+    # separator.
+    if os.path.isdir(args.input):
+        from .sources.files import discover_input
+
+        input_path = discover_input(args.input)
+    else:
+        input_path = args.input
     kwargs = {}
-    if args.input.endswith(".csv") or os.path.isdir(args.input):
+    if input_path.endswith(".csv"):
         kwargs["sep"] = args.csv_separator
-    res = fn(
-        spark,
-        args.input,
-        args.output,
-        test_mode=args.test_mode,
+    common = dict(
         chunk_size=args.chunk_size,
         output_mode=args.output_mode,
         order_by=args.order_by.split(",") if args.order_by else None,
         array_parity=args.array_parity,
         **kwargs,
+    )
+    if args.test_then_full:
+        # reference flow (`unified_code.py:509-525,547-581`) without the
+        # interactive confirms: test-run stats go to stdout first, so a
+        # wrapper script (or a human watching logs) can abort between
+        # the runs; the checkpoint-free full run starts from scratch
+        # exactly like the reference's clear-checkpoints restart.
+        test = convert(spark, input_path, args.output + ".test",
+                       test_mode=True, **common)
+        print(json.dumps({"phase": "test", "rows": test.rows,
+                          "output": test.output_path, **test.stats}))
+    res = convert(
+        spark,
+        input_path,
+        args.output,
+        test_mode=args.test_mode,
+        **common,
     )
     print(json.dumps({"rows": res.rows, "output": res.output_path, **res.stats}))
     return 0

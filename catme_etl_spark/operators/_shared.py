@@ -1,0 +1,85 @@
+"""Cross-query shared intermediates.
+
+Several query families recompute the same expensive upstream stage when
+swept back-to-back (the driver's correctness gate runs all registered
+queries in one session): the shingle set feeds MinHash + n-gram
+Jaccard, the SimHash signature feeds signatures + pairs + connected
+components, the embeddings matrix feeds both brute-force cosine
+kernels. At 100 TB the equivalent is materializing the stage to
+storage between jobs; in one session the equivalent is a persisted
+DataFrame (or a broadcast) reused by every consumer.
+
+Keys include the SparkContext application id, so a cache entry never
+outlives its session (pytest and the driver create fresh sessions).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_BC_CACHE: dict[tuple[str, str, str], object] = {}
+
+# Enforced ceiling for any driver-side collect of a build side (the
+# brute-force cosine kernels). 200k rows × 64 dims × 8 B ≈ 100 MB —
+# a sane broadcast; beyond that the scale path is LSH/IVF candidate
+# generation, and misuse must fail loudly instead of OOMing the driver.
+MAX_COLLECT_ROWS = int(os.environ.get("CATME_MAX_COLLECT_ROWS", "200000"))
+
+
+def shared_df(
+    name: str, sf_dir: str, spark: SparkSession, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Build-once persisted DataFrame shared across queries in a session."""
+    key = (name, sf_dir, spark.sparkContext.applicationId)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = build().persist()
+    return _DF_CACHE[key]
+
+
+def require_bounded(df: DataFrame, max_rows: int | None = None, what: str = "input"):
+    """Assert ``df`` has at most ``max_rows`` rows; return the count.
+
+    Guards every driver-side ``collect()`` build side: a bounded probe
+    (``limit(max+1).count()`` — never materializes more than the budget)
+    turns a would-be driver OOM at scale into an actionable error that
+    names the scale path.
+    """
+    if max_rows is None:
+        max_rows = MAX_COLLECT_ROWS
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} exceeds the driver-collect budget ({n - 1}+ rows > "
+            f"{max_rows}). Brute force is the bounded-build-side tier; "
+            "for open-ended corpora generate candidates with SRP-LSH "
+            "(sim_srp_lsh_pairs), IVF (sim_ivf_topk), or MinHash/SimHash "
+            "banding and feed the same kernel pairs. Raise "
+            "CATME_MAX_COLLECT_ROWS only if the driver is sized for it."
+        )
+    return n
+
+
+def shared_matrix_broadcast(
+    name: str, sf_dir: str, spark: SparkSession, df: DataFrame
+):
+    """Collect a bounded ``(id, embedding)`` DataFrame to numpy arrays
+    and broadcast once per (name, sf_dir, session).
+
+    Returns a Spark broadcast of ``(ids, matrix, norms)``. The bound is
+    enforced by :func:`require_bounded` before anything is collected.
+    """
+    key = (name, sf_dir, spark.sparkContext.applicationId)
+    if key not in _BC_CACHE:
+        import numpy as np
+
+        require_bounded(df, what=f"broadcast build side {name!r}")
+        rows = df.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        _BC_CACHE[key] = spark.sparkContext.broadcast((ids, mat, norms))
+    return _BC_CACHE[key]

@@ -44,6 +44,7 @@ from ..functions.texttools import (
 )
 from ..functions.vector import SQL_DOT, SQL_NORM
 from ..sources.tables import load_table
+from ._shared import shared_df, shared_matrix_broadcast
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -89,15 +90,21 @@ _SHINGLE_SQL = """
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) with SET semantics. Deduplication happens
-    per-doc via ``array_distinct`` BEFORE the explode — a narrow
-    no-shuffle pass, unlike ``explode().distinct()`` which would
-    shuffle every shingle occurrence just to drop within-doc repeats."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", k=3))).alias("g"),
-    )
+    """(doc_id, shingle) with SET semantics, persisted once per session
+    (shared by MinHash signatures/verification AND n-gram Jaccard).
+    Deduplication happens per-doc via ``array_distinct`` BEFORE the
+    explode — a narrow no-shuffle pass, unlike ``explode().distinct()``
+    which would shuffle every shingle occurrence just to drop
+    within-doc repeats."""
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", k=3))).alias("g"),
+        )
+
+    return shared_df("shingle_sets", sf_dir, spark, build)
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +157,10 @@ _MINHASH_CTES = (
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs via banded minhash, verified with exact Jaccard.
+    """Candidate pairs via banded minhash, verified with exact Jaccard —
+    built once per session and shared by ``dedup_minhash_lsh_pairs``
+    and ``dedup_minhash_canonical`` (one registered builder, two
+    consumers — the 100 TB shape is a materialized pairs table).
 
     Hot-path shape (the things that matter at corpus scale):
 
@@ -173,7 +183,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       shingle pass runs once. The 100 TB equivalent is materializing
       the shingle table to storage between stages.
     """
-    sh = _shingle_sets(spark, sf_dir).persist()
+    return shared_df("minhash_pairs", sf_dir, spark,
+                     lambda: _build_minhash_pairs(spark, sf_dir))
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     hs = minhash_family(F.md5("g"), _N_SEEDS)
@@ -202,16 +217,22 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bkey")
     ).persist()
+    # rename EVERY join column on the right side: both sides descend
+    # from the same persisted `bands`, and same-name columns in a
+    # same-lineage self-join are a known resolution footgun (Spark
+    # warns "trivially true predicate 'band = band'")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("bkey_a")
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("bkey").alias("bkey_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
     )
     cand = (
         a.join(
             b,
-            (a["band"] == b["band"])
+            (F.col("band") == F.col("band_b"))
             & (F.col("bkey_a") == F.col("bkey_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
@@ -278,12 +299,10 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     would iterate this to a fixed point (connected components); planted
     duplicates come in pairs, so one hop converges here."""
     d = load_table(spark, sf_dir, "documents")
-    # persist: both directions of the symmetric edge union read `strong`
-    # — without it the entire minhash pipeline runs twice (measured 12
-    # shuffles in the plan vs 8 after)
-    strong = (
-        _minhash_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9).persist()
-    )
+    # `_minhash_pairs` is session-shared and persisted, so both
+    # directions of the symmetric edge union (and the lsh_pairs query)
+    # re-read the cached pairs instead of replaying the pipeline
+    strong = _minhash_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
     e = strong.select(
         F.col("doc_a").alias("d"), F.col("doc_b").alias("nb")
     ).unionByName(strong.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("nb")))
@@ -324,7 +343,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard over docs sharing any shingle.
     Production note: cap shingle document-frequency before the
     self-join (stop-shingle removal) — join cost is Σ df(g)²."""
-    sh = _shingle_sets(spark, sf_dir).persist()
+    sh = _shingle_sets(spark, sf_dir)  # session-shared, persisted
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "g")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))
@@ -385,7 +404,14 @@ def _simhash_sql_cte() -> str:
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit simhash over the token multiset (bit k = sign of the
-    popularity-weighted ±1 vote of hash-bit k across tokens)."""
+    popularity-weighted ±1 vote of hash-bit k across tokens). Built
+    once per session; signatures, pairs, and connected components all
+    read the same persisted result."""
+    return shared_df("simhash_sigs", sf_dir, spark,
+                     lambda: _build_simhash_signatures(spark, sf_dir))
+
+
+def _build_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
     # hash the dictionary, not the stream: md5 runs once per DISTINCT
@@ -462,7 +488,13 @@ _HAMMING_MAX = 8
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded simhash candidates (4×15-bit; Hamming ≤ 3 per band is
     pigeonhole-guaranteed a band match) verified by exact Hamming
-    distance on the two int64 signatures."""
+    distance on the two int64 signatures. The verified pairs are
+    session-shared: connected components consumes them too."""
+    return shared_df("simhash_pairs", sf_dir, spark,
+                     lambda: _build_simhash_pairs(spark, sf_dir))
+
+
+def _build_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the candidate self-join reads `banded` twice; without it
     # the 60-sum signature aggregation runs once per side
     sigs = _simhash_signatures(spark, sf_dir)
@@ -533,19 +565,18 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the broadcast side is the BOUNDED candidate/query set
     (like a broadcast join build side); the stream side partitions
-    freely. For open-ended corpora, generate candidates first (MinHash/
-    SimHash/LSH above, or IVF in similarity.py) and feed this kernel
-    pairs, never the full cross product.
+    freely. The bound is ENFORCED — ``require_bounded`` raises before
+    collecting past the budget. For open-ended corpora, generate
+    candidates first (MinHash/SimHash/LSH above, or IVF in
+    similarity.py) and feed this kernel pairs, never the full cross
+    product.
     """
     import numpy as np  # local import: keep module import light
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # bounded build side (see docstring)
-    ids_b = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat_b = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+    # bounded + session-shared with sim_topk_bruteforce (same matrix)
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
 
     def gen(batches):
         bids, bmat, bnorms = bc.value

@@ -356,6 +356,35 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_distinct_bounds",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE                      AS within_bounds
+    FROM lineitem
+    """,
+)
+def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to the HLL++ sketch: the exact distinct
+    count plus a boolean asserting the sketch estimate lands within
+    5× its configured relative standard deviation (rsd=0.02 → ±10% —
+    generous; HLL++ error is ~rsd with overwhelming probability). The
+    sketch value itself is engine-specific but DETERMINISTIC per input,
+    so if Spark's estimate ever drifts out of bounds this row
+    hash-mismatches instead of hiding behind a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 5 * 0.02 * F.col("exact_parts")
+        ).alias("within_bounds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A3: rollup / cube / grouping sets.
 # ---------------------------------------------------------------------------

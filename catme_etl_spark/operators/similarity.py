@@ -30,22 +30,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import make_cosine_pandas_udf, sql_cosine
 from ..sources.tables import load_table
+from ._shared import shared_matrix_broadcast
 from .registry import query
 
 TOP_K = 5
 NPROBE = 2
 CENTROID_STRIDE = 50
-
-
-def _broadcast_matrix(spark: SparkSession, df: DataFrame):
-    """Collect (id, embedding) to a numpy pair + Spark broadcast."""
-    import numpy as np
-
-    rows = df.collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    return spark.sparkContext.broadcast((ids, mat, norms))
 
 
 def _topk_against(bc, k: int, exclude_self: bool):
@@ -135,9 +125,14 @@ _COS_AB = sql_cosine("a.embedding", "b.embedding")
     """,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors (F10 baseline): blocked A@B.T per Arrow batch against the broadcast corpus; ties broken by neighbor id."""
+    """Exact top-k cosine neighbors (F10 baseline): blocked A@B.T per
+    Arrow batch against the broadcast corpus; ties broken by neighbor
+    id. The broadcast build side is BOUNDED (``require_bounded``
+    raises past the budget) and session-shared with
+    ``dedup_embedding_cosine_pairs``; open-ended corpora go through
+    SRP-LSH/IVF candidates instead."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bc = _broadcast_matrix(spark, emb)
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
     out = emb.mapInPandas(
         _topk_against(bc, TOP_K, exclude_self=True),
         schema="query_id long, rank long, neighbor_id long, cos_raw double",
@@ -197,7 +192,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
-    bc = _broadcast_matrix(spark, cent)
+    bc = shared_matrix_broadcast("ivf_centroids", sf_dir, spark, cent)
 
     # nearest-NPROBE centroids per vector; rn=1 is the list assignment
     near = emb.mapInPandas(

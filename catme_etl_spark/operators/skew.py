@@ -38,7 +38,17 @@ def salted_join(
     (defaults to the join key itself via xxhash — good spread unless
     one literal key dominates, in which case pass a high-cardinality
     column like the row's unique id).
+
+    Only ``inner``/``left``/``left_semi`` are supported: the exploded
+    small side would emit each unmatched row ``n_salt`` times under
+    right/full outer semantics.
     """
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: "
+            "the exploded small side duplicates unmatched rows under "
+            "right/full outer"
+        )
     src = F.col(salt_src) if salt_src else F.col(on)
     b = big.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(n_salt)))
     s = small.withColumn(

@@ -162,3 +162,68 @@ def ts_forward_fill_10min_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
         F.round(F.last("val", ignorenulls=True).over(w), 4).alias("close_ffill"),
     )
+
+
+@query(
+    "ts_forward_fill_by_type",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i, value, event_id
+      FROM events
+    ),
+    closes AS (
+      SELECT event_type, i, arg_max(value, event_id) AS val
+      FROM b GROUP BY event_type, i
+    ),
+    bounds AS (
+      SELECT event_type, MIN(i) AS lo, MAX(i) AS hi FROM b GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS i FROM bounds
+    ),
+    sparse AS (
+      SELECT spine.event_type, spine.i, val
+      FROM spine LEFT JOIN closes USING (event_type, i)
+    )
+    SELECT event_type, i * {_BUCKET_S} * 1000000 AS win_start_us,
+           ROUND(last_value(val IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS close_ffill
+    FROM sparse
+    """,
+)
+def ts_forward_fill_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF per series key — the DEFAULT scale signature: the window
+    partitions by ``event_type``, so each executor sorts only its own
+    series (O(buckets-per-series) per task) instead of one global sort.
+    The per-type spine derives from one groupBy min/max (rows =
+    Σ per-type bucket ranges, independent of event count); the global-
+    spine variant above stays as the bounded single-series special
+    case."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+        "value",
+        "event_id",
+    )
+    closes = b.groupBy("event_type", "i").agg(
+        F.max_by("value", "event_id").alias("val")
+    )
+    bounds = b.groupBy("event_type").agg(F.min("i").alias("lo"), F.max("i").alias("hi"))
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("i")
+    )
+    sparse = spine.join(closes, ["event_type", "i"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_type",
+        (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
+        F.round(F.last("val", ignorenulls=True).over(w), 4).alias("close_ffill"),
+    )

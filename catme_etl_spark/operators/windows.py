@@ -187,9 +187,10 @@ def window_range_frame_events_per_hour(spark: SparkSession, sf_dir: str) -> Data
     """,
 )
 def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global-window analytics on a pre-filtered slice. The filter keeps
-    the single-partition window bounded; unpartitioned windows over full
-    fact tables are an anti-pattern at scale."""
+    """Global-window analytics on a pre-filtered slice — the bounded
+    special case. The partitioned-by-key signature
+    (``window_percent_rank_by_custkey``) is the default at scale;
+    unpartitioned windows over full fact tables are an anti-pattern."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return orders.select(
@@ -227,4 +228,31 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "window_percent_rank_by_custkey",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           ROUND(CUME_DIST()    OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders
+    """,
+)
+def window_percent_rank_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist PARTITIONED BY KEY — the default scale
+    signature for distribution analytics: each customer's orders sort
+    within one task, so the full fact table flows through without a
+    single-partition bottleneck (the global variant above is the
+    pre-filtered special case)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
     )

@@ -61,7 +61,11 @@ def merged_json_array(
     output only. Returns ``optimize_json``-style size stats."""
     records = [row.asDict(recursive=True) for row in df.collect()]
     if order_by:
-        records.sort(key=lambda r: tuple(r[k] for k in order_by))
+        # null-safe key: NULLs sort last; None is not comparable to
+        # str/int in Python, so guard each component with an is-None flag
+        records.sort(
+            key=lambda r: tuple((r[k] is None, r[k]) for k in order_by)
+        )
     with open(out_file, "w", encoding="utf-8") as f:
         json.dump(
             records,

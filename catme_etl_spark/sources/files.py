@@ -91,6 +91,46 @@ def csv_metadata(spark: SparkSession, path: str, sep: str = ",") -> dict:
     }
 
 
+def validate_excel(path: str) -> bool:
+    """Readability probe for a workbook (S1, `unified_code.py:168-176`):
+    opens the file and reads the sheet catalog without parsing rows
+    (the reference probes with ``nrows=0``). Raises ``ValueError`` on
+    garbage/unreadable input — same contract as :func:`validate_csv`.
+    Raises ``ImportError`` when no Excel engine is installed."""
+    import pandas as pd
+
+    try:
+        with pd.ExcelFile(path) as xf:
+            if not xf.sheet_names:
+                raise ValueError("workbook has no sheets")
+        return True
+    except ImportError:
+        raise
+    except Exception as ex:
+        raise ValueError(f"cannot read Excel {path!r}: {ex}") from ex
+
+
+def excel_metadata(path: str) -> dict:
+    """Per-sheet ``{sheet: {rows, columns, dtypes}}`` (S2,
+    `unified_code.py:178-191`). Like the reference, the row count
+    requires parsing each sheet (xlsx has no row-count header) — but
+    each sheet parses exactly once here, vs. the reference's
+    metadata-parse-then-chunk-reparse O(N²) pattern (SURVEY §4.2.1).
+    Driver-side by nature: one workbook is one file; many workbooks
+    scale out via :func:`read_excel_many`."""
+    import pandas as pd
+
+    validate_excel(path)
+    out: dict[str, dict] = {}
+    for sheet, pdf in pd.read_excel(path, sheet_name=None).items():
+        out[sheet] = {
+            "rows": len(pdf),
+            "columns": list(pdf.columns),
+            "dtypes": {c: str(t) for c, t in pdf.dtypes.items()},
+        }
+    return out
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
@@ -176,9 +216,24 @@ def file_md5(path: str, chunk_bytes: int = 1 << 20) -> str:
 
 
 def df_checksum(df: DataFrame) -> int:
-    """Order-insensitive distributed content checksum: xor-fold of a
-    64-bit row hash. One narrow pass + scalar agg; any row change flips
-    it. The distributed analog of the reference's file-level MD5."""
+    """Order-insensitive distributed content checksum combining an
+    xor-fold, a wrapping SUM of the 64-bit row hash, and the row count.
+    One narrow pass + scalar agg. A pure xor-fold cancels on any even
+    multiplicity (appending a duplicated row pair leaves it unchanged);
+    the sum component is multiplicity-sensitive, and the count catches
+    the degenerate all-zero-hash case. The distributed analog of the
+    reference's file-level MD5."""
     row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-    out = df.select(F.bit_xor(row_hash).alias("chk")).first()
-    return 0 if out is None or out["chk"] is None else int(out["chk"])
+    out = df.select(
+        F.bit_xor(row_hash).alias("x"),
+        # decimal(38,0) sum never overflows below ~10^19 rows; folded
+        # back to 64 bits after the agg
+        F.sum(row_hash.cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if out is None or out["n"] == 0:
+        return 0
+    x = int(out["x"]) & 0xFFFFFFFFFFFFFFFF
+    s = int(out["s"]) % (1 << 64)
+    n = int(out["n"])
+    return (x ^ (s * 0x9E3779B97F4A7C15 + n)) % (1 << 64)

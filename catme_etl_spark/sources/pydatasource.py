@@ -65,6 +65,24 @@ class _SheetDirReader(DataSourceReader):
                 yield tuple(rec.get(c) for c in data_cols) + (partition.sheet,)
 
 
+def sheetdir_metadata(spark, path: str) -> dict:
+    """Per-sheet ``{sheet: {rows, columns, dtypes}}`` over a registered
+    ``sheetdir`` source — the S2 metadata catalog for the workbook
+    model (`unified_code.py:183-191`), computed distributed: one
+    groupBy over the ``_sheet`` partition column counts every sheet in
+    a single job instead of parsing sheets one by one on the driver."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("sheetdir").load(path)
+    cols = [c for c in df.columns if c != "_sheet"]
+    dtypes = {c: t for c, t in df.dtypes if c != "_sheet"}
+    counts = df.groupBy("_sheet").agg(F.count(F.lit(1)).alias("rows")).collect()
+    return {
+        r["_sheet"]: {"rows": r["rows"], "columns": cols, "dtypes": dtypes}
+        for r in counts
+    }
+
+
 class SheetDirDataSource(DataSource):
     """``spark.read.format("sheetdir").load(dir)`` after registration
     via ``spark.dataSource.register(SheetDirDataSource)``."""
