@@ -31,12 +31,41 @@ MAX_COLLECT_ROWS = int(os.environ.get("CATME_MAX_COLLECT_ROWS", "200000"))
 
 
 def shared_df(
-    name: str, sf_dir: str, spark: SparkSession, build: Callable[[], DataFrame]
+    name: str,
+    sf_dir: str,
+    spark: SparkSession,
+    build: Callable[[], DataFrame],
+    materialize: bool = False,
 ) -> DataFrame:
-    """Build-once persisted DataFrame shared across queries in a session."""
+    """Build-once DataFrame shared across queries in a session.
+
+    ``materialize=False`` (default): lazy ``persist()`` — lineage kept,
+    first consumer computes, later consumers hit the cache.
+
+    ``materialize=True``: eager ``localCheckpoint`` — the stage runs
+    once at build time and every consumer's plan starts from the
+    materialized result (a scan), not the full upstream lineage. Use
+    for SMALL derived tables with EXPENSIVE lineage (verified near-dup
+    pairs: a handful of rows behind a 5-shuffle pipeline) where
+    replaying lineage per consumer — even in a static plan — is the
+    dominant cost. The 100 TB equivalent is writing the stage to
+    reliable storage between jobs; localCheckpoint trades that
+    durability for speed, which is the right local/single-tenant call.
+    """
     key = (name, sf_dir, spark.sparkContext.applicationId)
     if key not in _DF_CACHE:
-        _DF_CACHE[key] = build().persist()
+        df = build()
+        if materialize:
+            # persist + count first: the build executes under AQE
+            # (coalesced shuffles); the checkpoint then snapshots the
+            # already-cached partitions instead of re-running the
+            # pipeline through the slower non-AQE RDD path.
+            df = df.persist()
+            df.count()
+            _DF_CACHE[key] = df.localCheckpoint(eager=True)
+            df.unpersist()
+        else:
+            _DF_CACHE[key] = df.persist()
     return _DF_CACHE[key]
 
 

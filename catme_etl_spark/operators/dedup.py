@@ -184,7 +184,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the shingle table to storage between stages.
     """
     return shared_df("minhash_pairs", sf_dir, spark,
-                     lambda: _build_minhash_pairs(spark, sf_dir))
+                     lambda: _build_minhash_pairs(spark, sf_dir),
+                     materialize=True)
 
 
 def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,7 +492,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance on the two int64 signatures. The verified pairs are
     session-shared: connected components consumes them too."""
     return shared_df("simhash_pairs", sf_dir, spark,
-                     lambda: _build_simhash_pairs(spark, sf_dir))
+                     lambda: _build_simhash_pairs(spark, sf_dir),
+                     materialize=True)
 
 
 def _build_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,33 +654,36 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
-        )
-        .localCheckpoint()  # materialize once; rounds re-read, not re-hash
-    )
-    labels = docs.select(
-        F.col("doc_id").alias("d"), F.col("doc_id").alias("lab")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lab")).first()[0]
-    for _ in range(20):  # diameter bound; planted dup chains are short
-        nbr = (
-            labels.join(edges, F.col("d") == F.col("s"))
-            .groupBy("t")
-            .agg(F.min("lab").alias("nlab"))
-        )
-        labels = (
-            labels.join(nbr, F.col("d") == F.col("t"), "left")
-            .select(
-                "d",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+    try:
+        edges = (
+            pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+            .unionByName(
+                pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
             )
-            .localCheckpoint()
+            .localCheckpoint()  # materialize once; rounds re-read, not re-hash
         )
-        cur_sum = labels.agg(F.sum("lab")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        labels = docs.select(
+            F.col("doc_id").alias("d"), F.col("doc_id").alias("lab")
+        ).localCheckpoint()
+        prev_sum = labels.agg(F.sum("lab")).first()[0]
+        for _ in range(20):  # diameter bound; planted dup chains are short
+            nbr = (
+                labels.join(edges, F.col("d") == F.col("s"))
+                .groupBy("t")
+                .agg(F.min("lab").alias("nlab"))
+            )
+            labels = (
+                labels.join(nbr, F.col("d") == F.col("t"), "left")
+                .select(
+                    "d",
+                    F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                )
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("lab")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        pass
     return labels.select(F.col("d").alias("doc_id"), F.col("lab").alias("component"))

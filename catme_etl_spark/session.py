@@ -51,7 +51,12 @@ def get_spark(
         # qualify, so plans stay correct.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default for headless runs; SPARK_GRAFT_UI=1 enables
+        # it for interactive plan/stage inspection (I5 progress surface)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

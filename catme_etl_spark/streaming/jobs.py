@@ -238,6 +238,92 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def has_transform_with_state_runtime() -> bool:
+    """``transformWithStateInPandas``'s Python driver worker speaks a
+    protobuf-based state protocol; without the ``protobuf`` package the
+    worker crashes at init. Capability-probe so callers (and the test
+    suite) can gate on it — the same honest treatment as the Excel
+    engine and multimodal codecs in this codec-free container."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via ``transformWithStateInPandas``
+    — Spark 4's successor to ``applyInPandasWithState`` (C7, the
+    operator-API tier above it): explicit named state variables with
+    schemas, optional TTL, and timer callbacks, managed by the state
+    store per group key. Here one ValueState carries (count,
+    cents-total, cents-max) per user across micro-batches; emitted
+    totals converge to the batch aggregate
+    (``SELECT user_id, COUNT(*), SUM, MAX ... GROUP BY user_id``).
+
+    NOT in the query registry: the container lacks ``protobuf``, which
+    the TWS Python driver worker needs (see
+    :func:`has_transform_with_state_runtime`), so this is exercised by
+    a skip-guarded test; ``stream_stateful_user_totals`` covers the
+    same C7 contract through ``applyInPandasWithState``, which has no
+    such dependency."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, cents long, maxc long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, maxc = (
+                self._state.get() if self._state.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                c = (pdf["value"] * 100).round(0).astype("int64")
+                n += len(pdf)
+                cents += int(c.sum())
+                batch_max = int(c.max())
+                maxc = batch_max if maxc is None else max(maxc, batch_max)
+            self._state.update((n, cents, maxc))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(cents / 100.0, 2)],
+                    "max_value": [round(maxc / 100.0, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    e = _stream_events(spark, sf_dir).select("user_id", "value")
+    out = e.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id long, n_events long, sum_value double, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    sunk = _run_to_memory(out, "update")
+    # memory sink keeps every per-batch update; final state per user is
+    # the row with the (monotonically growing) max n_events
+    final = F.max(F.struct("n_events", "sum_value", "max_value")).alias("s")
+    return sunk.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.sum_value").alias("sum_value"),
+        F.col("s.max_value").alias("max_value"),
+    )
+
+
 @query(
     "stream_stream_view_to_purchase",
     oracle="""

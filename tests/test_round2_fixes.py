@@ -161,3 +161,18 @@ def test_cli_test_then_full(tmp_path, spark):
     assert rc == 0
     assert spark.read.json(out + ".test").count() == 6  # 3 chunks × 2
     assert spark.read.json(out).count() == 10
+
+
+def test_shared_df_keys_by_sf_dir(spark):
+    """The session cache must never serve one scale factor's
+    intermediate to another sf_dir's query."""
+    from catme_etl_spark.operators._shared import shared_df
+
+    a = shared_df("t_probe", "/root/testdata/sf0.001", spark,
+                  lambda: spark.range(5))
+    b = shared_df("t_probe", "/root/testdata/sf0.01", spark,
+                  lambda: spark.range(7))
+    a2 = shared_df("t_probe", "/root/testdata/sf0.001", spark,
+                   lambda: spark.range(999))
+    assert a.count() == 5 and b.count() == 7
+    assert a2 is a  # cache hit, builder not re-invoked

@@ -28,3 +28,30 @@ def test_sealed_sessions_are_subset_of_batch_sessions(spark):
     extra = sealed.exceptAll(batch).count()
     assert extra == 0, "append mode must emit only watermark-sealed sessions"
     assert 0 < sealed.count() <= batch.count()
+
+
+def test_transform_with_state_matches_batch_aggregate(spark):
+    """Spark 4 transformWithStateInPandas tier of C7 (ValueState per
+    user across micro-batches) — skip-guarded: the TWS Python driver
+    worker needs protobuf, absent in this container."""
+    import pytest
+
+    from catme_etl_spark.streaming.jobs import (
+        has_transform_with_state_runtime,
+        stream_tws_user_value_stats,
+    )
+
+    if not has_transform_with_state_runtime():
+        pytest.skip("no protobuf: transformWithStateInPandas worker cannot start")
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_tws_user_value_stats(spark, sf)
+    exact = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    joined = got.join(exact, "user_id", "full")
+    assert joined.filter("n_events IS NULL OR n_exact IS NULL").count() == 0
+    assert joined.filter("n_events <> n_exact").count() == 0
