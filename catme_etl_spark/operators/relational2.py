@@ -108,6 +108,48 @@ def agg_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile_bounds",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5) / 100.0
+               AS exact_p50,
+           TRUE AS within_bounds
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion for the t-digest-style sketch (the
+    scale path the exact-percentile docstrings point to): per group,
+    the exact p50 plus a boolean asserting ``approx_percentile``'s
+    estimate lands between the exact p45 and p55 (rank error at
+    accuracy=10000 is 1e-4 — the ±5-point envelope is generous by
+    orders of magnitude). Sketch values are engine-specific but
+    deterministic per input, so a drifting estimate hash-mismatches
+    here instead of hiding behind a rows-only check; the pattern
+    matches ``agg_approx_distinct_bounds``."""
+    o = _t(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile(c, F.lit(0.5)).alias("_exact50"),
+            F.percentile(c, F.lit(0.45)).alias("_lo"),
+            F.percentile(c, F.lit(0.55)).alias("_hi"),
+            F.percentile_approx(c, F.lit(0.5), F.lit(10000)).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            (F.col("_exact50") / 100.0).alias("exact_p50"),
+            (
+                (F.col("_approx") >= F.col("_lo"))
+                & (F.col("_approx") <= F.col("_hi"))
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@query(
     "subquery_above_avg_customers",
     oracle="""
     SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
