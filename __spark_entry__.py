@@ -29,6 +29,7 @@ from catme_etl_spark.operators import relational  # noqa: F401
 from catme_etl_spark.operators import relational2  # noqa: F401
 from catme_etl_spark.operators import scalars  # noqa: F401
 from catme_etl_spark.operators import similarity  # noqa: F401
+from catme_etl_spark.operators import skew  # noqa: F401
 from catme_etl_spark.operators import stats  # noqa: F401
 from catme_etl_spark.operators import timeseries  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401

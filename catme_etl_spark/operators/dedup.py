@@ -323,13 +323,21 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_STOP_SHINGLE_DF_CAP = 250  # drop shingles appearing in more docs
+
+
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLE_SQL},
+    live AS (
+      SELECT g FROM sh GROUP BY g
+      HAVING COUNT(*) <= {_STOP_SHINGLE_DF_CAP}
+    ),
+    shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN live USING (g)),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -341,13 +349,25 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram-shingle Jaccard over docs sharing any shingle.
-    Production note: cap shingle document-frequency before the
-    self-join (stop-shingle removal) — join cost is Σ df(g)²."""
+    """Exact trigram-shingle Jaccard over docs sharing any shingle,
+    with the stop-shingle document-frequency cap ENFORCED before the
+    self-join (not just documented): the join costs Σ df(g)², so one
+    viral boilerplate shingle at web scale turns it quadratic — the cap
+    drops shingles appearing in > 250 docs from candidate generation (a
+    standard near-dup approximation; Jaccard denominators still count
+    every shingle). Inert at sf0.01 (500 docs, every df ≤ cap),
+    mirrored exactly in the oracle either way."""
     sh = _shingle_sets(spark, sf_dir)  # session-shared, persisted
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "g")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))
+    live = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF_CAP)
+        .select("g")
+    )
+    shf = sh.join(live, "g")
+    a = shf.select(F.col("doc_id").alias("doc_a"), "g")
+    b = shf.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))
     inter = (
         a.join(b, (F.col("g") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
@@ -636,6 +656,15 @@ _CC_ORACLE = f"""
 """
 
 
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared connected-component labels (the iterative loop
+    runs once; the labels query and the cluster-stats rollup both read
+    the materialized result)."""
+    return shared_df("cc_labels", sf_dir, spark,
+                     lambda: _build_cc_labels(spark, sf_dir),
+                     materialize=True)
+
+
 @query("dedup_connected_components", oracle=_CC_ORACLE)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the simhash near-dup graph (Hamming ≤ 8):
@@ -652,38 +681,77 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel loop, same algorithm). Convergence is detected by the label
     sum, which strictly decreases until the fixed point.
     """
+    return _cc_labels(spark, sf_dir)
+
+
+def _build_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    try:
-        edges = (
-            pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
-            .unionByName(
-                pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
-            )
-            .localCheckpoint()  # materialize once; rounds re-read, not re-hash
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
         )
-        labels = docs.select(
-            F.col("doc_id").alias("d"), F.col("doc_id").alias("lab")
-        ).localCheckpoint()
-        prev_sum = labels.agg(F.sum("lab")).first()[0]
-        for _ in range(20):  # diameter bound; planted dup chains are short
-            nbr = (
-                labels.join(edges, F.col("d") == F.col("s"))
-                .groupBy("t")
-                .agg(F.min("lab").alias("nlab"))
+        .localCheckpoint()  # materialize once; rounds re-read, not re-hash
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("d"), F.col("doc_id").alias("lab")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(20):  # diameter bound; planted dup chains are short
+        nbr = (
+            labels.join(edges, F.col("d") == F.col("s"))
+            .groupBy("t")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(nbr, F.col("d") == F.col("t"), "left")
+            .select(
+                "d",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
             )
-            labels = (
-                labels.join(nbr, F.col("d") == F.col("t"), "left")
-                .select(
-                    "d",
-                    F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-                )
-                .localCheckpoint()
-            )
-            cur_sum = labels.agg(F.sum("lab")).first()[0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-    finally:
-        pass
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels.select(F.col("d").alias("doc_id"), F.col("lab").alias("component"))
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH comp AS ({_CC_ORACLE}),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+    SELECT COUNT(*)                                     AS n_clusters,
+           CAST(SUM(csize) AS BIGINT)                   AS n_docs,
+           CAST(SUM(csize) AS BIGINT) - COUNT(*)        AS n_redundant,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(csize) AS DOUBLE), 4) AS dup_ratio,
+           MAX(csize)                                   AS max_cluster
+    FROM sizes
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup report from the transitive near-dup closure:
+    cluster count, redundant-doc count, dup ratio, and the largest
+    cluster — the numbers a 100 TB dedup run actually publishes. Reads
+    the session-shared CC labels, so it costs one tiny aggregate, not a
+    second label-propagation run."""
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(sizes, "component")
+        .agg(
+            F.countDistinct("component").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("component")).alias("n_redundant"),
+            F.round(
+                1.0
+                - F.countDistinct("component").cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+            F.max("csize").alias("max_cluster"),
+        )
+    )

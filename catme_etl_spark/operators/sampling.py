@@ -70,3 +70,49 @@ def sample_stratified_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STRATUM_K)
         .select("source", "doc_id", "lang")
     )
+
+
+_RESERVOIR_K = 50
+# 13 hex chars = 52 bits — exactly a double's mantissa, so the uniform
+# u = (h+1)/2^52 is represented EXACTLY in both engines and ln(u)
+# computes on bit-identical input
+_U_BITS = 52
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(({sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 13, 1)} + 1)
+                / {float(1 << _U_BITS)}) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM keyed
+    ORDER BY k DESC, doc_id LIMIT {_RESERVOIR_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed and
+    deterministic: Efraimidis–Spirakis A-Res — each item gets priority
+    u^(1/w) (equivalently ln(u)/w) for a per-item uniform u and weight
+    w (n_chars: longer documents proportionally likelier), and the
+    global top-k by priority IS the weighted sample. Spark plans the
+    top-k as ``TakeOrderedAndProject`` (per-partition heaps + driver
+    merge of k×partitions rows — no global sort), which is how a
+    weighted reservoir runs over 100 TB in one pass.
+
+    Determinism: u derives from md5(doc_id) — a re-run, a different
+    cluster size, or a different engine selects the SAME sample
+    (the reproducibility a training-data mix needs), and the DuckDB
+    oracle verifies the exact selection end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hex_prefix_long(F.md5(F.col("doc_id").cast("string")), 13, 1)
+    u = (h + 1) / float(1 << _U_BITS)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(_RESERVOIR_K)
+        .select("doc_id", "n_chars")
+    )

@@ -17,8 +17,11 @@ Three tiers for a skewed/huge equi-join, cheapest first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
 
 
 def salted_join(
@@ -56,6 +59,47 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("long"))
     out = b.join(s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+@query(
+    "join_salted_event_type_stats",
+    oracle="""
+    SELECT e.event_type, t.type_rank,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN (SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type)
+              AS type_rank
+          FROM (SELECT DISTINCT event_type FROM events)) t
+      ON t.event_type = e.event_type
+    GROUP BY e.event_type, t.type_rank
+    """,
+)
+def join_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting is SEMANTICS-PRESERVING, so it gets a driver-checked
+    query, not just a unit test: the fact side (events) joins a tiny
+    derived dimension on ``event_type`` — a deliberately low-cardinality
+    hot key (5 values over the whole corpus, the pathological shape AQE
+    can't always fix because one key IS one partition) — through
+    :func:`salted_join` with 8 salts, then aggregates. The result must
+    hash-equal the plain SQL join; the salt spreads each hot key across
+    8 shuffle partitions and never leaks into the output."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_rank",
+            F.row_number().over(Window.orderBy("event_type")),
+        )
+    )
+    joined = salted_join(e, dim, "event_type", n_salt=8, salt_src="user_id")
+    return joined.groupBy("event_type", "type_rank").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
 
 
 def write_bucketed(
