@@ -96,3 +96,20 @@ def test_gapfill_spine_join_stays_small(spark, sf_dir):
 def test_quality_audit_broadcasts_every_dim(spark, sf_dir):
     q = e.queries()["quality_fk_audit"](spark, sf_dir)
     assert_broadcast_join(q, min_count=7)
+
+
+def test_weighted_reservoir_plans_topk_not_global_sort(spark, sf_dir):
+    """The weighted sample must plan as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows) — a global Sort
+    before the limit would be the 100 TB failure mode."""
+    q = e.queries()["sample_weighted_reservoir"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_salted_join_spreads_key_without_extra_shuffles(spark, sf_dir):
+    """Salted join: same result shape as the plain join, and the salt
+    column never reaches the output schema."""
+    q = e.queries()["join_salted_event_type_stats"](spark, sf_dir)
+    assert "_salt" not in q.columns
+    assert q.count() > 0
