@@ -370,3 +370,96 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round("cos_raw", 6) >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+@query(
+    "sim_int8_quantization",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+      WHERE vec_id < 200
+    ),
+    d AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 127.0 / scale) * scale / 127.0)
+               AS dq
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_sum(list_transform(range(len(embedding)),
+                 i -> CAST(embedding[i+1] AS DOUBLE) * dq[i+1]))
+             / (sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(dq, x -> x * x)))), 6)
+             AS cos_fidelity,
+           ROUND(list_max(list_transform(range(len(embedding)),
+                 i -> abs(CAST(embedding[i+1] AS DOUBLE) - dq[i+1]))), 6)
+             AS max_abs_err
+    FROM d
+    """,
+)
+def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization audit — the storage tier
+    for web-scale ANN (4× smaller vectors, SIMD int8 dot products).
+    Per vector: the per-vector scale (absmax), the cosine between the
+    original and its dequantized reconstruction, and the max absolute
+    element error.
+
+    Plan shape: one narrow scan, zero exchanges — each step
+    materializes its intermediate as a real column in a separate
+    SELECT so the interpreted HOF lambdas reference cheap columns
+    instead of re-evaluating the absmax/quantize expressions per
+    element (the caution documented in ``functions/texttools``).
+    Bounded to vec_id < 200 to keep the oracle diff small; the plan
+    is identical unbounded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    d = s.select(
+        "vec_id",
+        "embedding",
+        "scale",
+        F.transform(
+            "embedding",
+            lambda x: F.round(xd(x) * 127.0 / F.col("scale"))
+            * F.col("scale")
+            / 127.0,
+        ).alias("dq"),
+    )
+    cos = F.aggregate(
+        F.zip_with("embedding", "dq", lambda x, y: xd(x) * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: xd(x) * xd(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * F.sqrt(
+            F.aggregate(
+                F.transform("dq", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    )
+    err = F.array_max(F.zip_with("embedding", "dq", lambda x, y: F.abs(xd(x) - y)))
+    return d.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(cos, 6).alias("cos_fidelity"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

@@ -471,3 +471,203 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
         ).alias("scrubbed"),
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+    tops AS (
+      SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             len(grams)                 AS n_tri,
+             len(list_distinct(grams))  AS n_tri_d
+      FROM (
+        SELECT doc_id,
+               list_transform(range(greatest(len(toks) - 2, 0)),
+                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) x
+      ) g
+    )
+    SELECT t.doc_id,
+           ROUND(CAST(mx AS DOUBLE) / tot, 4)  AS top_token_frac,
+           ROUND(1.0 - CAST(n_tri_d AS DOUBLE) / greatest(n_tri, 1), 4)
+                                               AS dup_trigram_frac,
+           CAST(CAST(mx AS DOUBLE) / tot > 0.12
+                OR 1.0 - CAST(n_tri_d AS DOUBLE) / greatest(n_tri, 1) > 0.2
+                AS BIGINT)                     AS is_repetitive
+    FROM tops t JOIN tri USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition filters: fraction of the doc
+    taken by its single most frequent token, and the duplicate-trigram
+    fraction. Both are computed NARROW — no explode, no shuffle:
+
+    - ``top_token_frac`` sorts the token array and finds the longest
+      equal run with one ``aggregate`` pass over a struct accumulator
+      (O(L log L) per doc, all JVM-side);
+    - ``dup_trigram_frac`` is ``1 - distinct/total`` over the shingle
+      array from the one-pass regex shingler.
+
+    A 100 TB corpus streams through this as a pure scan — the plan has
+    zero exchanges, so it scales linearly with input splits. The
+    explode+groupBy formulation (what the oracle does) would shuffle
+    the full token stream; per-doc state is bounded by doc length, so
+    the narrow form is strictly better at any scale.
+    """
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    srt = F.array_sort(toks)
+    # Longest equal run in the sorted array: acc = (prev, run, best).
+    run = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    tri = word_shingles("text", k=3)
+    out = d.select(
+        "doc_id",
+        (run.cast("double") / F.size(toks)).alias("ttf"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(tri)).cast("double")
+            / F.greatest(F.size(tri), F.lit(1))
+        ).alias("dtf"),
+    )
+    return out.select(
+        "doc_id",
+        F.round("ttf", 4).alias("top_token_frac"),
+        F.round("dtf", 4).alias("dup_trigram_frac"),
+        ((F.col("ttf") > 0.12) | (F.col("dtf") > 0.2)).cast("long").alias("is_repetitive"),
+    )
+
+
+@query(
+    "text_contamination_overlap",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(toks) - 3, 0)),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                    || ' ' || toks[i+4])) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) x
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM (SELECT doc_id, unnest(grams) AS cg FROM g WHERE doc_id % 97 <> 0) c
+      JOIN bench ON c.cg = bench.bg
+      GROUP BY c.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(grams) AS BIGINT)  AS n_grams,
+           CAST(n_hit AS BIGINT)       AS n_contaminated,
+           ROUND(CAST(n_hit AS DOUBLE) / len(grams), 4) AS contamination
+    FROM g JOIN hits ON g.doc_id = hits.doc_id
+    WHERE g.doc_id % 97 <> 0
+    """,
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which training docs share word
+    5-grams with a held-out evaluation set (every 97th doc stands in
+    for the benchmark)? The standard n-gram-overlap decontamination
+    pass (GPT-3 appendix C / PaLM style; 4-grams keep the synthetic
+    vocabulary dense enough to exercise the join).
+
+    Scale shape: the benchmark side is tiny and DISTINCT-reduced, so
+    it is broadcast — the corpus side streams through explode →
+    broadcast-hash-semi-join → per-doc count with NO corpus-wide
+    shuffle of raw n-grams; the only exchange is the per-doc count
+    aggregation (map-side combined, cardinality = contaminated docs).
+    At 100 TB the corpus never shuffles; only hits do.
+    """
+    d = _docs(spark, sf_dir)
+    grams = F.array_distinct(word_shingles("text", k=4))
+    with_grams = d.select("doc_id", grams.alias("grams"))
+    bench = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("bg"))
+        .distinct()
+    )
+    corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("cg"))
+        .join(F.broadcast(bench), F.col("cg") == F.col("bg"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        corpus.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_hit").cast("long").alias("n_contaminated"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(i / 24 AS BIGINT)                          AS chunk_idx,
+           CAST(i AS BIGINT)                               AS start_tok,
+           CAST(least(32, len(toks) - i) AS BIGINT)        AS n_tok,
+           md5(array_to_string(list_slice(toks, i + 1,
+               least(i + 32, len(toks))), ' '))            AS chunk_hash
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) x,
+         UNNEST(range(0, len(toks), 24)) AS t(i)
+    WHERE doc_id < 200
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-length packing prep):
+    32-token chunks on a 24-token stride (8-token overlap), emitted as
+    (doc_id, chunk_idx, start, length, content-hash). The generate →
+    slice → hash pipeline is a pure narrow explode — rows fan out
+    ~L/stride× with no shuffle, which is exactly how a 100 TB corpus
+    gets re-chunked: linear scan, linear output, every split
+    independent. Bounded to doc_id < 200 only to keep the oracle diff
+    small; the plan is unchanged unbounded.
+    """
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    toks = tokens("text")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(24))
+    exploded = d.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("i")
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("i") / 24).cast("long").alias("chunk_idx"),
+        F.col("i").cast("long").alias("start_tok"),
+        F.least(F.lit(32), F.size("toks") - F.col("i")).cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("toks", F.col("i") + 1, F.lit(32))
+            )
+        ).alias("chunk_hash"),
+    )

@@ -113,3 +113,27 @@ def test_salted_join_spreads_key_without_extra_shuffles(spark, sf_dir):
     q = e.queries()["join_salted_event_type_stats"](spark, sf_dir)
     assert "_salt" not in q.columns
     assert q.count() > 0
+
+
+def test_repetition_stats_is_pure_scan(spark, sf_dir):
+    """Gopher repetition filters must be narrow — zero exchanges; the
+    explode+groupBy formulation would shuffle the whole token stream."""
+    q = e.queries()["text_repetition_stats"](spark, sf_dir)
+    assert count_shuffles(q) == 0
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination joins the corpus n-gram stream against the tiny
+    benchmark set — that side must broadcast, never shuffle the corpus."""
+    q = e.queries()["text_contamination_overlap"](spark, sf_dir)
+    assert_broadcast_join(q, min_count=1)
+
+
+def test_chunking_is_pure_narrow_explode(spark, sf_dir):
+    q = e.queries()["text_chunk_documents"](spark, sf_dir)
+    assert count_shuffles(q) == 0
+
+
+def test_int8_quantization_is_pure_scan(spark, sf_dir):
+    q = e.queries()["sim_int8_quantization"](spark, sf_dir)
+    assert count_shuffles(q) == 0
