@@ -56,40 +56,61 @@ def shared_df(
     if key not in _DF_CACHE:
         df = build()
         if materialize:
-            # persist + count first: the build executes under AQE
-            # (coalesced shuffles); the checkpoint then snapshots the
-            # already-cached partitions instead of re-running the
-            # pipeline through the slower non-AQE RDD path.
-            df = df.persist()
-            df.count()
+            # One eager pass straight into the checkpoint. (A
+            # persist+count prelude "to keep the build under AQE" was
+            # measured at 2× the cold cost — the extra full pass buys
+            # nothing at these intermediate sizes; direct checkpoint
+            # times identical to a plain persist while also truncating
+            # every consumer's static plan.)
             _DF_CACHE[key] = df.localCheckpoint(eager=True)
-            df.unpersist()
         else:
             _DF_CACHE[key] = df.persist()
     return _DF_CACHE[key]
 
 
+def _over_budget_error(what: str, max_rows: int) -> ValueError:
+    return ValueError(
+        f"{what} exceeds the driver-collect budget (> {max_rows} rows). "
+        "Brute force is the bounded-build-side tier; for open-ended "
+        "corpora generate candidates with SRP-LSH (sim_srp_lsh_pairs), "
+        "IVF (sim_ivf_topk), or MinHash/SimHash banding and feed the "
+        "same kernel pairs. Raise CATME_MAX_COLLECT_ROWS only if the "
+        "driver is sized for it."
+    )
+
+
 def require_bounded(df: DataFrame, max_rows: int | None = None, what: str = "input"):
     """Assert ``df`` has at most ``max_rows`` rows; return the count.
 
-    Guards every driver-side ``collect()`` build side: a bounded probe
-    (``limit(max+1).count()`` — never materializes more than the budget)
-    turns a would-be driver OOM at scale into an actionable error that
-    names the scale path.
+    Guards a driver-side materialization without collecting it: a
+    bounded probe (``limit(max+1).count()`` — never materializes more
+    than the budget) turns a would-be driver OOM at scale into an
+    actionable error that names the scale path. When the rows are
+    about to be collected anyway, use :func:`bounded_collect` — one
+    job instead of probe + collect.
     """
     if max_rows is None:
         max_rows = MAX_COLLECT_ROWS
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
-        raise ValueError(
-            f"{what} exceeds the driver-collect budget ({n - 1}+ rows > "
-            f"{max_rows}). Brute force is the bounded-build-side tier; "
-            "for open-ended corpora generate candidates with SRP-LSH "
-            "(sim_srp_lsh_pairs), IVF (sim_ivf_topk), or MinHash/SimHash "
-            "banding and feed the same kernel pairs. Raise "
-            "CATME_MAX_COLLECT_ROWS only if the driver is sized for it."
-        )
+        raise _over_budget_error(what, max_rows)
     return n
+
+
+def bounded_collect(df: DataFrame, max_rows: int | None = None, what: str = "input"):
+    """``collect()`` with the budget enforced in the SAME job.
+
+    ``limit(max+1)`` caps what can ever reach the driver; one extra
+    sentinel row proves the overflow without a separate count pass.
+    This is the single-pass form of :func:`require_bounded` + collect —
+    the guard costs zero extra Spark jobs.
+    """
+    if max_rows is None:
+        max_rows = MAX_COLLECT_ROWS
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise _over_budget_error(what, max_rows)
+    return rows
 
 
 def shared_matrix_broadcast(
@@ -105,8 +126,7 @@ def shared_matrix_broadcast(
     if key not in _BC_CACHE:
         import numpy as np
 
-        require_bounded(df, what=f"broadcast build side {name!r}")
-        rows = df.collect()
+        rows = bounded_collect(df, what=f"broadcast build side {name!r}")
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.array([r[1] for r in rows], dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))

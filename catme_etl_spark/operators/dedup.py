@@ -587,7 +587,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the broadcast side is the BOUNDED candidate/query set
     (like a broadcast join build side); the stream side partitions
-    freely. The bound is ENFORCED — ``require_bounded`` raises before
+    freely. The bound is ENFORCED — ``bounded_collect`` raises before
     collecting past the budget. For open-ended corpora, generate
     candidates first (MinHash/SimHash/LSH above, or IVF in
     similarity.py) and feed this kernel pairs, never the full cross

@@ -127,7 +127,7 @@ _COS_AB = sql_cosine("a.embedding", "b.embedding")
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors (F10 baseline): blocked A@B.T per
     Arrow batch against the broadcast corpus; ties broken by neighbor
-    id. The broadcast build side is BOUNDED (``require_bounded``
+    id. The broadcast build side is BOUNDED (``bounded_collect``
     raises past the budget) and session-shared with
     ``dedup_embedding_cosine_pairs``; open-ended corpora go through
     SRP-LSH/IVF candidates instead."""

@@ -176,3 +176,14 @@ def test_shared_df_keys_by_sf_dir(spark):
                    lambda: spark.range(999))
     assert a.count() == 5 and b.count() == 7
     assert a2 is a  # cache hit, builder not re-invoked
+
+
+def test_bounded_collect_single_pass(spark):
+    from catme_etl_spark.operators._shared import bounded_collect
+
+    df = spark.range(100)
+    assert len(bounded_collect(df, max_rows=100)) == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        bounded_collect(df, max_rows=99, what="test side")
