@@ -69,3 +69,61 @@ def spark_job_snapshot(spark) -> dict:
         "active_stages": len(st.getActiveStageIds()),
         "default_parallelism": spark.sparkContext.defaultParallelism,
     }
+
+
+def run_with_progress(spark, action, on_progress=None, interval: float = 0.2):
+    """Run a blocking Spark ``action`` while sampling task-level
+    progress from the status tracker (SURVEY §2.9 I5 — the reference's
+    per-chunk progress prints, re-expressed as the driver-side view of
+    a distributed job).
+
+    ``action`` is a zero-arg callable executing Spark jobs (a count, a
+    write). It runs in a worker thread inside its own job group so the
+    poller only sees this action's stages; the main thread samples
+    ``(completed_tasks, total_tasks)`` across active stages every
+    ``interval`` seconds and invokes ``on_progress(done, total)``.
+
+    Returns ``(result, samples)`` where ``samples`` is the list of
+    ``(done, total)`` tuples observed. Works identically on a real
+    cluster — the status tracker is the same API the Spark UI reads.
+    """
+    import threading
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"progress-{uuid.uuid4().hex[:8]}"
+    result: list = [None]
+    error: list = [None]
+
+    def target():
+        sc.setJobGroup(group, "run_with_progress", interruptOnCancel=False)
+        try:
+            result[0] = action()
+        except BaseException as exc:  # re-raised on the caller's thread
+            error[0] = exc
+        finally:
+            sc.setJobGroup(None, None)
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    st = sc.statusTracker()
+    samples: list[tuple[int, int]] = []
+    while t.is_alive():
+        t.join(interval)
+        done = total = 0
+        for jid in st.getJobIdsForGroup(group):
+            jinfo = st.getJobInfo(jid)
+            if jinfo is None:
+                continue
+            for sid in jinfo.stageIds:
+                sinfo = st.getStageInfo(sid)
+                if sinfo is not None:
+                    done += sinfo.numCompletedTasks
+                    total += sinfo.numTasks
+        if total:
+            samples.append((done, total))
+            if on_progress is not None:
+                on_progress(done, total)
+    if error[0] is not None:
+        raise error[0]
+    return result[0], samples

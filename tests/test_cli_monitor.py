@@ -35,3 +35,39 @@ def test_monitor_snapshot_and_thresholds():
 def test_spark_job_snapshot(spark):
     s = spark_job_snapshot(spark)
     assert s["default_parallelism"] >= 1
+
+
+def test_run_with_progress_samples_tasks(spark):
+    from catme_etl_spark.monitor import run_with_progress
+
+    seen = []
+    # A job slow enough (many partitions + sleep) for the poller to
+    # observe at least one in-flight sample.
+    def action():
+        import time as _time
+
+        return (
+            spark.range(0, 64, 1, 64)
+            .rdd.map(lambda x: (_time.sleep(0.02), x)[1])
+            .count()
+        )
+
+    result, samples = run_with_progress(spark, action, on_progress=lambda d, t: seen.append((d, t)))
+    assert result == 64
+    assert samples, "poller never observed the running job"
+    assert samples == seen
+    dones = [d for d, _ in samples]
+    assert dones == sorted(dones), "completed-task counts must be monotone"
+    assert all(d <= t for d, t in samples)
+
+
+def test_run_with_progress_propagates_errors(spark):
+    import pytest as _pytest
+
+    from catme_etl_spark.monitor import run_with_progress
+
+    def boom():
+        raise RuntimeError("action failed")
+
+    with _pytest.raises(RuntimeError, match="action failed"):
+        run_with_progress(spark, boom)
