@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.texttools import hex_prefix_long, sql_hex_long
+from ..functions.texttools import hex_prefix_long, sql_hex_long, tokens
 from ..sources.tables import load_table
 from .registry import query
 
@@ -115,4 +115,89 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(_RESERVOIR_K)
         .select("doc_id", "n_chars")
+    )
+
+
+@query(
+    "sample_train_val_test",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             CASE WHEN {sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 14, 1)} % 100 < 80
+                    THEN 'train'
+                  WHEN {sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 14, 1)} % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n
+    FROM tagged GROUP BY source, split
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-key
+    hash — the split every training pipeline needs to be REPRODUCIBLE
+    and LEAK-FREE: a doc's split follows from its id alone, so re-runs,
+    different cluster sizes, and incremental corpus additions never
+    move a document across splits (no random() + seed coupling to
+    partitioning). Narrow per-row tag; the only shuffle is the audit
+    aggregation emitted here. Per-source counts verify the hash mixes
+    evenly within every stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "pack_sequences_by_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) // 512 AS seq_id
+      FROM t
+    )
+    SELECT source, seq_id,
+           COUNT(*)                      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS toks
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents are packed contiguously (in
+    deterministic doc_id order) into ~512-token training sequences per
+    source — seq_id = floor(exclusive-prefix-sum / budget), the
+    streaming-friendly formulation of greedy concatenation (GPT-style
+    document packing). One window shuffle partitioned BY SOURCE (the
+    per-stream sort a 100 TB packer does per shard), then a small
+    rollup; no global sort anywhere. Sequences may overflow the budget
+    by at most one document — the standard split-free packing rule."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("long"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("toks"),
     )

@@ -137,3 +137,16 @@ def test_chunking_is_pure_narrow_explode(spark, sf_dir):
 def test_int8_quantization_is_pure_scan(spark, sf_dir):
     q = e.queries()["sim_int8_quantization"](spark, sf_dir)
     assert count_shuffles(q) == 0
+
+
+def test_split_tag_is_narrow_single_agg_shuffle(spark, sf_dir):
+    q = e.queries()["sample_train_val_test"](spark, sf_dir)
+    assert count_shuffles(q) == 1
+
+
+def test_packing_reuses_window_partitioning(spark, sf_dir):
+    """The per-source packing window and the (source, seq_id) rollup
+    must share ONE exchange — HashPartitioning(source) satisfies the
+    rollup's clustering, so a second shuffle would be a regression."""
+    q = e.queries()["pack_sequences_by_budget"](spark, sf_dir)
+    assert count_shuffles(q) == 1
