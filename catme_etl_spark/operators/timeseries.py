@@ -227,3 +227,68 @@ def ts_forward_fill_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
         F.round(F.last("val", ignorenulls=True).over(w), 4).alias("close_ffill"),
     )
+
+
+@query(
+    "ts_zscore_anomalies",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 600) AS BIGINT) AS i,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, i
+    ),
+    z AS (
+      SELECT event_type, i, n,
+             AVG(n)        OVER w AS mu,
+             STDDEV_SAMP(n) OVER w AS sd,
+             COUNT(*)      OVER w AS m
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, i * 600000000 AS win_start_us, n,
+           ROUND((n - mu) / sd, 4) AS zscore
+    FROM z
+    WHERE m >= 6 AND sd > 0 AND abs((n - mu) / sd) >= 2.0
+    """,
+)
+def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on per-type event volume: each
+    10-minute bucket is scored against the mean/stddev of its TRAILING
+    12 buckets (current excluded — no self-contamination), flagging
+    |z| ≥ 2 once ≥ 6 history buckets exist. The monitoring primitive
+    for ingest pipelines (volume spike / drop detection).
+
+    Scale shape: raw events collapse to one row per (type, bucket) in
+    a single map-side-combined aggregation; the rolling stats window
+    partitions by series key, so each executor sorts only its own
+    series — O(buckets) state, never O(events)."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+        )
+        .groupBy("event_type", "i")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("i").rowsBetween(-12, -1)
+    z = b.select(
+        "event_type",
+        "i",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    zscore = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        z.filter((F.col("m") >= 6) & (F.col("sd") > 0) & (F.abs(zscore) >= 2.0))
+        .select(
+            "event_type",
+            (F.col("i") * 600000000).alias("win_start_us"),
+            "n",
+            F.round(zscore, 4).alias("zscore"),
+        )
+    )
