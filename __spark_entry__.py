@@ -36,6 +36,7 @@ from catme_etl_spark.operators import timeseries  # noqa: F401
 from catme_etl_spark.operators import text  # noqa: F401
 from catme_etl_spark.operators import tpch  # noqa: F401
 from catme_etl_spark.operators import tpch2  # noqa: F401
+from catme_etl_spark.operators import tpch3  # noqa: F401
 from catme_etl_spark.operators import udfs  # noqa: F401
 from catme_etl_spark.operators import windows  # noqa: F401
 from catme_etl_spark.streaming import jobs  # noqa: F401

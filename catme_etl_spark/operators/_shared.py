@@ -23,6 +23,28 @@ from pyspark.sql import DataFrame, SparkSession
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _BC_CACHE: dict[tuple[str, str, str], object] = {}
 
+
+def _evict_stale(spark: SparkSession) -> None:
+    """Drop cache entries from other (stopped) sessions.
+
+    Keys embed the applicationId, so entries from a previous session
+    can never be *served* — but without eviction their persisted
+    DataFrames/broadcasts stay referenced for the life of the process
+    (pytest and repeated ``get_spark`` calls accumulate them). Called
+    on every cache access; release errors are ignored because the
+    owning context may already be gone.
+    """
+    app_id = spark.sparkContext.applicationId
+    for cache, release in (
+        (_DF_CACHE, lambda v: v.unpersist()),
+        (_BC_CACHE, lambda v: v.destroy()),
+    ):
+        for key in [k for k in cache if k[2] != app_id]:
+            try:
+                release(cache.pop(key))
+            except Exception:
+                pass
+
 # Enforced ceiling for any driver-side collect of a build side (the
 # brute-force cosine kernels). 200k rows × 64 dims × 8 B ≈ 100 MB —
 # a sane broadcast; beyond that the scale path is LSH/IVF candidate
@@ -52,6 +74,7 @@ def shared_df(
     reliable storage between jobs; localCheckpoint trades that
     durability for speed, which is the right local/single-tenant call.
     """
+    _evict_stale(spark)
     key = (name, sf_dir, spark.sparkContext.applicationId)
     if key not in _DF_CACHE:
         df = build()
@@ -122,13 +145,28 @@ def shared_matrix_broadcast(
     Returns a Spark broadcast of ``(ids, matrix, norms)``. The bound is
     enforced by :func:`require_bounded` before anything is collected.
     """
-    key = (name, sf_dir, spark.sparkContext.applicationId)
-    if key not in _BC_CACHE:
+    def build():
         import numpy as np
 
         rows = bounded_collect(df, what=f"broadcast build side {name!r}")
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.array([r[1] for r in rows], dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
-        _BC_CACHE[key] = spark.sparkContext.broadcast((ids, mat, norms))
+        return ids, mat, norms
+
+    return shared_broadcast(name, sf_dir, spark, build)
+
+
+def shared_broadcast(
+    name: str, sf_dir: str, spark: SparkSession, build: Callable[[], object]
+):
+    """Broadcast ``build()``'s value once per (name, sf_dir, session).
+
+    The generic form of :func:`shared_matrix_broadcast` for build
+    sides that aren't a bounded DataFrame collect (e.g. fitted model
+    artifacts like k-means centroids)."""
+    _evict_stale(spark)
+    key = (name, sf_dir, spark.sparkContext.applicationId)
+    if key not in _BC_CACHE:
+        _BC_CACHE[key] = spark.sparkContext.broadcast(build())
     return _BC_CACHE[key]

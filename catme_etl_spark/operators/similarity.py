@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import make_cosine_pandas_udf, sql_cosine
 from ..sources.tables import load_table
-from ._shared import shared_matrix_broadcast
+from ._shared import shared_broadcast, shared_matrix_broadcast
 from .registry import query
 
 TOP_K = 5
@@ -193,7 +193,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
     bc = shared_matrix_broadcast("ivf_centroids", sf_dir, spark, cent)
+    return _ivf_plan(emb, bc)
 
+
+def _ivf_plan(emb: DataFrame, bc) -> DataFrame:
+    """assign → probe → inverted-list equi-join → score → top-k against
+    any broadcast centroid table ``(ids, matrix, norms)``."""
     # nearest-NPROBE centroids per vector; rn=1 is the list assignment
     near = emb.mapInPandas(
         _topk_against(bc, NPROBE, exclude_self=False),
@@ -230,6 +235,47 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id", F.round("cos_raw", 4).alias("cos"),
         )
     )
+
+
+@query("sim_ivf_kmeans_topk")
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with **k-means** centroids — the production centroid
+    tier (`pyspark.ml.clustering.KMeans`, fixed seed) behind the same
+    probe-join plan as `sim_ivf_topk` (which keeps the deterministic
+    stride centroids for the DuckDB oracle).
+
+    k matches the stride variant's centroid count so the two tiers'
+    recall is apples-to-apples (asserted in
+    `tests/test_similarity.py`); at real scale pick k ≈ √n and fit on
+    a sample — the fit is one pass over a vector column, the rest of
+    the plan is unchanged. Rows-only check: the seeded Lloyd iteration
+    is not SQL-reproducible; exact equivalents are oracle-checked via
+    `sim_topk_bruteforce`/`sim_ivf_topk`.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def fit_centroids():
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n = emb.count()
+        k = max(2, n // CENTROID_STRIDE)
+        vecs = emb.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=k, seed=7, maxIter=20, featuresCol="features").fit(vecs)
+        mat = np.vstack([np.asarray(c) for c in model.clusterCenters()]).astype(
+            np.float64
+        )
+        ids = np.arange(len(mat), dtype=np.int64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        return ids, mat, norms
+
+    bc = shared_broadcast("ivf_kmeans_centroids", sf_dir, spark, fit_centroids)
+    return _ivf_plan(emb, bc)
 
 
 # ---------------------------------------------------------------------------

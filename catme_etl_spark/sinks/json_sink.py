@@ -29,6 +29,8 @@ import os
 
 from pyspark.sql import DataFrame
 
+from ..operators._shared import bounded_collect
+
 
 def write_json(
     df: DataFrame,
@@ -58,8 +60,13 @@ def merged_json_array(
     (`unified_code.py:352-362`; pretty via ``indent`` like
     `unified_code.py:350`, compact via ``indent=None`` like the
     optimizer `unified_code.py:379`). Driver-side by nature — bounded
-    output only. Returns ``optimize_json``-style size stats."""
-    records = [row.asDict(recursive=True) for row in df.collect()]
+    output only (enforced: over CATME_MAX_COLLECT_ROWS raises instead
+    of OOMing the driver; use ``write_json`` for large tables).
+    Returns ``optimize_json``-style size stats."""
+    records = [
+        row.asDict(recursive=True)
+        for row in bounded_collect(df, what="merged_json_array output")
+    ]
     if order_by:
         # null-safe key: NULLs sort last; None is not comparable to
         # str/int in Python, so guard each component with an is-None flag

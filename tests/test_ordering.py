@@ -1,0 +1,28 @@
+"""SWEEP_ORDER ↔ registry sync (round-2 ADVICE: new queries were
+registered but never added to the list, so the driver's budgeted
+correctness gate never ran them).
+
+Importing ``__spark_entry__`` populates the registry; the list and the
+registry must then agree exactly — a query missing from SWEEP_ORDER
+silently lands behind the certification window, and a stale name in
+SWEEP_ORDER means a query was renamed/removed without updating the
+rotation.
+"""
+
+from __future__ import annotations
+
+
+def test_sweep_order_matches_registry_exactly():
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    from catme_etl_spark.operators.ordering import SWEEP_ORDER
+    from catme_etl_spark.operators.registry import QUERIES
+
+    listed, registered = set(SWEEP_ORDER), set(QUERIES)
+    assert len(SWEEP_ORDER) == len(listed), "duplicate names in SWEEP_ORDER"
+    assert registered - listed == set(), (
+        f"registered but missing from SWEEP_ORDER: {sorted(registered - listed)}"
+    )
+    assert listed - registered == set(), (
+        f"in SWEEP_ORDER but not registered: {sorted(listed - registered)}"
+    )
