@@ -64,9 +64,12 @@ def shared_df(
     ``materialize=False`` (default): lazy ``persist()`` — lineage kept,
     first consumer computes, later consumers hit the cache.
 
-    ``materialize=True``: eager ``localCheckpoint`` — the stage runs
-    once at build time and every consumer's plan starts from the
-    materialized result (a scan), not the full upstream lineage. Use
+    ``materialize=True``: lazy ``localCheckpoint`` — the first ACTION
+    runs the stage once and every consumer's plan starts from the
+    materialized result (a scan), not the full upstream lineage
+    (lazy, not eager, so merely CONSTRUCTING a query — plan reports,
+    schema probes — never executes the multi-shuffle pipeline as a
+    side effect). Use
     for SMALL derived tables with EXPENSIVE lineage (verified near-dup
     pairs: a handful of rows behind a 5-shuffle pipeline) where
     replaying lineage per consumer — even in a static plan — is the
@@ -79,13 +82,13 @@ def shared_df(
     if key not in _DF_CACHE:
         df = build()
         if materialize:
-            # One eager pass straight into the checkpoint. (A
-            # persist+count prelude "to keep the build under AQE" was
-            # measured at 2× the cold cost — the extra full pass buys
-            # nothing at these intermediate sizes; direct checkpoint
-            # times identical to a plain persist while also truncating
-            # every consumer's static plan.)
-            _DF_CACHE[key] = df.localCheckpoint(eager=True)
+            # One pass straight into the checkpoint, deferred to the
+            # first action. (A persist+count prelude "to keep the build
+            # under AQE" was measured at 2× the cold cost — the extra
+            # full pass buys nothing at these intermediate sizes;
+            # direct checkpoint times identical to a plain persist
+            # while also truncating every consumer's static plan.)
+            _DF_CACHE[key] = df.localCheckpoint(eager=False)
         else:
             _DF_CACHE[key] = df.persist()
     return _DF_CACHE[key]

@@ -65,10 +65,25 @@ def zorder_key(cols: list[str], bits: int = 16) -> "object":
     passed as an already-bounded non-negative int; this helper just
     interleaves bits. Built as ONE SQL expression for ``F.expr`` (a
     Column-operator loop would issue 2·bits·N py4j calls).
+
+    The precondition is ENFORCED, not just documented: a negative
+    value would sign-extend through ``>>`` and a value >= 2^bits would
+    silently drop its high bits — both yield misclustered output with
+    no visible error, so out-of-contract input raises per-row via
+    ``raise_error`` instead of degrading clustering.
     """
     from pyspark.sql import functions as F
 
     terms = []
+    for c in cols:
+        # contributes 0 for in-contract values; raises otherwise
+        terms.append(
+            f"(CASE WHEN CAST({c} AS BIGINT) >= 0 "
+            f"AND (CAST({c} AS BIGINT) >> {bits}) = 0 THEN 0 "
+            f"ELSE CAST(raise_error('zorder_key: column {c} out of "
+            f"contract (need 0 <= {c} < 2^{bits}); rank/bucketize "
+            f"upstream') AS BIGINT) END)"
+        )
     for b in range(bits):
         for i, c in enumerate(cols):
             # bit b of column i lands at interleaved position b*N + i

@@ -96,7 +96,9 @@ def validate_excel(path: str) -> bool:
     opens the file and reads the sheet catalog without parsing rows
     (the reference probes with ``nrows=0``). Raises ``ValueError`` on
     garbage/unreadable input — same contract as :func:`validate_csv`.
-    Raises ``ImportError`` when no Excel engine is installed."""
+    Without an Excel engine (openpyxl) the probe falls back to the
+    stdlib ZIP/XML catalog read (``sources/xlsx_lite.py``), so the
+    contract holds in engine-less environments too."""
     import pandas as pd
 
     try:
@@ -105,7 +107,16 @@ def validate_excel(path: str) -> bool:
                 raise ValueError("workbook has no sheets")
         return True
     except ImportError:
-        raise
+        from . import xlsx_lite
+
+        try:
+            if not xlsx_lite.sheet_names(path):
+                raise ValueError("workbook has no sheets")
+            return True
+        except ValueError:
+            raise
+        except Exception as ex:
+            raise ValueError(f"cannot read Excel {path!r}: {ex}") from ex
     except Exception as ex:
         raise ValueError(f"cannot read Excel {path!r}: {ex}") from ex
 
@@ -118,17 +129,29 @@ def excel_metadata(path: str) -> dict:
     metadata-parse-then-chunk-reparse O(N²) pattern (SURVEY §4.2.1).
     Driver-side by nature: one workbook is one file; many workbooks
     scale out via :func:`read_excel_many`."""
-    import pandas as pd
-
     validate_excel(path)
     out: dict[str, dict] = {}
-    for sheet, pdf in pd.read_excel(path, sheet_name=None).items():
+    for sheet, pdf in _read_excel_pandas(path, sheet_name=None).items():
         out[sheet] = {
             "rows": len(pdf),
             "columns": list(pdf.columns),
             "dtypes": {c: str(t) for c, t in pdf.dtypes.items()},
         }
     return out
+
+
+def _read_excel_pandas(path: str, sheet_name: str | int | None = 0):
+    """``pd.read_excel`` with the stdlib fallback: prefer the real
+    engine (full format coverage), fall back to ``xlsx_lite`` when no
+    engine is installed so the path still executes."""
+    import pandas as pd
+
+    try:
+        return pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError:
+        from . import xlsx_lite
+
+        return xlsx_lite.read_workbook(path, sheet_name=sheet_name)
 
 
 def read_excel(
@@ -138,11 +161,9 @@ def read_excel(
     schema: StructType | str | None = None,
 ) -> DataFrame:
     """Excel bridge (S3). Driver-side ``pd.read_excel`` →
-    ``createDataFrame`` (Arrow). Raises ``ImportError`` if no Excel
-    engine (openpyxl) is available in the environment."""
-    import pandas as pd
-
-    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    ``createDataFrame`` (Arrow). Falls back to the stdlib ZIP/XML
+    reader when no Excel engine (openpyxl) is installed."""
+    pdf = _read_excel_pandas(path, sheet_name=sheet_name)
     return spark.createDataFrame(pdf, schema=schema)
 
 
@@ -156,14 +177,12 @@ def read_excel_many(
     via ``mapInPandas`` — the scale path when there are many workbooks
     (one workbook still parses on one core; that limit is inherent to
     the format)."""
-    import pandas as pd
-
     paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
 
     def parse(batches):
         for pdf in batches:
             for p in pdf["path"]:
-                yield pd.read_excel(p, sheet_name=sheet_name)
+                yield _read_excel_pandas(p, sheet_name=sheet_name)
 
     return paths_df.repartition(max(1, min(len(paths), 64))).mapInPandas(
         parse, schema=schema

@@ -40,10 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the parquet reader via Catalyst pushdown — verify with
     ``plans.explain.assert_pushed_filters``.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos (legacy conf) and
-    truncated to a microsecond TimestampType — the same truncation
-    DuckDB applies, so oracle comparisons agree.
+    ``events.ts`` normalization: depending on the fixture generation the
+    column arrives as parquet TIMESTAMP(NANOS) (read as raw nanos via
+    the legacy conf and truncated to microseconds — the same truncation
+    DuckDB applies) or as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (read as TIMESTAMP_NTZ). Both are normalized to a session-UTC
+    TimestampType so event-time operators (watermarks, ``F.window``)
+    and oracle comparisons see one canonical type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -52,10 +55,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: epoch-nanos (~1.7e18) overflows double's
             # 53-bit mantissa, so `/ 1000` would round the microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session tz is pinned UTC, so the cast keeps the wall clock
+            # AND the epoch-micros value — watermarks require LTZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

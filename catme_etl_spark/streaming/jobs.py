@@ -68,18 +68,29 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
-        from pyspark.sql import Window
-
+        # Slice by event-time quantile RANGES, not a global row_number
+        # sort: a no-partition Window would funnel the whole table
+        # through one task (the anti-pattern this repo bans in query
+        # code). Quantile boundaries + half-open range filters partition
+        # the rows exactly — no slice needs any sort, because watermark
+        # advancement is per micro-batch and within-batch order is
+        # irrelevant.
         src = spark.read.parquet(path)
-        n = src.count()
-        per = (n + 3) // 4
-        ranked = src.withColumn(
-            "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
-        )
+        if dict(src.dtypes).get("ts") == "bigint":
+            tsn = F.col("ts")
+        else:  # timestamp / timestamp_ntz — epoch micros is sortable
+            tsn = F.unix_micros(F.col("ts").cast("timestamp"))
+        src = src.withColumn("_tsn", tsn)
+        bounds = src.stat.approxQuantile("_tsn", [0.25, 0.5, 0.75], 0.001)
+        edges = [float("-inf")] + bounds + [float("inf")]
         for i in range(4):  # sequential writes → increasing mtimes
-            ranked.filter(
-                (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
-            ).drop("_rn").coalesce(1).write.mode("overwrite").parquet(
+            lo, hi = edges[i], edges[i + 1]
+            sl = src
+            if lo != float("-inf"):
+                sl = sl.filter(F.col("_tsn") > lo)
+            if hi != float("inf"):
+                sl = sl.filter(F.col("_tsn") <= hi)
+            sl.drop("_tsn").coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(stage, f"slice{i}")
             )
         open(done, "w").close()
@@ -90,8 +101,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is UTC: cast preserves the instant; watermarks
+        # require the LTZ TimestampType
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -106,6 +122,13 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     by the query at start (it is recorded in the checkpoint), and the
     session's batch setting is restored after — on a real cluster a
     long-lived stream sizes this to its state volume instead.
+
+    SINGLE-THREADED assumption: the conf override is session-global
+    for the query's lifetime, so a batch query run CONCURRENTLY on the
+    same session (another thread) would see 8 shuffle partitions. The
+    sweep/bench/pytest harnesses all run queries sequentially; a
+    multi-tenant deployment would run streams on their own session
+    (``spark.newSession()``) instead.
     """
     spark = df.sparkSession
     name = f"stream_sink_{next(_SINK_SEQ)}"
@@ -128,6 +151,19 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def tumbling_event_agg(e: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregation over ANY stream exposing
+    ``(ts timestamp, event_type string, value double)`` — the job logic
+    is source-independent (file stream in the registered query, rate
+    source in tests/test_streaming.py, Kafka/landing-zone in a real
+    deployment: only the ``readStream`` line changes)."""
+    e = e.withWatermark("ts", "1 hour")
+    return e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+
+
 @query(
     "stream_tumbling_10min",
     oracle="""
@@ -142,11 +178,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
 def stream_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation, streamed. Complete mode
     → equals the batch tumbling aggregation bit-for-bit."""
-    e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    agg = e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        money_sum("value").alias("sum_value"),
-    )
+    agg = tumbling_event_agg(_stream_events(spark, sf_dir))
     sunk = _run_to_memory(agg, "complete")
     return sunk.select(
         F.unix_micros(F.col("w.start")).alias("win_start_us"),

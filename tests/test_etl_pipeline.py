@@ -139,13 +139,18 @@ def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
     assert jback.count() == n.count()
 
 
-def test_excel_roundtrip_if_engine_available(spark, tmp_path):
-    pd = pytest.importorskip("pandas")
-    pytest.importorskip("openpyxl")
-    p = str(tmp_path / "wb.xlsx")
-    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(p, index=False)
+def test_excel_roundtrip(spark, tmp_path):
+    """S3 executes in-container: the fixture writer emits a real xlsx
+    (zip+XML); read_auto dispatches to read_excel, which uses the
+    pandas engine when present and the stdlib fallback otherwise."""
+    from tests.xlsx_fixture import write_xlsx
+
+    p = write_xlsx(
+        str(tmp_path / "wb.xlsx"), {"Sheet1": [["a", "b"], [1, "x"], [2, "y"]]}
+    )
     df = read_auto(spark, p)
     assert sorted(r.a for r in df.collect()) == [1, 2]
+    assert sorted(r.b for r in df.collect()) == ["x", "y"]
 
 
 def test_corrupt_rows_are_isolated_not_fatal(spark, tmp_path):

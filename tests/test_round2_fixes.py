@@ -68,47 +68,44 @@ def test_merged_json_array_null_safe_ordering(spark, tmp_path):
     assert [r["k"] for r in recs] == ["a", "b", None]  # NULLs last
 
 
-def test_validate_excel_and_metadata():
-    pd = pytest.importorskip("pandas")
-    pytest.importorskip("openpyxl")
-    import tempfile
-
+def test_validate_excel_and_metadata(tmp_path):
+    """S1/S2 execute in-container via the fixture writer + stdlib
+    fallback; with openpyxl present the same assertions cover the
+    engine path (the fixture is a spec-conformant workbook)."""
     from catme_etl_spark.sources.files import excel_metadata, validate_excel
+    from tests.xlsx_fixture import write_xlsx
 
-    with tempfile.TemporaryDirectory() as d:
-        p = os.path.join(d, "wb.xlsx")
-        with pd.ExcelWriter(p) as xw:
-            pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_excel(
-                xw, sheet_name="s1", index=False
-            )
-            pd.DataFrame({"c": [1.5]}).to_excel(xw, sheet_name="s2", index=False)
-        assert validate_excel(p) is True
-        meta = excel_metadata(p)
-        assert meta["s1"]["rows"] == 3
-        assert meta["s1"]["columns"] == ["a", "b"]
-        assert meta["s2"]["rows"] == 1
-        garbage = os.path.join(d, "garbage.xlsx")
-        with open(garbage, "wb") as f:
-            f.write(b"not a workbook")
-        with pytest.raises(ValueError):
-            validate_excel(garbage)
+    p = write_xlsx(
+        str(tmp_path / "wb.xlsx"),
+        {
+            "s1": [["a", "b"], [1, "x"], [2, "y"], [3, "z"]],
+            "s2": [["c"], [1.5]],
+        },
+    )
+    assert validate_excel(p) is True
+    meta = excel_metadata(p)
+    assert meta["s1"]["rows"] == 3
+    assert meta["s1"]["columns"] == ["a", "b"]
+    assert meta["s1"]["dtypes"]["a"] == "int64"
+    assert meta["s2"]["rows"] == 1
+    assert meta["s2"]["dtypes"]["c"] == "float64"
+    garbage = os.path.join(str(tmp_path), "garbage.xlsx")
+    with open(garbage, "wb") as f:
+        f.write(b"not a workbook")
+    with pytest.raises(ValueError):
+        validate_excel(garbage)
 
 
 def test_validate_excel_garbage_raises_without_engine(tmp_path):
-    """The S1 contract (garbage → ValueError) must hold regardless of
-    engine availability — pandas raises before needing openpyxl for a
-    non-zip payload; if only ImportError is possible, skip."""
+    """The S1 contract (garbage → ValueError) holds regardless of
+    engine availability — the stdlib fallback makes this unconditional
+    (no skip path left)."""
     garbage = tmp_path / "garbage.xlsx"
     garbage.write_bytes(b"definitely not a zip archive")
     from catme_etl_spark.sources.files import validate_excel
 
-    try:
+    with pytest.raises(ValueError):
         validate_excel(str(garbage))
-    except ValueError:
-        return
-    except ImportError:
-        pytest.skip("no excel engine in container")
-    pytest.fail("garbage workbook did not raise")
 
 
 def test_per_process_logger_writes_pid_file(tmp_path):

@@ -21,6 +21,24 @@ def test_zorder_key_interleaves_bits(spark):
     assert got2 == 0b1011
 
 
+def test_zorder_key_rejects_out_of_contract_values(spark):
+    """ADVICE r2: negative values and values >= 2^bits must raise, not
+    silently miscluster (sign-extension / dropped high bits)."""
+    import pytest
+
+    for bad in [(-1, 1), (4, 1), (1, -7)]:
+        df = spark.createDataFrame([bad], "x long, y long")
+        with pytest.raises(Exception) as ei:
+            df.select(zorder_key(["x", "y"], bits=2).alias("z")).collect()
+        assert "zorder_key" in str(ei.value)
+    # boundary value 2^bits - 1 is in contract
+    ok = spark.createDataFrame([(3, 3)], "x long, y long")
+    assert (
+        ok.select(zorder_key(["x", "y"], bits=2).alias("z")).first()["z"]
+        == 0b1111
+    )
+
+
 def test_zordered_files_cluster_both_dimensions(spark, tmp_path):
     # 64×64 uniform grid → 8 curve segments; every file should cover a
     # small sub-rectangle in BOTH x and y, unlike a plain sort which
