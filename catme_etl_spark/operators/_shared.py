@@ -45,6 +45,37 @@ def _evict_stale(spark: SparkSession) -> None:
             except Exception:
                 pass
 
+def fan_out(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
+    """Spread a small-file input across the cluster before heavy
+    per-row expansion (explode → hash → wide aggregate).
+
+    A compact parquet file (one row group) arrives as ONE input split,
+    so everything fused into the scan stage — tokenize, digest, and the
+    map-side partial aggregation — runs in a single task no matter how
+    many cores the cluster has (measured: the 61-buffer simhash
+    signature aggregation spent 3.5-8s single-threaded at sf0.1 while
+    31 cores idled). Repartitioning the pre-explosion rows is a shuffle
+    of the SMALL side — thousands of rows — that buys full parallelism
+    for the expensive expansion.
+
+    Pass the downstream groupBy key (e.g. ``doc_id``) so the resulting
+    hash partitioning also satisfies the aggregation's required
+    distribution — the planner then skips the post-aggregation
+    exchange, making the fan-out shuffle a net replacement, not an
+    addition.
+
+    No-op when the input already has at least cluster parallelism —
+    i.e. at real scale, where a 100 TB table arrives as thousands of
+    splits and another shuffle would be pure harm.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if keys:
+        return df.repartition(target, *keys)
+    return df.repartition(target)
+
+
 # Enforced ceiling for any driver-side collect of a build side (the
 # brute-force cosine kernels). 200k rows × 64 dims × 8 B ≈ 100 MB —
 # a sane broadcast; beyond that the scale path is LSH/IVF candidate

@@ -44,7 +44,7 @@ from ..functions.texttools import (
 )
 from ..functions.vector import SQL_DOT, SQL_NORM
 from ..sources.tables import load_table
-from ._shared import shared_df, shared_matrix_broadcast
+from ._shared import fan_out, shared_df, shared_matrix_broadcast
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -98,7 +98,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-doc repeats."""
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
+        d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
         return d.select(
             "doc_id",
             F.explode(F.array_distinct(word_shingles("text", k=3))).alias("g"),
@@ -433,35 +433,38 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: a single-row-group documents file otherwise pins the
+    # explode + md5 + 61-buffer partial aggregation to ONE task
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
-    # hash the dictionary, not the stream: md5 runs once per DISTINCT
-    # token and broadcast-joins back (narrow on the token stream) —
-    # also a hard optimizer barrier, so CollapseProject can't fold the
-    # digest chain into all 60 aggregate expressions (the original
-    # failure mode, measured 2× slower; then fixed with persist; the
-    # dictionary join removes ~all of the digest work instead)
-    vocab = (
-        tok.select("t")
-        .distinct()
-        .select("t", hex_prefix_long(F.md5("t"), 15).alias("h"))
-    )
-    hashed = tok.join(F.broadcast(vocab), "t").select("doc_id", "h")
+    # ONE md5 per token OCCURRENCE in a narrow projection feeding the
+    # partial aggregation directly. This replaces the round-2
+    # dictionary-join form (distinct vocab + md5 + broadcast join
+    # back), which was profiled this round at ~3s warm vs 0.5s for
+    # this form at sf0.1: the vocab distinct is a shuffle and the
+    # broadcast a driver collect, both pure overhead when the digest
+    # itself is cheap. The narrow no-shuffle pipeline is also the
+    # 100 TB shape — an open-vocabulary corpus may not even have a
+    # broadcastable dictionary. (The projection is NOT collapsed into
+    # the aggregate expressions: partial aggregation evaluates `h`
+    # once per row, verified by a single md5 in the physical plan.)
+    hashed = tok.select("doc_id", hex_prefix_long(F.md5("t"), 15).alias("h"))
+    # ones-counts instead of ±1 votes: sum((h>>s)&1) is a branch-free
+    # aggregate, and sign(votes_k) >= 0  ⟺  2·ones_k >= n_tokens
     weights = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), _SIMHASH_BITS - 1 - k).bitwiseAND(1) == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"s_{k}")
+                F.shiftright(F.col("h"), _SIMHASH_BITS - 1 - k).bitwiseAND(1)
+            ).alias(f"o_{k}")
             for k in range(_SIMHASH_BITS)
-        ]
+        ],
     )
     sig = None
     for k in range(_SIMHASH_BITS):
         term = F.when(
-            F.col(f"s_{k}") >= 0, F.lit(1 << (_SIMHASH_BITS - 1 - k)).cast("long")
+            F.col(f"o_{k}") * 2 >= F.col("n"),
+            F.lit(1 << (_SIMHASH_BITS - 1 - k)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return weights.select("doc_id", sig.alias("simhash"))
@@ -540,19 +543,24 @@ def _build_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("b2"),
         F.col("bval").alias("bval2"),
     )
-    cand = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    # Hamming-verify BEFORE deduplicating band collisions: the filter
+    # is a narrow per-row op that cuts the candidate stream ~9× here,
+    # so the distinct (a shuffle) runs over the small verified set of
+    # 3 narrow columns instead of the wide 4-column collision stream.
+    # Same result set: a (doc_a, doc_b) pair determines its signatures,
+    # hence its hamming — distinct on the projection is distinct on
+    # the pair.
+    return (
         a.join(
             b,
             (F.col("b") == F.col("b2"))
             & (F.col("bval") == F.col("bval2"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    return cand.filter(hamming <= _HAMMING_MAX).select(
-        "doc_a", "doc_b", hamming.alias("hamming")
     )
 
 
@@ -615,7 +623,9 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": ia[r], "vec_b": bids[c], "cos_raw": cos[r, c]}
             )
 
-    return emb.mapInPandas(
+    # fan_out: a single-row-group embeddings file would otherwise run
+    # the whole blocked matmul in ONE Arrow task
+    return fan_out(emb, spark).mapInPandas(
         gen, schema="vec_a long, vec_b long, cos_raw double"
     ).select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
 

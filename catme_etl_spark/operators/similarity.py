@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import make_cosine_pandas_udf, sql_cosine
 from ..sources.tables import load_table
-from ._shared import shared_broadcast, shared_matrix_broadcast
+from ._shared import fan_out, shared_broadcast, shared_matrix_broadcast
 from .registry import query
 
 TOP_K = 5
@@ -133,7 +133,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP-LSH/IVF candidates instead."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
-    out = emb.mapInPandas(
+    # fan_out: a single-row-group embeddings file would otherwise run
+    # the whole blocked matmul in ONE Arrow task
+    out = fan_out(emb, spark).mapInPandas(
         _topk_against(bc, TOP_K, exclude_self=True),
         schema="query_id long, rank long, neighbor_id long, cos_raw double",
     )
@@ -193,14 +195,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
     bc = shared_matrix_broadcast("ivf_centroids", sf_dir, spark, cent)
-    return _ivf_plan(emb, bc)
+    return _ivf_plan(emb, bc, spark)
 
 
-def _ivf_plan(emb: DataFrame, bc) -> DataFrame:
+def _ivf_plan(emb: DataFrame, bc, spark: SparkSession) -> DataFrame:
     """assign → probe → inverted-list equi-join → score → top-k against
     any broadcast centroid table ``(ids, matrix, norms)``."""
     # nearest-NPROBE centroids per vector; rn=1 is the list assignment
-    near = emb.mapInPandas(
+    # (fan_out: keep the centroid matmul off a single scan task)
+    near = fan_out(emb, spark).mapInPandas(
         _topk_against(bc, NPROBE, exclude_self=False),
         schema="query_id long, rank long, neighbor_id long, cos_raw double",
     ).select(
@@ -275,7 +278,7 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ids, mat, norms
 
     bc = shared_broadcast("ivf_kmeans_centroids", sf_dir, spark, fit_centroids)
-    return _ivf_plan(emb, bc)
+    return _ivf_plan(emb, bc, spark)
 
 
 # ---------------------------------------------------------------------------
@@ -377,8 +380,14 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in range(_SRP_PLANES)
     )
     # persist: the candidate self-join reads the signature twice; the
-    # 16×dim unrolled projection must not run once per side
-    sig = emb.select("vec_id", F.expr(key_sql).alias("key")).persist()
+    # 16×dim unrolled projection must not run once per side.
+    # fan_out: don't compute 16 unrolled 64-term FMA chains per row in
+    # a single scan task when the file arrives as one split.
+    sig = (
+        fan_out(emb, spark)
+        .select("vec_id", F.expr(key_sql).alias("key"))
+        .persist()
+    )
     banded = sig.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(_SRP_BANDS - 1))).alias("b"),
