@@ -119,6 +119,69 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang, source, COUNT(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    ),
+    rates AS (
+      SELECT lang, source,
+             ROUND(sqrt(CAST(MIN(n_docs) OVER () AS DOUBLE) / n_docs), 9) AS rate
+      FROM m
+    ),
+    u AS (
+      SELECT doc_id, lang, source,
+             ({sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 13, 1)} + 1)
+               / {float(1 << _U_BITS)} AS u
+      FROM documents
+    )
+    SELECT u.doc_id, u.lang, u.source, rates.rate
+    FROM u JOIN rates USING (lang, source)
+    WHERE u.u < rates.rate
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling (T = 2) of the corpus mix: stratum s with
+    share p_s is kept at rate ∝ p_s^(1/T - 1) = 1/√p_s, normalized so
+    the rarest stratum keeps everything — the standard move for
+    flattening a skewed (lang, source) mix toward target shares
+    q_s ∝ p_s^(1/T) without upsampling. Membership is deterministic:
+    doc u = (md5-52-bit + 1)/2^52 (exactly representable in a double)
+    accepted iff u < rate.
+
+    Numeric portability: with T = 2 the rate is sqrt(n_min/n_s) —
+    integer inputs through division and sqrt, both CORRECTLY ROUNDED
+    under IEEE 754 in every engine, so the acceptance boundary is
+    bit-identical in Spark and the oracle (a `pow`-based general-T form
+    is only ~1-ulp-accurate and could flip a boundary doc).
+
+    Plan shape: one scan aggregates the tiny (lang, source) mix table;
+    rates broadcast-join back; the accept filter is narrow per-row.
+    The big table is scanned twice at most (mix + filter) — at real
+    scale the mix table is precomputed corpus metadata and the first
+    scan disappears."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    rates = m.select(
+        "lang",
+        "source",
+        F.round(
+            F.sqrt(F.min("n_docs").over(w).cast("double") / F.col("n_docs")), 9
+        ).alias("rate"),
+    )
+    h = hex_prefix_long(F.md5(F.col("doc_id").cast("string")), 13, 1)
+    u = (h + 1) / float(1 << _U_BITS)
+    return (
+        d.select("doc_id", "lang", "source", u.alias("u"))
+        .join(F.broadcast(rates), ["lang", "source"])
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang", "source", "rate")
+    )
+
+
+@query(
     "sample_train_val_test",
     oracle=f"""
     WITH tagged AS (

@@ -150,3 +150,21 @@ def test_packing_reuses_window_partitioning(spark, sf_dir):
     rollup's clustering, so a second shuffle would be a regression."""
     q = e.queries()["pack_sequences_by_budget"](spark, sf_dir)
     assert count_shuffles(q) == 1
+
+
+def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
+    """The incremental ingest join must broadcast the (small) new
+    batch's band keys — the corpus-sized LSH index never shuffles for
+    the probe, and nothing degenerates to a sort-merge self-join."""
+    from catme_etl_spark.plans.explain import executed_plan_str
+
+    q = e.queries()["dedup_minhash_incremental"](spark, sf_dir)
+    assert_broadcast_join(q, min_count=1)
+    assert "SortMergeJoin" not in executed_plan_str(q)
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    """The per-stratum rate table is tiny — it must broadcast back onto
+    the corpus scan, never shuffle the documents for the join."""
+    q = e.queries()["sample_temperature_mix"](spark, sf_dir)
+    assert_broadcast_join(q, min_count=1)
