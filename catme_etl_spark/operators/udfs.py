@@ -8,6 +8,9 @@ Tiers, fastest first — this ordering IS the guidance:
    codegen, zero Python;
 2. ``pandas_udf`` — Arrow-batched vectorized Python; ~10-100× faster
    than row UDFs; the right tier for numpy math on columns;
+2b. grouped-agg ``pandas_udf`` (Series → scalar) — a vectorized custom
+   aggregate usable inside ``groupBy().agg``; shuffles raw rows (no
+   partial aggregation), so built-in decompositions still win;
 3. ``applyInPandas`` (grouped map) — the Python UDAF/UDTF substitute:
    whole group in, DataFrame out, one shuffle on the key;
 4. row-at-a-time ``F.udf`` — pickled per row; LAST RESORT, kept here
@@ -57,6 +60,48 @@ def udf_pandas_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     udf = _logistic_udf()
     return d.select("doc_id", F.round(udf(F.col("n_chars")), 4).alias("score"))
+
+
+def _gmean_udf():
+    import numpy as np
+
+    def gmean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    gmean.__annotations__ = {"v": pd.Series, "return": float}
+    return F.pandas_udf(gmean, "double")
+
+
+@query(
+    "udf_grouped_agg_gmean",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(exp(AVG(ln(CAST(o_totalprice AS DOUBLE)))), 4) AS gmean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udf_grouped_agg_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized custom AGGREGATE (grouped-agg pandas UDF): Series in,
+    scalar out, usable directly inside ``groupBy().agg`` alongside
+    built-ins — the missing rung between scalar pandas UDFs and full
+    grouped-map. Geometric mean of order value per status (exp of the
+    log-mean: overflow-safe for products of thousands of prices).
+
+    Plan shape: the grouped-agg UDF cannot partial-aggregate (whole
+    group's values must reach one Python worker), so it shuffles raw
+    rows where a built-in would shuffle partial states — the documented
+    cost of this tier, and why the log-sum decomposition (avg ∘ ln via
+    built-ins, then exp) is the preferred form when the aggregate
+    happens to decompose; this entry demonstrates the mechanism for
+    aggregates that genuinely don't. (Engine restriction, worth
+    knowing: a grouped-agg pandas UDF cannot share one ``agg`` with
+    built-in aggregates — mixed aggregations need two passes joined on
+    the key.)"""
+    o = load_table(spark, sf_dir, "orders")
+    gm = _gmean_udf()
+    return o.groupBy("o_orderstatus").agg(
+        F.round(gm(F.col("o_totalprice").cast("double")), 4).alias("gmean_price")
+    )
 
 
 # ---------------------------------------------------------------------------
