@@ -66,3 +66,87 @@ def agg_stats_lineitem_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count states (SURVEY §2.4 EXT): the pre-aggregation
+# pattern behind every 100 TB dashboard — partial states that REAGGREGATE
+# across days/partitions, where COUNT(DISTINCT) would need the raw rows
+# again.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type from mergeable bitmap
+    partials: day-level bitmaps (`bitmap_construct_agg` over
+    `bitmap_bit_position`, bucketed by `bitmap_bucket_number`) are
+    OR-merged across days, then `bitmap_count` + sum gives the exact
+    total. One scan, three strictly-shrinking shuffles
+    (type×day×bucket partials → type×bucket merge → type sum).
+
+    Why this matters at 100 TB: the day-level bitmap table is a tiny
+    materializable artifact that answers distinct-count queries over
+    ANY date range by re-merging — COUNT(DISTINCT) forces a full
+    rescan of raw events per question. Exactness (unlike HLL) makes it
+    oracle-checkable end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    per_bkt = partial.groupBy("event_type", "bkt").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_bkt")
+    )
+    return per_bkt.groupBy("event_type").agg(
+        F.sum("n_bkt").cast("long").alias("distinct_users")
+    )
+
+
+@query(
+    "agg_hll_union_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches `hll_sketch_agg`): one
+    sketch per (event_type, day), `hll_union_agg`-merged to a per-type
+    estimate — the approximate sibling of the bitmap rollup for key
+    spaces too wide for bitmaps. Validated like
+    `agg_approx_distinct_bounds`: the output carries the exact count
+    (oracle-matched) plus a boolean asserting the merged estimate
+    lands within 5% — the sketch value is engine-specific but
+    deterministic, so estimator drift hash-mismatches instead of
+    hiding behind a rows-only check. The exact branch rescans events
+    by construction (that is the point being demonstrated: the sketch
+    table answers without the rescan)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_bounds"),
+    )
