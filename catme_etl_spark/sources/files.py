@@ -32,7 +32,9 @@ from pyspark.sql.types import StructType
 
 # reference supports only the first three (`unified_code.py:493-495`);
 # the rest are native Spark formats exposed through the same dispatch
-SUPPORTED_EXTENSIONS = (".csv", ".xlsx", ".xls", ".parquet", ".json", ".jsonl", ".orc")
+SUPPORTED_EXTENSIONS = (
+    ".csv", ".xlsx", ".xls", ".parquet", ".json", ".jsonl", ".orc", ".xml",
+)
 
 
 def discover_input(input_dir: str) -> str:
@@ -207,6 +209,21 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML scan (built into Spark 4; ABSENT in the reference). One
+    record per ``row_tag`` element; like CSV/JSON, pass an explicit
+    schema in production to skip the inference pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     """Extension dispatch (S8, `unified_code.py:499-506`)."""
     ext = os.path.splitext(path)[1].lower()
@@ -220,6 +237,8 @@ def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return read_json_lines(spark, path, **kwargs)
     if ext == ".orc":
         return read_orc(spark, path)
+    if ext == ".xml":
+        return read_xml(spark, path, **kwargs)
     raise ValueError(f"unsupported format {ext!r}; supported: {SUPPORTED_EXTENSIONS}")
 
 
