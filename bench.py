@@ -47,6 +47,11 @@ HEADLINE = [
     "sim_srp_lsh_pairs",
     "scalar_json_props",
     "stream_tumbling_10min",
+    # round-3 additions: ingestion-shaped dedup, mergeable-state
+    # rollup, and deterministic mix resampling
+    "dedup_minhash_incremental",
+    "agg_bitmap_distinct_rollup",
+    "sample_temperature_mix",
 ]
 
 
