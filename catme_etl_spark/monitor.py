@@ -127,3 +127,27 @@ def run_with_progress(spark, action, on_progress=None, interval: float = 0.2):
     if error[0] is not None:
         raise error[0]
     return result[0], samples
+
+
+def observe_counts(df, *metrics, name: str = "pipeline"):
+    """Attach single-pass observation metrics to a DataFrame (I5
+    companion; reference parity: per-chunk processed-row logging,
+    `unified_code.py:447-453,465-472`).
+
+    The reference counts rows per chunk as a side effect of processing;
+    Spark's ``Observation`` API is the same free-of-charge metric — the
+    aggregates are computed DURING the action that consumes the
+    returned DataFrame, no second job, no extra scan. Returns
+    ``(observed_df, observation)``; read ``observation.get`` after an
+    action completes.
+
+    Default metric is the processed-row count; pass any aggregate
+    Columns to extend (e.g. ``F.sum("n_chars")``, null counters for
+    quality gates).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    cols = list(metrics) or [F.count(F.lit(1)).alias("rows")]
+    return df.observe(obs, *cols), obs

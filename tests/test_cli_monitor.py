@@ -71,3 +71,25 @@ def test_run_with_progress_propagates_errors(spark):
 
     with _pytest.raises(RuntimeError, match="action failed"):
         run_with_progress(spark, boom)
+
+
+def test_observe_counts_single_pass_metrics(spark, sf_dir):
+    """Observation metrics arrive with the action itself — the
+    reference's per-chunk row accounting without a second scan."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.monitor import observe_counts
+    from catme_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    observed, obs = observe_counts(
+        d,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_chars").alias("chars"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_texts"),
+    )
+    out = observed.filter(F.col("n_chars") >= 0)
+    out.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == d.count()
+    assert got["chars"] > 0 and got["null_texts"] == 0
