@@ -275,3 +275,34 @@ def df_checksum(df: DataFrame) -> int:
     s = int(out["s"]) % (1 << 64)
     n = int(out["n"])
     return (x ^ (s * 0x9E3779B97F4A7C15 + n)) % (1 << 64)
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, canonical: StructType | None = None
+) -> DataFrame:
+    """Parquet scan across files with DRIFTED schemas (S13 EXT): a long-
+    lived dataset accretes columns and widens types over time; the
+    reference re-inferred dtypes per chunk and silently drifted
+    (`unified_code.py:302-306`, SURVEY §1.2) — here drift is handled
+    ONCE at the scan, explicitly.
+
+    Two tiers, matching what parquet can actually reconcile:
+
+    - ``canonical`` given (the production form): the scan reads with
+      the EXPLICIT canonical schema — per-file, absent columns
+      manifest as typed nulls and narrower physical types widen
+      (int32→int64 etc., native in Spark 4's reader), with pushdown
+      and pruning fully intact and ZERO footer-merge planning cost.
+      The projection then pins exactly the canonical columns (dropping
+      discovered partition columns), so downstream code sees one
+      stable contract regardless of which era's files a partition
+      pruned down to.
+    - no ``canonical``: ``mergeSchema=true`` unions footer schemas —
+      handles ADDED columns only (parquet schema merge does not widen
+      types), and reads every file's footer at planning time; use it
+      to DISCOVER drift, then pin the canonical schema.
+    """
+    if canonical is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    df = spark.read.schema(canonical).parquet(path)
+    return df.select(*[f.name for f in canonical.fields])

@@ -269,3 +269,36 @@ def test_df_checksum_order_insensitive_and_sensitive_to_change(spark):
     b = spark.range(100).repartition(7)  # same content, different layout
     assert df_checksum(a) == df_checksum(b)
     assert df_checksum(a) != df_checksum(spark.range(101))
+
+
+def test_parquet_schema_evolution_merges_and_normalizes(spark, tmp_path):
+    """Era-1 files lack a column and use a narrower int; the evolved
+    scan unions schemas and the canonical projection pins one stable
+    contract (missing column -> typed nulls, widened ints)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from catme_etl_spark.sources.files import read_parquet_evolved
+
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(
+        d + "/era=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9000000000)], "id long, name string, score long"
+    ).write.parquet(d + "/era=2")
+
+    canonical = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", LongType()),
+        ]
+    )
+    out = read_parquet_evolved(spark, d, canonical)
+    assert [f.dataType for f in out.schema.fields] == [
+        LongType(), StringType(), LongType(),
+    ]
+    rows = {(r.id, r.name, r.score) for r in out.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9000000000)}
