@@ -230,7 +230,12 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
 
-    return shared_df("minhash_bands", sf_dir, spark, build)
+    # materialize (lazy localCheckpoint): three consumers (both sides
+    # of the full self-join, the incremental probe) read the index as
+    # a SCAN instead of replaying the shingle→signature lineage in
+    # every static plan — the in-session analog of the persisted index
+    # table this builder stands for.
+    return shared_df("minhash_bands", sf_dir, spark, build, materialize=True)
 
 
 def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
