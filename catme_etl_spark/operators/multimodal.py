@@ -225,3 +225,49 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, stride)
         ).alias("frame_idx"),
     )
+
+
+@query(
+    "multimodal_arrow_checksum",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           {_sql_hex_int("md5(text)", 1, 14)} AS digest56
+    FROM documents
+    """,
+)
+def multimodal_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` payload integrity kernel — the ARROW-NATIVE rung
+    below ``mapInPandas``: RecordBatches in, RecordBatches out, no
+    pandas conversion at all. For opaque binary columns that is the
+    right tier — pandas would box every payload into Python objects twice
+    for nothing, while Arrow hands the kernel zero-copy buffers.
+
+    Computes per-payload byte length and a 56-bit md5 prefix — the
+    checksum side of an integrity audit over a multimodal lake (pairs
+    with ``multimodal_manifest``); md5 keeps the kernel
+    oracle-reproducible from the text the payload encodes."""
+    import hashlib
+
+    import pyarrow as pa
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def kernel(batches):
+        for batch in batches:
+            pays = batch.column(1)
+            n = pa.array(
+                [len(p.as_py()) for p in pays], type=pa.int64()
+            )
+            dg = pa.array(
+                [
+                    int(hashlib.md5(p.as_py()).hexdigest()[:14], 16)
+                    for p in pays
+                ],
+                type=pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), n, dg], ["doc_id", "n_bytes", "digest56"]
+            )
+
+    return m.mapInArrow(kernel, "doc_id long, n_bytes long, digest56 long")
