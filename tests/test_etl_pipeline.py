@@ -302,3 +302,21 @@ def test_parquet_schema_evolution_merges_and_normalizes(spark, tmp_path):
     ]
     rows = {(r.id, r.name, r.score) for r in out.collect()}
     assert rows == {(1, "a", None), (2, "b", 9000000000)}
+
+
+def test_write_auto_roundtrips_every_format(spark, tmp_path):
+    """Sink-side format dispatch: each format writes and reads back the
+    same rows through the matching source reader."""
+    from catme_etl_spark.sinks.export import write_auto
+    from catme_etl_spark.sources.files import read_auto
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    expected = {(1, "a"), (2, "b")}
+    for fmt in ("parquet", "orc", "csv", "json", "xml"):
+        out = str(tmp_path / f"out_{fmt}.{fmt}")
+        write_auto(df, out)
+        back = read_auto(spark, out)
+        got = {(r.id, r.name) for r in back.select("id", "name").collect()}
+        assert got == expected, fmt
