@@ -50,3 +50,47 @@ def test_temperature_mix_rates_flatten_monotonically(spark):
         for b in rates:
             if sizes[(a.lang, a.source)] < sizes[(b.lang, b.source)]:
                 assert a.rate >= b.rate
+
+
+def test_incremental_probe_against_durable_index(spark, tmp_path):
+    """The session-shared band index stands in for a PERSISTED index
+    table; prove the durable form works: write the bands to parquet,
+    probe the stored table with the new batch, and get exactly the
+    in-memory incremental result."""
+    from catme_etl_spark.operators.dedup import (
+        _minhash_bands,
+        _shingle_sets,
+        _verify_jaccard,
+    )
+
+    idx_path = str(tmp_path / "lsh_index.parquet")
+    _minhash_bands(spark, SF001).write.parquet(idx_path)
+    bands = spark.read.parquet(idx_path)
+
+    new = bands.filter(F.col("doc_id") % 10 == 9).select(
+        F.col("doc_id").alias("doc_n"),
+        F.col("band").alias("band_n"),
+        F.col("bkey").alias("bkey_n"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(new),
+            (F.col("band") == F.col("band_n"))
+            & (F.col("bkey") == F.col("bkey_n"))
+            & (F.col("doc_id") != F.col("doc_n")),
+        )
+        .select(
+            F.least("doc_id", "doc_n").alias("doc_a"),
+            F.greatest("doc_id", "doc_n").alias("doc_b"),
+        )
+        .distinct()
+    )
+    durable = (
+        _verify_jaccard(_shingle_sets(spark, SF001), cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    in_memory = e.queries()["dedup_minhash_incremental"](spark, SF001)
+    assert {tuple(r) for r in durable.collect()} == {
+        tuple(r) for r in in_memory.collect()
+    }
