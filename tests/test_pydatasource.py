@@ -83,3 +83,36 @@ def test_xml_roundtrip_via_auto_dispatch(spark, tmp_path):
     )
     df = read_auto(spark, str(p))
     assert {(r.a, r.b) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_sheetfeed_offsets_advance_and_replay_deterministically(tmp_path):
+    """Offset contract without the streaming engine: read() advances
+    one sheet per call and parks at the end; readBetweenOffsets
+    replays exactly the committed range (crash recovery)."""
+    from pyspark.sql.types import StructType
+
+    from catme_etl_spark.sources.pydatasource import (
+        SheetFeedDataSource,
+        _SheetFeedStreamReader,
+    )
+
+    d = _write_sheets(tmp_path)
+    ds = SheetFeedDataSource(options={"path": d})
+    schema = StructType.fromDDL(ds.schema())
+    r = _SheetFeedStreamReader(schema, {"path": d})
+
+    o0 = r.initialOffset()
+    batch1, o1 = r.read(o0)
+    batch2, o2 = r.read(o1)
+    batch1, batch2 = list(batch1), list(batch2)
+    assert [o0, o1, o2] == [{"sheets": 0}, {"sheets": 1}, {"sheets": 2}]
+    assert {t[-1] for t in batch1} == {"alpha"}
+    assert {t[-1] for t in batch2} == {"beta"}
+
+    empty, o3 = r.read(o2)
+    assert list(empty) == [] and o3 == o2  # parked at end, no new data
+
+    # recovery: a fresh reader replays the committed range identically
+    r2 = _SheetFeedStreamReader(schema, {"path": d})
+    assert list(r2.readBetweenOffsets(o0, o2)) == batch1 + batch2
+    assert list(r2.readBetweenOffsets(o1, o2)) == batch2
