@@ -411,3 +411,37 @@ def scd2_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "join_lateral_top2_customers",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+)
+def join_lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join (Spark 4 ``DataFrame.lateralJoin`` with a
+    correlated ``.outer()`` column): for every nation, the top-2
+    customers by balance from a per-row correlated subquery — the
+    relational form of "top-k per group" that SQL users reach for
+    before window functions. Catalyst decorrelates the limit-per-key
+    subquery instead of executing it row-at-a-time, so the plan stays
+    set-oriented; the window-function formulation
+    (`window_top3_orders_per_customer`) remains the idiom of choice
+    when the per-group work is heavy."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    top2 = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return n.lateralJoin(top2).select("n_name", "c_custkey", "c_acctbal")
