@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _BC_CACHE: dict[tuple[str, str, str], object] = {}
+# RDD ids persisted by a materialize=True entry's localCheckpoint.
+# DataFrame.unpersist() does NOT free localCheckpoint blocks (they
+# belong to the internal RDD, not the Dataset's cache entry), so
+# eviction must unpersist the RDD itself or repeated bench clears
+# accumulate orphaned MEMORY_AND_DISK blocks for the session's life.
+_CK_RDD_IDS: dict[tuple[str, str, str], set[int]] = {}
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def _free_checkpoint_blocks(df: DataFrame, rdd_ids: set[int]) -> None:
+    """Unpersist the localCheckpoint's backing RDD blocks directly."""
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
 
 
 def _evict_stale(spark: SparkSession) -> None:
@@ -36,14 +56,24 @@ def _evict_stale(spark: SparkSession) -> None:
     """
     app_id = spark.sparkContext.applicationId
     for cache, release in (
-        (_DF_CACHE, lambda v: v.unpersist()),
-        (_BC_CACHE, lambda v: v.destroy()),
+        (_DF_CACHE, _release_df),
+        (_BC_CACHE, lambda v, k: v.destroy()),
     ):
         for key in [k for k in cache if k[2] != app_id]:
             try:
-                release(cache.pop(key))
+                release(cache.pop(key), key)
             except Exception:
                 pass
+
+
+def _release_df(df: DataFrame, key) -> None:
+    try:
+        df.unpersist()
+    finally:
+        rdd_ids = _CK_RDD_IDS.pop(key, None)
+        if rdd_ids:
+            _free_checkpoint_blocks(df, rdd_ids)
+
 
 def clear_shared() -> None:
     """Release every session-shared intermediate (persisted DataFrames
@@ -55,12 +85,12 @@ def clear_shared() -> None:
     persists) between repetitions so both runs are genuinely cold.
     """
     for cache, release in (
-        (_DF_CACHE, lambda v: v.unpersist()),
-        (_BC_CACHE, lambda v: v.destroy()),
+        (_DF_CACHE, _release_df),
+        (_BC_CACHE, lambda v, k: v.destroy()),
     ):
         for key in list(cache):
             try:
-                release(cache.pop(key))
+                release(cache.pop(key), key)
             except Exception:
                 pass
 
@@ -115,12 +145,14 @@ def shared_df(
     ``materialize=False`` (default): lazy ``persist()`` — lineage kept,
     first consumer computes, later consumers hit the cache.
 
-    ``materialize=True``: lazy ``localCheckpoint`` — the first ACTION
-    runs the stage once and every consumer's plan starts from the
-    materialized result (a scan), not the full upstream lineage
-    (lazy, not eager, so merely CONSTRUCTING a query — plan reports,
-    schema probes — never executes the multi-shuffle pipeline as a
-    side effect). Use
+    ``materialize=True``: lazy ``localCheckpoint`` — every consumer's
+    plan starts from the materialized result (a scan), not the full
+    upstream lineage. Honest caveat on "lazy" under AQE (which
+    session.py enables): constructing the checkpoint RDD calls
+    ``executedPlan.execute()``, and ``AdaptiveSparkPlanExec``
+    materializes every upstream shuffle stage at that point — only the
+    final result stage and the checkpoint block persistence are
+    deferred to the first action. Use
     for SMALL derived tables with EXPENSIVE lineage (verified near-dup
     pairs: a handful of rows behind a 5-shuffle pipeline) where
     replaying lineage per consumer — even in a static plan — is the
@@ -133,44 +165,63 @@ def shared_df(
     if key not in _DF_CACHE:
         df = build()
         if materialize:
-            # One pass straight into the checkpoint, deferred to the
-            # first action. (A persist+count prelude "to keep the build
-            # under AQE" was measured at 2× the cold cost — the extra
-            # full pass buys nothing at these intermediate sizes;
-            # direct checkpoint times identical to a plain persist
-            # while also truncating every consumer's static plan.)
-            _DF_CACHE[key] = df.localCheckpoint(eager=False)
+            # One pass straight into the checkpoint, final stage
+            # deferred to the first action (upstream shuffle stages run
+            # NOW under AQE — see docstring). (A persist+count prelude
+            # "to keep the build under AQE" was measured at 2× the cold
+            # cost — the extra full pass buys nothing at these
+            # intermediate sizes; direct checkpoint times identical to
+            # a plain persist while also truncating every consumer's
+            # static plan.) The RDD ids persisted by the checkpoint are
+            # recorded so eviction can free the blocks —
+            # DataFrame.unpersist() alone leaks them.
+            before = _persistent_rdd_ids(spark)
+            ck = df.localCheckpoint(eager=False)
+            _CK_RDD_IDS[key] = _persistent_rdd_ids(spark) - before
+            _DF_CACHE[key] = ck
         else:
             _DF_CACHE[key] = df.persist()
     return _DF_CACHE[key]
 
 
-def _over_budget_error(what: str, max_rows: int) -> ValueError:
+def _over_budget_error(
+    what: str, max_rows: int, hint: str | None = None
+) -> ValueError:
+    if hint is None:
+        hint = (
+            "Brute force is the bounded-build-side tier; for open-ended "
+            "corpora generate candidates with SRP-LSH (sim_srp_lsh_pairs), "
+            "IVF (sim_ivf_topk), or MinHash/SimHash banding and feed the "
+            "same kernel pairs. Raise CATME_MAX_COLLECT_ROWS only if the "
+            "driver is sized for it."
+        )
     return ValueError(
         f"{what} exceeds the driver-collect budget (> {max_rows} rows). "
-        "Brute force is the bounded-build-side tier; for open-ended "
-        "corpora generate candidates with SRP-LSH (sim_srp_lsh_pairs), "
-        "IVF (sim_ivf_topk), or MinHash/SimHash banding and feed the "
-        "same kernel pairs. Raise CATME_MAX_COLLECT_ROWS only if the "
-        "driver is sized for it."
+        + hint
     )
 
 
-def require_bounded(df: DataFrame, max_rows: int | None = None, what: str = "input"):
+def require_bounded(
+    df: DataFrame,
+    max_rows: int | None = None,
+    what: str = "input",
+    hint: str | None = None,
+):
     """Assert ``df`` has at most ``max_rows`` rows; return the count.
 
     Guards a driver-side materialization without collecting it: a
     bounded probe (``limit(max+1).count()`` — never materializes more
     than the budget) turns a would-be driver OOM at scale into an
-    actionable error that names the scale path. When the rows are
-    about to be collected anyway, use :func:`bounded_collect` — one
-    job instead of probe + collect.
+    actionable error that names the scale path (``hint`` overrides the
+    default brute-force→LSH/IVF message for call sites with a more
+    specific fallback). When the rows are about to be collected anyway,
+    use :func:`bounded_collect` — one job instead of probe + collect.
     """
     if max_rows is None:
         max_rows = MAX_COLLECT_ROWS
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
-        raise _over_budget_error(what, max_rows)
+        raise _over_budget_error(what, max_rows, hint)
     return n
 
 

@@ -44,7 +44,7 @@ from ..functions.texttools import (
 )
 from ..functions.vector import SQL_DOT, SQL_NORM
 from ..sources.tables import load_table
-from ._shared import fan_out, shared_df, shared_matrix_broadcast
+from ._shared import fan_out, require_bounded, shared_df, shared_matrix_broadcast
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -375,7 +375,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     it with the new batch's band keys. The new side is small by
     construction, so it is explicitly BROADCAST — the corpus-sized
     index never shuffles, each task streams its index partition past
-    the in-memory batch keys. Candidates where both docs are new
+    the in-memory batch keys. "Small" is ENFORCED, not assumed: a
+    bounded probe raises before the broadcast if the batch exceeds the
+    driver-collect budget, with an error naming the partitioned
+    probe-join fallback — misuse at real scale fails fast instead of
+    OOMing executors. Candidates where both docs are new
     arrive twice ((a,b) and (b,a)); least/greatest + distinct
     canonicalizes. Verification is the exact shingle-Jaccard shared
     with the full pipeline, restricted to candidates."""
@@ -385,6 +389,17 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_n"),
         F.col("band").alias("band_n"),
         F.col("bkey").alias("bkey_n"),
+    )
+    require_bounded(
+        new,
+        what="dedup_minhash_incremental new-batch band keys",
+        hint=(
+            "The broadcast probe assumes an ingest-sized batch; for a "
+            "batch this large drop the F.broadcast hint and run the same "
+            "(band, bkey) equi-join as a partitioned shuffle join against "
+            "the persisted index — identical semantics, only the probe "
+            "strategy changes."
+        ),
     )
     cand = (
         bands.join(
@@ -778,23 +793,49 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     — production jobs use reliable checkpoints or GraphX/GraphFrames'
     Pregel loop, same algorithm). Convergence is detected by the label
     sum, which strictly decreases until the fixed point.
+
+    ``localCheckpoint`` blocks are executor-local and die with an
+    executor; the restart-survivable tier is
+    :func:`cc_labels_reliable`, which runs the SAME loop over
+    ``setCheckpointDir``-backed reliable checkpoints.
     """
     return _cc_labels(spark, sf_dir)
 
 
-def _build_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cc_labels_reliable(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Production tier of the label-propagation loop: identical
+    algorithm, but every round commits to a RELIABLE checkpoint under
+    ``checkpoint_dir`` (durable storage — HDFS/S3 on a cluster), so the
+    iteration survives executor loss and the final labels are a
+    restart-readable artifact, not session-lifetime RDD blocks. This is
+    the CC counterpart of the durable LSH band index
+    (tests/test_round3_ops.py proves that round-trip)."""
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return _build_cc_labels(spark, sf_dir, reliable=True)
+
+
+def _build_cc_labels(
+    spark: SparkSession, sf_dir: str, reliable: bool = False
+) -> DataFrame:
+    def commit(df: DataFrame) -> DataFrame:
+        # reliable=True → setCheckpointDir-backed checkpoint (durable,
+        # survives executor death); False → executor-local blocks
+        # (faster, the right single-tenant local call).
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    edges = commit(  # materialize once; rounds re-read, not re-hash
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
         )
-        .localCheckpoint()  # materialize once; rounds re-read, not re-hash
     )
-    labels = docs.select(
-        F.col("doc_id").alias("d"), F.col("doc_id").alias("lab")
-    ).localCheckpoint()
+    labels = commit(
+        docs.select(F.col("doc_id").alias("d"), F.col("doc_id").alias("lab"))
+    )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
     for _ in range(20):  # diameter bound; planted dup chains are short
         nbr = (
@@ -802,13 +843,11 @@ def _build_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("t")
             .agg(F.min("lab").alias("nlab"))
         )
-        labels = (
-            labels.join(nbr, F.col("d") == F.col("t"), "left")
-            .select(
+        labels = commit(
+            labels.join(nbr, F.col("d") == F.col("t"), "left").select(
                 "d",
                 F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
             )
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("lab")).first()[0]
         if cur_sum == prev_sum:

@@ -264,21 +264,22 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-mix report a training pipeline budgets from: docs,
-    tokens, and token share per (lang, source) stratum. Agg then a
-    global-total window over the (tiny) aggregate — the big table is
-    touched once."""
+    tokens, and token share per (lang, source) stratum. Agg, then the
+    global token total as a one-row aggregate broadcast-cross-joined
+    back onto the (tiny) mix table — no unpartitioned window — so the
+    big table is touched once."""
     d = _t(spark, sf_dir, "documents")
     m = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy()
-    return m.select(
+    tot = m.agg(F.sum("n_tokens").alias("_tot_tokens"))
+    return m.crossJoin(F.broadcast(tot)).select(
         "lang",
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6).alias(
+        F.round(F.col("n_tokens").cast("double") / F.col("_tot_tokens"), 6).alias(
             "token_share"
         ),
     )

@@ -157,18 +157,20 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is only ~1-ulp-accurate and could flip a boundary doc).
 
     Plan shape: one scan aggregates the tiny (lang, source) mix table;
-    rates broadcast-join back; the accept filter is narrow per-row.
-    The big table is scanned twice at most (mix + filter) — at real
-    scale the mix table is precomputed corpus metadata and the first
-    scan disappears."""
+    the global min is a one-row aggregate broadcast-cross-joined back
+    (NOT an unpartitioned window — that would funnel the mix table
+    through a single WindowExec partition); rates broadcast-join back;
+    the accept filter is narrow per-row. The big table is scanned
+    twice at most (mix + filter) — at real scale the mix table is
+    precomputed corpus metadata and the first scan disappears."""
     d = load_table(spark, sf_dir, "documents")
     m = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy()
-    rates = m.select(
+    n_min = m.agg(F.min("n_docs").alias("_n_min"))
+    rates = m.crossJoin(F.broadcast(n_min)).select(
         "lang",
         "source",
         F.round(
-            F.sqrt(F.min("n_docs").over(w).cast("double") / F.col("n_docs")), 9
+            F.sqrt(F.col("_n_min").cast("double") / F.col("n_docs")), 9
         ).alias("rate"),
     )
     h = hex_prefix_long(F.md5(F.col("doc_id").cast("string")), 13, 1)

@@ -83,17 +83,21 @@ def join_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't always fix because one key IS one partition) — through
     :func:`salted_join` with 8 salts, then aggregates. The result must
     hash-equal the plain SQL join; the salt spreads each hot key across
-    8 shuffle partitions and never leaks into the output."""
-    from pyspark.sql import Window
+    8 shuffle partitions and never leaks into the output.
 
+    The dim's rank over its (distinct, tiny) values is a broadcast
+    triangular self-join count — rank(t) = |{t' <= t}| — not
+    ``row_number`` over a global-orderBy window, which would be the
+    codebase's banned single-partition WindowExec shape."""
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    types = e.select("event_type").distinct()
     dim = (
-        e.select("event_type")
-        .distinct()
-        .withColumn(
-            "type_rank",
-            F.row_number().over(Window.orderBy("event_type")),
+        types.join(
+            F.broadcast(types.select(F.col("event_type").alias("_et_b"))),
+            F.col("_et_b") <= F.col("event_type"),
         )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("int").alias("type_rank"))
     )
     joined = salted_join(e, dim, "event_type", n_salt=8, salt_src="user_id")
     return joined.groupBy("event_type", "type_rank").agg(

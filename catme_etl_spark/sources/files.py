@@ -99,28 +99,53 @@ def validate_excel(path: str) -> bool:
     (the reference probes with ``nrows=0``). Raises ``ValueError`` on
     garbage/unreadable input — same contract as :func:`validate_csv`.
     Without an Excel engine (openpyxl) the probe falls back to the
-    stdlib ZIP/XML catalog read (``sources/xlsx_lite.py``), so the
-    contract holds in engine-less environments too."""
-    import pandas as pd
-
+    stdlib ZIP/XML catalog read (``sources/xlsx_lite.py``) — but ONLY
+    for zip/OOXML payloads: a valid legacy ``.xls`` (or any non-zip
+    workbook) without an engine re-raises ``ImportError`` ('install an
+    engine'), not ``ValueError`` ('garbage input') — the caller must be
+    able to tell a missing dependency from a corrupt file."""
     try:
-        with pd.ExcelFile(path) as xf:
-            if not xf.sheet_names:
-                raise ValueError("workbook has no sheets")
-        return True
+        import pandas as pd
     except ImportError:
-        from . import xlsx_lite
+        pd = None
 
+    if pd is not None:
         try:
-            if not xlsx_lite.sheet_names(path):
-                raise ValueError("workbook has no sheets")
+            with pd.ExcelFile(path) as xf:
+                if not xf.sheet_names:
+                    raise ValueError("workbook has no sheets")
             return True
-        except ValueError:
-            raise
+        except ImportError:
+            pass  # no engine installed — try the stdlib fallback below
         except Exception as ex:
             raise ValueError(f"cannot read Excel {path!r}: {ex}") from ex
+
+    _require_ooxml_for_fallback(path)
+    from . import xlsx_lite
+
+    try:
+        if not xlsx_lite.sheet_names(path):
+            raise ValueError("workbook has no sheets")
+        return True
+    except ValueError:
+        raise
     except Exception as ex:
         raise ValueError(f"cannot read Excel {path!r}: {ex}") from ex
+
+
+def _require_ooxml_for_fallback(path: str) -> None:
+    """The stdlib ``xlsx_lite`` fallback can only parse zip/OOXML
+    workbooks; for anything else a missing engine must surface as
+    ``ImportError`` (install openpyxl/xlrd), not be misreported as a
+    garbage-input ``ValueError``."""
+    import zipfile
+
+    if not zipfile.is_zipfile(path):
+        raise ImportError(
+            f"no Excel engine available for non-OOXML workbook {path!r}: "
+            "install openpyxl (.xlsx) or xlrd (legacy .xls); the stdlib "
+            "fallback reads zip/OOXML only"
+        )
 
 
 def excel_metadata(path: str) -> dict:
@@ -145,15 +170,23 @@ def excel_metadata(path: str) -> dict:
 def _read_excel_pandas(path: str, sheet_name: str | int | None = 0):
     """``pd.read_excel`` with the stdlib fallback: prefer the real
     engine (full format coverage), fall back to ``xlsx_lite`` when no
-    engine is installed so the path still executes."""
-    import pandas as pd
-
+    engine (or pandas itself) is installed — but only for zip/OOXML
+    payloads; non-zip workbooks re-raise ``ImportError`` so a missing
+    engine is never misreported as unreadable input."""
     try:
-        return pd.read_excel(path, sheet_name=sheet_name)
+        import pandas as pd
     except ImportError:
-        from . import xlsx_lite
+        pd = None
 
-        return xlsx_lite.read_workbook(path, sheet_name=sheet_name)
+    if pd is not None:
+        try:
+            return pd.read_excel(path, sheet_name=sheet_name)
+        except ImportError:
+            pass
+    _require_ooxml_for_fallback(path)
+    from . import xlsx_lite
+
+    return xlsx_lite.read_workbook(path, sheet_name=sheet_name)
 
 
 def read_excel(

@@ -120,12 +120,25 @@ from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
 
 
 class _SheetFeedStreamReader(SimpleDataSourceStreamReader):
-    """Offset = number of sheets consumed (JSON dict, checkpointable).
+    """Offset = CONTENT-ADDRESSED consumption point (JSON dict,
+    checkpointable): ``{"sheets": <count>, "last": <basename>}``.
+
+    Files are selected by NAME COMPARISON against ``last``, not by
+    positional index into the current listing — a positional offset
+    silently remaps when a file arrives whose name sorts before an
+    already-committed file (or one is removed), skipping/re-reading
+    sheets and replaying different rows than were committed. Here the
+    committed prefix is re-validated on every read: if the set of
+    files sorting at-or-before ``last`` no longer has exactly
+    ``sheets`` members, the directory mutated non-monotonically under
+    a committed offset and the reader FAILS LOUDLY instead of
+    corrupting the 'files are the WAL' replay contract.
 
     ``read(start)`` consumes the next unread sheet (or reports no new
     data by returning the same offset); ``readBetweenOffsets`` replays
-    a committed range deterministically after restart — the files are
-    the write-ahead log. NOTE (honest scale caveat, per the API docs):
+    a committed range deterministically after restart — by name range
+    ``(start.last, end.last]``, so later arrivals outside the range
+    can never shift it. NOTE (honest scale caveat, per the API docs):
     the *Simple* stream reader reads on the DRIVER and is the
     prototyping tier — a partition-planning ``DataSourceStreamReader``
     (executor-side reads, like the batch ``sheetdir`` above) is the
@@ -149,20 +162,57 @@ class _SheetFeedStreamReader(SimpleDataSourceStreamReader):
                 yield tuple(rec.get(c) for c in data_cols) + (sheet,)
 
     def initialOffset(self):
-        return {"sheets": 0}
+        return {"sheets": 0, "last": ""}
+
+    @staticmethod
+    def _base(path):
+        return os.path.basename(path)
+
+    def _check_prefix(self, files, offset):
+        """The committed prefix must still be exactly the ``sheets``
+        files sorting at-or-before ``last`` — otherwise a file was
+        dropped in before the commit point (or removed) and a
+        positional replay would diverge from what was committed."""
+        last = offset.get("last", "")
+        n_committed = offset["sheets"]
+        prefix = [f for f in files if self._base(f) <= last]
+        if len(prefix) != n_committed:
+            raise RuntimeError(
+                f"sheetfeed: committed offset covers {n_committed} sheet(s) "
+                f"up to {last!r}, but the directory now holds "
+                f"{len(prefix)} file(s) sorting at-or-before it — a file "
+                "arrived out of name order or was removed under a "
+                "committed offset. The files are the WAL: deliver new "
+                "sheets with names sorting after the last committed one, "
+                "or reset the checkpoint."
+            )
 
     def read(self, start):
         files = self._files()
-        i = start["sheets"]
-        if i >= len(files):
+        self._check_prefix(files, start)
+        last = start.get("last", "")
+        pending = [f for f in files if self._base(f) > last]
+        if not pending:
             return iter([]), start  # no new data this trigger
-        return iter(list(self._rows(files[i]))), {"sheets": i + 1}
+        nxt = pending[0]
+        end = {"sheets": start["sheets"] + 1, "last": self._base(nxt)}
+        return iter(list(self._rows(nxt))), end
 
     def readBetweenOffsets(self, start, end):
         files = self._files()
+        lo, hi = start.get("last", ""), end.get("last", "")
+        span = [f for f in files if lo < self._base(f) <= hi]
+        expected = end["sheets"] - start["sheets"]
+        if len(span) != expected:
+            raise RuntimeError(
+                f"sheetfeed: replay of committed range ({lo!r}, {hi!r}] "
+                f"expects {expected} sheet(s) but found {len(span)} — the "
+                "WAL files changed after commit; cannot replay "
+                "deterministically."
+            )
         out = []
-        for i in range(start["sheets"], min(end["sheets"], len(files))):
-            out.extend(self._rows(files[i]))
+        for f in span:
+            out.extend(self._rows(f))
         return iter(out)
 
 

@@ -80,8 +80,19 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             tsn = F.col("ts")
         else:  # timestamp / timestamp_ntz — epoch micros is sortable
             tsn = F.unix_micros(F.col("ts").cast("timestamp"))
-        src = src.withColumn("_tsn", tsn)
+        # NULL-ts rows would silently vanish (approxQuantile ignores
+        # them, and every half-open range filter excludes NULL): pin
+        # them to the earliest slice via a sentinel instead. An empty
+        # source yields no quantile bounds — fail with a clear message
+        # rather than an IndexError in the slice loop.
+        src = src.withColumn(
+            "_tsn", F.coalesce(tsn.cast("long"), F.lit(-(1 << 63)))
+        )
         bounds = src.stat.approxQuantile("_tsn", [0.25, 0.5, 0.75], 0.001)
+        if not bounds:
+            raise ValueError(
+                f"streaming staging: source {path!r} has no rows to slice"
+            )
         edges = [float("-inf")] + bounds + [float("inf")]
         for i in range(4):  # sequential writes → increasing mtimes
             lo, hi = edges[i], edges[i + 1]

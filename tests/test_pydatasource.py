@@ -105,7 +105,11 @@ def test_sheetfeed_offsets_advance_and_replay_deterministically(tmp_path):
     batch1, o1 = r.read(o0)
     batch2, o2 = r.read(o1)
     batch1, batch2 = list(batch1), list(batch2)
-    assert [o0, o1, o2] == [{"sheets": 0}, {"sheets": 1}, {"sheets": 2}]
+    assert [o0, o1, o2] == [
+        {"sheets": 0, "last": ""},
+        {"sheets": 1, "last": "alpha.csv"},
+        {"sheets": 2, "last": "beta.csv"},
+    ]
     assert {t[-1] for t in batch1} == {"alpha"}
     assert {t[-1] for t in batch2} == {"beta"}
 
@@ -116,3 +120,41 @@ def test_sheetfeed_offsets_advance_and_replay_deterministically(tmp_path):
     r2 = _SheetFeedStreamReader(schema, {"path": d})
     assert list(r2.readBetweenOffsets(o0, o2)) == batch1 + batch2
     assert list(r2.readBetweenOffsets(o1, o2)) == batch2
+
+
+def test_sheetfeed_rejects_non_monotonic_arrivals(tmp_path):
+    """Content-addressed offsets: a file dropped in whose name sorts
+    BEFORE an already-committed sheet must fail loudly (positional
+    offsets would silently skip/re-read), and replay of a committed
+    range whose WAL files changed must refuse rather than return
+    different rows than were committed."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from catme_etl_spark.sources.pydatasource import (
+        SheetFeedDataSource,
+        _SheetFeedStreamReader,
+    )
+
+    d = _write_sheets(tmp_path)  # alpha.csv, beta.csv
+    ds = SheetFeedDataSource(options={"path": d})
+    schema = StructType.fromDDL(ds.schema())
+    r = _SheetFeedStreamReader(schema, {"path": d})
+
+    o0 = r.initialOffset()
+    _, o1 = r.read(o0)
+    _, o2 = r.read(o1)
+
+    # later-sorting arrival is FINE: picked up as the next batch
+    (tmp_path / "gamma.csv").write_text("id,name\n9,z\n")
+    batch3, o3 = r.read(o2)
+    assert {t[-1] for t in batch3} == {"gamma"} and o3["last"] == "gamma.csv"
+
+    # earlier-sorting arrival under a committed offset: loud failure
+    (tmp_path / "aardvark.csv").write_text("id,name\n0,zz\n")
+    with pytest.raises(RuntimeError, match="out of name order"):
+        r.read(o3)
+
+    # replay of a committed range whose files mutated: loud failure
+    with pytest.raises(RuntimeError, match="cannot replay"):
+        list(r.readBetweenOffsets(o0, o1))  # aardvark now sits in ("", alpha]
