@@ -52,6 +52,15 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "agg_bitmap_distinct_rollup",
     "sample_temperature_mix",
+    # round-4 additions: every family added since r02 gets regression
+    # tracking — HLL sketch union, LATERAL join, grouped-agg pandas
+    # UDF, CDC merge, and the two heaviest new round-4 operators
+    "agg_hll_union_rollup",
+    "join_lateral_top2_customers",
+    "udf_grouped_agg_gmean",
+    "merge_cdc_latest_wins",
+    "window_gaps_islands_user_activity",
+    "asof_nearest_purchase",
 ]
 
 

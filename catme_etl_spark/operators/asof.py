@@ -110,3 +110,68 @@ def asof_click_last_purchase(spark, sf_dir: str) -> DataFrame:
         _us(F.col("ts")).alias("ts_us"),
         _us(F.col("ts_asof")).alias("purchase_ts_us"),
     )
+
+
+@query(
+    "asof_nearest_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS p_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT c.event_id, c.user_id,
+             abs(epoch_us(p.pts) - epoch_us(c.ts)) AS gap_us,
+             p.p_id, p.pts
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.pts BETWEEN c.ts - INTERVAL 240 MINUTE
+                     AND c.ts + INTERVAL 240 MINUTE
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_id ORDER BY gap_us, pts, p_id) AS rn
+      FROM cand
+    )
+    SELECT event_id AS click_id, user_id,
+           p_id AS purchase_id, gap_us // 1000000 AS gap_s
+    FROM r WHERE rn = 1
+    """,
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of (bidirectional): each click matched to
+    the temporally closest purchase by the same user within ±4 hours — the variant backward-only ASOF can't express (attribution
+    windows span both directions). Equi-join on user_id carries the
+    time predicate as a post-join filter — the join key does the heavy
+    lifting, so the shuffle is the plain per-user hash join AQE can
+    skew-split; top-1-per-click is a keyed window with a total
+    (gap, ts, id) order so ties resolve identically cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    gap_us = F.abs(F.unix_micros("pts") - F.unix_micros("ts"))
+    cand = (
+        c.join(p, F.col("user_id") == F.col("p_user"))
+        .filter(gap_us <= 14_400_000_000)
+        .select("event_id", "user_id", gap_us.alias("gap_us"), "p_id", "pts")
+    )
+    w = Window.partitionBy("event_id").orderBy("gap_us", "pts", "p_id")
+    return (
+        cand.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("p_id").alias("purchase_id"),
+            F.expr("gap_us div 1000000").alias("gap_s"),
+        )
+    )

@@ -160,3 +160,65 @@ def quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "quality_completeness_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def quality_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN completeness profile (null count + exact distinct
+    cardinality) in long format — the schema-drift tripwire a pipeline
+    runs on every ingest batch. ONE wide aggregate computes every
+    column's counts in a single scan (Catalyst rewrites the multiple
+    DISTINCTs into one Expand — n_cols× row expansion map-side, still
+    one pass over storage vs. the oracle's n_cols scans), then an
+    explode pivots the single row to long form. At 100 TB swap exact
+    COUNT DISTINCT for approx_count_distinct and the Expand disappears
+    too; exact is the right call at audit scale."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    row = o.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.col", "p.n_null", "p.n_distinct")
+    )

@@ -91,3 +91,64 @@ def rangejoin_view_near_purchase(spark, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts"))).alias("delta_us"),
     )
+
+
+@query(
+    "join_interval_overlap_quarters",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, MIN(o_orderdate) AS s, MAX(o_orderdate) AS e
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT q_start, q_start + INTERVAL 3 MONTH AS q_end
+      FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                          TIMESTAMP '2001-07-01',
+                                          INTERVAL 3 MONTH)) AS q_start)
+    )
+    SELECT strftime(q_start, '%Y-%m-%d') AS quarter,
+           COUNT(*) AS n_active_customers
+    FROM q JOIN iv ON iv.s < q.q_end AND iv.e >= q.q_start
+    GROUP BY q_start
+    """,
+)
+def join_interval_overlap_quarters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-OVERLAP join (Allen's 'overlaps' relaxed to half-open
+    [s, e] vs [q_start, q_end)): customers whose order-activity span
+    intersects each calendar quarter. The fact side collapses to one
+    [first, last] interval per customer (hash-agg), then joins a
+    GENERATED quarter dim of 27 rows — broadcast, so the interval table
+    never shuffles for the theta condition and the 'join' is a scan +
+    broadcast nested loop over a dim small enough that BNL is the
+    *optimal* plan, not the fallback (cf. banded_interval_join for the
+    big-big case)."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("s"), F.max("o_orderdate").alias("e")
+    )
+    q = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit("1995-01-01")),
+                    F.to_timestamp(F.lit("2001-07-01")),
+                    F.expr("INTERVAL 3 MONTH"),
+                )
+            ).alias("q_start")
+        )
+        .select(
+            "q_start",
+            (F.col("q_start") + F.expr("INTERVAL 3 MONTH")).alias("q_end"),
+        )
+    )
+    return (
+        iv.join(
+            F.broadcast(q),
+            (F.col("s") < F.col("q_end")) & (F.col("e") >= F.col("q_start")),
+        )
+        .groupBy(F.date_format("q_start", "yyyy-MM-dd").alias("quarter"))
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )

@@ -446,3 +446,72 @@ def join_lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_acctbal")
     )
     return n.lateralJoin(top2).select("n_name", "c_custkey", "c_acctbal")
+
+
+@query(
+    "join_point_in_time_priority",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority FROM (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rd
+        FROM orders) x
+      WHERE rd = 1
+    )
+    SELECT priority, COUNT(*) AS n_items FROM (
+      SELECT d.o_orderpriority AS priority
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      ASOF LEFT JOIN dim d
+        ON o.o_custkey = d.o_custkey AND l.l_shipdate >= d.o_orderdate
+    ) GROUP BY priority
+    """,
+)
+def join_point_in_time_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal) join — the feature-store correctness
+    primitive: each lineitem is decorated with the customer's priority
+    AS OF its ship date (the latest per-day state at or before it),
+    never a later state — the leakage rule training pipelines must
+    enforce when joining features to events. Dim = last order per
+    (customer, day) via one argmax hash-agg; probe = lineitem×orders
+    equi-join for the customer key; the temporal lookup reuses
+    :func:`catme_etl_spark.operators.asof.asof_join` (union + running
+    last-ignorenulls over one (key, time) shuffle — the distributed
+    merge shape). Verified against DuckDB's native ASOF LEFT JOIN —
+    LEFT, because a probe with no state at-or-before it must surface
+    as a NULL-priority row (the leakage audit wants to SEE rows that
+    have no legal feature value, not silently drop them). Output
+    aggregates to per-priority counts so the check pins the whole
+    600k-row decoration without hashing 600k rows."""
+    from .asof import asof_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    dim = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("o_orderpriority", F.col("o_orderkey")).alias("prio"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("state_ts"),
+            "prio",
+        )
+    )
+    probe = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ship_ts"),
+    )
+    matched = asof_join(
+        probe,
+        dim,
+        on="custkey",
+        left_ts="ship_ts",
+        right_ts="state_ts",
+        value_cols=["prio"],
+    )
+    return matched.groupBy(F.col("prio_asof").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items")
+    )

@@ -266,3 +266,44 @@ def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("toks"),
     )
+
+
+@query(
+    "sample_class_balance_exact",
+    oracle="""
+    WITH n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    m AS (SELECT MIN(n) AS n_min FROM n),
+    r AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings
+    )
+    SELECT r.vec_id, r.label FROM r, m WHERE r.rk <= m.n_min
+    """,
+)
+def sample_class_balance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT class rebalancing: downsample every label to the minority
+    class's size — each class keeps precisely its first n_min members
+    in deterministic md5-of-id order, so the balanced set is stable
+    across reruns and engines (the guarantee rate-based acceptance
+    can't give: rates balance only in expectation). Keyed window per
+    label + a one-row broadcast min — no global window. Scale note: a
+    per-class ORDER BY ranks each label partition; at 100 TB with few
+    huge classes, switch to the rate-based ``sample_temperature_mix``
+    shape (T→∞) and accept ±√n wobble, or pre-bucket the hash order —
+    the exact tier is for eval/benchmark sets where counts must be
+    precise."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    n_min = n.agg(F.min("n").alias("n_min"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        emb.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+        .crossJoin(F.broadcast(n_min))
+        .filter(F.col("rk") <= F.col("n_min"))
+        .select("vec_id", "label")
+    )

@@ -295,3 +295,42 @@ def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_url_parse_funcs",
+    oracle="""
+    SELECT event_id,
+           'shop.example.com' AS host,
+           '/' || event_type || '/' || CAST(event_id % 10 AS VARCHAR) AS path,
+           CAST(user_id AS VARCHAR) AS q_user
+    FROM events
+    WHERE event_type = 'click' AND event_id % 7 = 0
+    """,
+)
+def scalar_url_parse_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via ``parse_url`` (HOST / PATH / QUERY-param
+    extraction — the log-sessionization scalar family). The URLs are
+    synthesized from event columns so the oracle can state the expected
+    parts by CONSTRUCTION (DuckDB has no parse_url) — the check proves
+    Spark's parser inverts the construction exactly. All JVM built-ins,
+    codegen-friendly, no regex UDFs."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 7 == 0)
+    )
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.col("event_type"),
+        F.lit("/"),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit("?user="),
+        F.col("user_id").cast("string"),
+        F.lit("&v=1"),
+    )
+    u = e.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("user")).alias("q_user"),
+    )

@@ -518,3 +518,35 @@ def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("cos_fidelity"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "embeddings_centroid_by_label",
+    oracle="""
+    SELECT label, dim, ROUND(AVG(v), 5) + 0.0 AS centroid_v
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def embeddings_centroid_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid vectors in long (label, dim, value) form —
+    the building block of IVF coarse quantizers and class prototypes
+    (`sim_ivf_kmeans_topk` consumes exactly these means). posexplode
+    turns the vector column into rows so the mean is a plain hash-agg
+    with map-side partials: at 100 TB this shuffles one partial
+    (sum, count) per (label, dim) per task — 64×|labels| rows — never
+    raw vectors. Float inputs are exact; only the double accumulation
+    order differs cross-engine, so ROUND(.., 5) (+0.0 for signed zero)
+    pins the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg((F.round(F.avg("v"), 5) + 0.0).alias("centroid_v"))
+    )

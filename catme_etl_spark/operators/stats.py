@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import money_sum
 from ..sources.tables import load_table
 from .registry import query
 
@@ -149,4 +150,203 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_est") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users")
         ).alias("within_bounds"),
+    )
+
+
+@query(
+    "agg_entropy_lang_by_source",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_langs,
+           ROUND(log2(CAST(SUM(n) AS DOUBLE))
+                 - SUM(n * log2(CAST(n AS DOUBLE)))
+                   / CAST(SUM(n) AS DOUBLE), 4) + 0.0
+             AS lang_entropy
+    FROM c GROUP BY source
+    """,
+)
+def agg_entropy_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the language distribution inside each
+    source — the corpus-diversity number a data-mixing run monitors
+    (a source collapsing to one language shows up as entropy → 0
+    before the doc counts move).
+
+    Uses the closed form H = log2(Σn) − (Σ n·log2 n)/Σn, which needs
+    the per-stratum counts only — TWO cascaded hash-aggs, no join back
+    for the total (the naive p·log2 p form costs an extra shuffle +
+    join to attach Σn first). Raw rows shuffle once as (source, lang)
+    partial counts; everything after is count-row-sized. The ``+ 0.0``
+    maps IEEE −0.0 → +0.0 for single-language sources (the closed form
+    yields exactly log2(n) − log2(n) there; Spark's ROUND normalizes
+    signed zero, DuckDB's preserves it)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").cast("double")
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.log2(tot) - F.sum(F.col("n") * F.log2(F.col("n"))) / tot, 4
+        ).alias("lang_entropy"),
+    )
+
+
+@query(
+    "agg_mode_priority_by_status",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY n DESC, o_orderpriority DESC) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group. Engine-builtin ``mode()`` leaves
+    ties unspecified (Spark picks an arbitrary winner, DuckDB its own),
+    so cross-engine the tie MUST be broken explicitly: the mode here is
+    argmax over the lexicographic pair (count, value) — most frequent,
+    ties to the greatest value — computed as ``max(struct(n, v))``,
+    one extra hash-agg over the tiny count table. Struct-max is a
+    mergeable aggregate, so at 100 TB this is two map-side-combined
+    shuffles of count rows, never raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = c.groupBy("o_orderstatus").agg(
+        F.max(F.struct(F.col("n"), F.col("o_orderpriority"))).alias("_m")
+    )
+    return m.select(
+        "o_orderstatus",
+        F.col("_m.o_orderpriority").alias("mode_priority"),
+        F.col("_m.n").alias("mode_count"),
+    )
+
+
+@query(
+    "agg_minmax_by_customer_per_nation",
+    oracle="""
+    WITH r AS (
+      SELECT c_nationkey, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rhi,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS rlo
+      FROM customer
+    )
+    SELECT c_nationkey,
+           MAX(CASE WHEN rhi = 1 THEN c_name END) AS richest,
+           MAX(CASE WHEN rlo = 1 THEN c_name END) AS poorest
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def agg_minmax_by_customer_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``max_by`` / ``min_by`` (argmax/argmin) with a deterministic
+    composite ordering: the richest and poorest customer name per
+    nation, ties broken by custkey via struct comparison. One hash-agg
+    carrying a constant-size (ordering, value) state per group — the
+    single-pass argmax a 100 TB scan wants, vs. the oracle's
+    two-window formulation which would sort every partition."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+    )
+
+
+@query(
+    "agg_histogram_extprice_bins",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin,
+           COUNT(*) AS n_items,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram_extprice_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (5000-dollar bins) of extended price with
+    per-bin exact money totals — the profiling pass that sizes
+    skew-handling and partition budgets before a heavy job. One
+    hash-agg over ~21 bins; FLOOR of an IEEE division is bit-identical
+    cross-engine, and the sum uses the integer-cents discipline
+    (functions/money.py) so bin totals never flake at rounding
+    boundaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_welch_ttest_click_view",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+           COUNT(*) FILTER (event_type = 'click') AS n_click,
+           COUNT(*) FILTER (event_type = 'view') AS n_view,
+           ROUND(AVG(value) FILTER (event_type = 'click'), 3) + 0.0
+             AS mean_click,
+           ROUND(AVG(value) FILTER (event_type = 'view'), 3) + 0.0
+             AS mean_view,
+           ROUND((AVG(value) FILTER (event_type = 'click')
+                  - AVG(value) FILTER (event_type = 'view'))
+                 / sqrt(VAR_SAMP(value) FILTER (event_type = 'click')
+                          / COUNT(*) FILTER (event_type = 'click')
+                        + VAR_SAMP(value) FILTER (event_type = 'view')
+                          / COUNT(*) FILTER (event_type = 'view')),
+                 3) + 0.0 AS welch_t
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+    """,
+)
+def agg_welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic (unequal-variance two-sample test) between
+    click and view values per day — the A/B-experiment readout, as ONE
+    conditional hash-agg: each group's (n, mean, var) comes from
+    FILTER-style conditional aggregates in a single pass, so the scan
+    never runs twice and only constant-size moment states shuffle.
+    The t denominator combines per-group variances (Welch), computed
+    identically from the same moments in both engines; ROUND(3) + the
+    signed-zero guard absorb accumulation-order drift."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    n_c, n_v = F.count(click), F.count(view)
+    m_c, m_v = F.avg(click), F.avg(view)
+    v_c, v_v = F.var_samp(click), F.var_samp(view)
+    t = (m_c - m_v) / F.sqrt(v_c / n_c + v_v / n_v)
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        n_c.alias("n_click"),
+        n_v.alias("n_view"),
+        F.round(m_c, 3).alias("mean_click"),
+        F.round(m_v, 3).alias("mean_view"),
+        F.round(t, 3).alias("welch_t"),
     )

@@ -292,3 +292,54 @@ def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(zscore, 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "ts_downsample_minmax_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value ASC, event_id ASC) AS rlo,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value DESC, event_id DESC) AS rhi
+      FROM b
+    )
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           MAX(CASE WHEN rlo = 1 THEN value END) AS min_value,
+           MAX(CASE WHEN rlo = 1 THEN event_id END) AS min_event_id,
+           MAX(CASE WHEN rhi = 1 THEN value END) AS max_value,
+           MAX(CASE WHEN rhi = 1 THEN event_id END) AS max_event_id
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def ts_downsample_minmax_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max decimation (the M4-style downsampling telemetry and
+    charting backends run): per (series, hour) keep the extreme-value
+    ROWS — value AND identity, so the downsample stays drillable —
+    which preserves the visual envelope of the series at a fixed budget
+    of 2 points per bucket. One hash-agg carrying two constant-size
+    argmin/argmax struct states per group (vs the oracle's double
+    window sort); values are selected, never accumulated, so no
+    rounding discipline is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.min(F.struct(F.col("value"), F.col("event_id")))
+    hi = F.max(F.struct(F.col("value"), F.col("event_id")))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("_bucket")
+        )
+        .agg(lo.alias("_lo"), hi.alias("_hi"))
+        .select(
+            "event_type",
+            F.date_format("_bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("_lo.value").alias("min_value"),
+            F.col("_lo.event_id").alias("min_event_id"),
+            F.col("_hi.value").alias("max_value"),
+            F.col("_hi.event_id").alias("max_event_id"),
+        )
+    )

@@ -256,3 +256,90 @@ def window_percent_rank_by_custkey(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "window_ntile_acctbal_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def window_ntile_acctbal_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NTILE bucketing — per-segment account-balance quartiles, the
+    window-family member (equal-COUNT buckets, not equal-width values)
+    the set was missing. Partitioned by segment with a unique
+    (acctbal, custkey) ordering so bucket boundaries are deterministic
+    cross-engine; each segment partition sorts independently after one
+    hash shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "window_gaps_islands_user_activity",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 360 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    y AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM x
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS island_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS island_end
+    FROM y GROUP BY user_id, island
+    HAVING COUNT(*) >= 3
+    """,
+)
+def window_gaps_islands_user_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of per-user activity with no gap
+    over 6 hours, via the classic two-window composition — a lag
+    break flag, then its running sum as the island id — followed by one
+    hash-agg. This is sessionization WITHOUT an event-time engine
+    (cf. events_session_30min's session_window): pure keyed windows, so
+    it runs identically in plain batch SQL. Gap compare is in exact
+    epoch-microseconds, matching the oracle's interval arithmetic;
+    islands under 3 events are dropped to keep the report dense."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    brk = F.when(us - F.lag(us).over(w) > 21_600_000_000, 1).otherwise(0)
+    x = e.select("user_id", "ts", "event_id", brk.alias("brk"))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    y = x.select(
+        "user_id", "ts", F.sum("brk").over(run).cast("long").alias("island")
+    )
+    return (
+        y.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "island_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "island_end"
+            ),
+        )
+        .filter(F.col("n_events") >= 3)
+    )
