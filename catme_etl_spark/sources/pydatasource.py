@@ -169,23 +169,10 @@ class _SheetFeedStreamReader(SimpleDataSourceStreamReader):
         return os.path.basename(path)
 
     def _check_prefix(self, files, offset):
-        """The committed prefix must still be exactly the ``sheets``
-        files sorting at-or-before ``last`` — otherwise a file was
-        dropped in before the commit point (or removed) and a
-        positional replay would diverge from what was committed."""
-        last = offset.get("last", "")
-        n_committed = offset["sheets"]
-        prefix = [f for f in files if self._base(f) <= last]
-        if len(prefix) != n_committed:
-            raise RuntimeError(
-                f"sheetfeed: committed offset covers {n_committed} sheet(s) "
-                f"up to {last!r}, but the directory now holds "
-                f"{len(prefix)} file(s) sorting at-or-before it — a file "
-                "arrived out of name order or was removed under a "
-                "committed offset. The files are the WAL: deliver new "
-                "sheets with names sorting after the last committed one, "
-                "or reset the checkpoint."
-            )
+        """Delegates to the module-level WAL invariant shared with the
+        partition-planning tier (``_check_committed_prefix``, defined
+        below it) — one contract, two throughput tiers."""
+        _check_committed_prefix(files, offset, "sheetfeed")
 
     def read(self, start):
         files = self._files()
@@ -238,3 +225,127 @@ class SheetFeedDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _SheetFeedStreamReader:
         return _SheetFeedStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Partition-planning streaming source (`sheetfeed_dist`): the
+# HIGH-THROUGHPUT tier of `sheetfeed`. Same content-addressed offsets
+# and WAL-replay contract, but the driver only PLANS (lists file names
+# between offsets); each sheet becomes an InputPartition whose rows are
+# parsed on an EXECUTOR — many new sheets in one trigger parse in
+# parallel across the cluster instead of serially on the driver.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _SheetFeedPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _check_committed_prefix(files, offset, what: str) -> None:
+    """Shared WAL invariant: the committed prefix must still be exactly
+    the ``sheets`` files sorting at-or-before ``last`` — otherwise a
+    file arrived out of name order (or was removed) under a committed
+    offset and positional replay would diverge."""
+    last = offset.get("last", "")
+    n_committed = offset["sheets"]
+    prefix = [f for f in files if os.path.basename(f) <= last]
+    if len(prefix) != n_committed:
+        raise RuntimeError(
+            f"{what}: committed offset covers {n_committed} sheet(s) up "
+            f"to {last!r}, but the directory now holds {len(prefix)} "
+            "file(s) sorting at-or-before it — a file arrived out of "
+            "name order or was removed under a committed offset. The "
+            "files are the WAL: deliver new sheets with names sorting "
+            "after the last committed one, or reset the checkpoint."
+        )
+
+
+class _SheetFeedDistStreamReader(DataSourceStreamReader):
+    """Executor-side sheetfeed. Offsets are the same content-addressed
+    ``{"sheets": n, "last": basename}`` dicts as the Simple tier (and
+    validated the same way — out-of-order arrivals under a committed
+    offset fail loudly); ``partitions(start, end)`` maps the committed
+    name range to one partition per sheet, so replay after restart
+    re-parses exactly the committed files. Unlike the Simple tier (one
+    sheet per trigger, driver-parsed), every pending sheet is planned
+    into the SAME micro-batch and parsed concurrently by executors —
+    the shape that keeps up with a heavy drop directory."""
+
+    def __init__(self, schema, options):
+        self.schema_names = [f.name for f in schema.fields]
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("sheetfeed_dist: pass the directory via .load(path)")
+
+    def _files(self):
+        return sorted(glob.glob(os.path.join(self.dir, "*.csv")))
+
+    def initialOffset(self):
+        return {"sheets": 0, "last": ""}
+
+    def latestOffset(self):
+        files = self._files()
+        if not hasattr(self, "_last_committed"):
+            self._last_committed = self.initialOffset()
+        _check_committed_prefix(files, self._last_committed, "sheetfeed_dist")
+        if not files:
+            return self._last_committed
+        return {
+            "sheets": len(files),
+            "last": os.path.basename(files[-1]),
+        }
+
+    def partitions(self, start, end):
+        files = self._files()
+        lo, hi = start.get("last", ""), end.get("last", "")
+        span = [f for f in files if lo < os.path.basename(f) <= hi]
+        expected = end["sheets"] - start["sheets"]
+        if len(span) != expected:
+            raise RuntimeError(
+                f"sheetfeed_dist: range ({lo!r}, {hi!r}] expects "
+                f"{expected} sheet(s) but found {len(span)} — WAL files "
+                "changed under a planned batch; cannot replay "
+                "deterministically."
+            )
+        return [_SheetFeedPartition(f) for f in span]
+
+    def read(self, partition):
+        # Runs ON AN EXECUTOR: self was pickled there; parse one sheet.
+        sheet = os.path.splitext(os.path.basename(partition.path))[0]
+        data_cols = [c for c in self.schema_names if c != "_sheet"]
+        with open(partition.path, newline="") as f:
+            for rec in csv.DictReader(f):
+                yield tuple(rec.get(c) for c in data_cols) + (sheet,)
+
+    def commit(self, end):
+        self._last_committed = end
+
+
+class SheetFeedDistDataSource(DataSource):
+    """``spark.readStream.format("sheetfeed_dist").load(dir)`` after
+    ``spark.dataSource.register(SheetFeedDistDataSource)``. Schema is
+    shared with ``sheetdir``/``sheetfeed``: all-string columns from the
+    first sheet plus the ``_sheet`` lineage column."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sheetfeed_dist"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        files = sorted(glob.glob(os.path.join(path, "*.csv"))) if path else []
+        if not files:
+            raise ValueError(f"sheetfeed_dist: no *.csv in {path!r}")
+        with open(files[0], newline="") as f:
+            header = next(csv.reader(f))
+        cols = ", ".join(f"`{c}` string" for c in header)
+        return f"{cols}, `_sheet` string"
+
+    def streamReader(self, schema) -> _SheetFeedDistStreamReader:
+        return _SheetFeedDistStreamReader(schema, self.options)

@@ -158,3 +158,82 @@ def test_sheetfeed_rejects_non_monotonic_arrivals(tmp_path):
     # replay of a committed range whose files mutated: loud failure
     with pytest.raises(RuntimeError, match="cannot replay"):
         list(r.readBetweenOffsets(o0, o1))  # aardvark now sits in ("", alpha]
+
+
+def test_sheetfeed_dist_plans_partitions_and_replays(tmp_path):
+    """Partition-planning tier contract without the engine: latestOffset
+    advances over ALL pending sheets at once, partitions() maps the
+    committed name range to one partition per sheet, read() parses a
+    partition, and a mutated WAL fails loudly."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from catme_etl_spark.sources.pydatasource import (
+        SheetFeedDistDataSource,
+        _SheetFeedDistStreamReader,
+    )
+
+    d = _write_sheets(tmp_path)  # alpha.csv, beta.csv
+    ds = SheetFeedDistDataSource(options={"path": d})
+    schema = StructType.fromDDL(ds.schema())
+    r = _SheetFeedDistStreamReader(schema, {"path": d})
+
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    assert o1 == {"sheets": 2, "last": "beta.csv"}
+    parts = r.partitions(o0, o1)
+    assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["alpha.csv", "beta.csv"]
+    rows = [t for p in parts for t in r.read(p)]
+    assert {t[-1] for t in rows} == {"alpha", "beta"} and len(rows) == 3
+    r.commit(o1)
+
+    # new later-sorting sheet → next batch plans exactly it
+    (tmp_path / "gamma.csv").write_text("id,name\n9,z\n")
+    o2 = r.latestOffset()
+    parts2 = r.partitions(o1, o2)
+    assert [p.path.rsplit("/", 1)[-1] for p in parts2] == ["gamma.csv"]
+    r.commit(o2)
+
+    # out-of-order arrival under the committed offset → loud failure
+    (tmp_path / "aaa.csv").write_text("id,name\n0,zz\n")
+    with pytest.raises(RuntimeError, match="out of name order"):
+        r.latestOffset()
+
+    # replay of a committed range whose files mutated → loud failure
+    with pytest.raises(RuntimeError, match="cannot replay"):
+        r.partitions(o0, o1)
+
+
+def test_sheetfeed_dist_streams_all_pending_in_one_batch(spark, tmp_path):
+    """Engine integration: the distributed tier delivers every pending
+    sheet (parsed executor-side, one partition each) and drains in far
+    fewer micro-batches than the one-sheet-per-trigger Simple tier."""
+    import time
+
+    from catme_etl_spark.sources.pydatasource import SheetFeedDistDataSource
+
+    d = _write_sheets(tmp_path)
+    spark.dataSource.register(SheetFeedDistDataSource)
+    q = (
+        spark.readStream.format("sheetfeed_dist")
+        .load(d)
+        .groupBy("_sheet")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("sheetfeed_dist_counts")
+        .outputMode("complete")
+        .start()
+    )
+    expected = {"alpha": 2, "beta": 1}
+    per_sheet: dict = {}
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline and per_sheet != expected:
+            per_sheet = {
+                r._sheet: r.n
+                for r in spark.table("sheetfeed_dist_counts").collect()
+            }
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert per_sheet == expected
