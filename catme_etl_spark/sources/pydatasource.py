@@ -85,7 +85,10 @@ def sheetdir_metadata(spark, path: str) -> dict:
 
 class SheetDirDataSource(DataSource):
     """``spark.read.format("sheetdir").load(dir)`` after registration
-    via ``spark.dataSource.register(SheetDirDataSource)``."""
+    via ``spark.dataSource.register(SheetDirDataSource)``; the write
+    side (``df.write.format("sheetdir").save(dir)``) is
+    :class:`_SheetDirWriter` below — a two-phase-commit CSV-per-task
+    sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -106,6 +109,9 @@ class SheetDirDataSource(DataSource):
 
     def reader(self, schema) -> _SheetDirReader:
         return _SheetDirReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _SheetDirWriter(schema, self.options, overwrite)
 
 
 # ---------------------------------------------------------------------------
@@ -349,3 +355,91 @@ class SheetFeedDistDataSource(DataSource):
 
     def streamReader(self, schema) -> _SheetFeedDistStreamReader:
         return _SheetFeedDistStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python SINK (`sheetdir` writer): df.write.format("sheetdir")
+# .mode("overwrite"|"append").save(dir). The write side of the workbook
+# model, with the two-phase commit the reference's chunk writer lacked
+# (S9/S10, `unified_code.py:346-366`: it wrote chunk files directly and
+# merged whatever glob found — a crashed job left partial output
+# indistinguishable from a complete one).
+# ---------------------------------------------------------------------------
+
+import shutil  # noqa: E402
+import uuid  # noqa: E402
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _StagedSheet(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class _SheetDirWriter(DataSourceWriter):
+    """Each task streams its partition to a staging file under
+    ``<dir>/_wip_<job>/`` (executor-side); ONLY the driver's
+    ``commit`` — which runs iff every task succeeded — promotes staged
+    files into the target directory under deterministic names
+    (``part_00000.csv``, ordered by staged name) and publishes a
+    ``_SUCCESS`` manifest listing them with row counts. ``abort``
+    removes the staging directory, leaving the target untouched —
+    readers can never observe a half-written job.
+
+    Scale caveat (honest): promote-by-rename assumes a rename-capable
+    store (local/HDFS). On object stores rename is a copy; the
+    manifest-commit pattern (readers trust ``_SUCCESS``'s file list,
+    stage files live in place) is the production variant — the
+    manifest is already written here, so switching is a reader-side
+    policy change, not a protocol change."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        self.cols = [f.name for f in schema.fields]
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("sheetdir write: pass the directory via .save(path)")
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex  # driver-side; pickled into tasks
+
+    @property
+    def _staging(self) -> str:
+        return os.path.join(self.dir, f"_wip_{self.job_id}")
+
+    def write(self, iterator):
+        os.makedirs(self._staging, exist_ok=True)
+        tmp = os.path.join(self._staging, f"task-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(tmp, "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(self.cols)
+            for row in iterator:
+                wr.writerow(["" if v is None else str(v) for v in row])
+                n += 1
+        if n == 0:  # no headerless/empty sheets in the output
+            os.remove(tmp)
+            return None
+        return _StagedSheet(staged=tmp, rows=n)
+
+    def commit(self, messages):
+        staged = sorted(
+            (m for m in messages if m is not None), key=lambda m: m.staged
+        )
+        os.makedirs(self.dir, exist_ok=True)
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.dir, "*.csv")):
+                os.remove(old)
+        manifest = []
+        existing = len(glob.glob(os.path.join(self.dir, "part_*.csv")))
+        for i, m in enumerate(staged):
+            name = f"part_{existing + i:05d}.csv"
+            os.replace(m.staged, os.path.join(self.dir, name))
+            manifest.append(f"{name},{m.rows}")
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+            f.write("\n".join(manifest) + ("\n" if manifest else ""))
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages):
+        shutil.rmtree(self._staging, ignore_errors=True)

@@ -237,3 +237,69 @@ def test_sheetfeed_dist_streams_all_pending_in_one_batch(spark, tmp_path):
     finally:
         q.stop()
     assert per_sheet == expected
+
+
+def test_sheetdir_writer_round_trip_and_manifest(spark, tmp_path):
+    """Two-phase-commit sink: write → promoted part files + _SUCCESS
+    manifest, no staging residue; reading back through the sheetdir
+    source recovers every row (all-string round trip)."""
+    import os
+
+    from catme_etl_spark.sources.pydatasource import SheetDirDataSource
+
+    spark.dataSource.register(SheetDirDataSource)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")], "id string, name string"
+    ).repartition(2)
+    df.write.format("sheetdir").mode("overwrite").save(out)
+
+    files = sorted(os.listdir(out))
+    parts = [f for f in files if f.startswith("part_") and f.endswith(".csv")]
+    assert parts and "_SUCCESS" in files
+    assert not [f for f in files if f.startswith("_wip_")], "staging residue"
+    manifest = open(os.path.join(out, "_SUCCESS")).read().strip().splitlines()
+    assert sorted(m.split(",")[0] for m in manifest) == parts
+    assert sum(int(m.split(",")[1]) for m in manifest) == 3
+
+    back = spark.read.format("sheetdir").load(out)
+    assert {(r.id, r.name) for r in back.collect()} == {
+        ("1", "a"), ("2", "b"), ("3", "c")
+    }
+
+    # append mode adds files without clobbering
+    spark.createDataFrame([("9", "z")], "id string, name string").coalesce(
+        1
+    ).write.format("sheetdir").mode("append").save(out)
+    assert spark.read.format("sheetdir").load(out).count() == 4
+
+    # overwrite replaces everything
+    spark.createDataFrame([("7", "q")], "id string, name string").coalesce(
+        1
+    ).write.format("sheetdir").mode("overwrite").save(out)
+    assert {
+        (r.id, r.name)
+        for r in spark.read.format("sheetdir").load(out).collect()
+    } == {("7", "q")}
+
+
+def test_sheetdir_writer_abort_leaves_target_untouched(tmp_path):
+    """abort() (driver-side, after task failure) must remove staging
+    and never touch already-published files."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from catme_etl_spark.sources.pydatasource import _SheetDirWriter
+
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "part_00000.csv").write_text("id,name\n1,a\n")
+
+    schema = StructType.fromDDL("id string, name string")
+    w = _SheetDirWriter(schema, {"path": str(out)}, overwrite=True)
+    msg = w.write(iter([("2", "b")]))  # stages one task file
+    assert os.path.exists(msg.staged)
+    w.abort([msg, None])
+    assert not [f for f in os.listdir(out) if f.startswith("_wip_")]
+    assert (out / "part_00000.csv").read_text() == "id,name\n1,a\n"
