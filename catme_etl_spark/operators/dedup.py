@@ -892,3 +892,70 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("csize").alias("max_cluster"),
         )
     )
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH comp AS ({_CC_ORACLE}),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ratio
+      FROM documents
+    ),
+    j AS (
+      SELECT comp.component, comp.doc_id, q.ratio
+      FROM comp JOIN q USING (doc_id)
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY ratio DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS csize
+      FROM j
+    )
+    SELECT component, csize, doc_id AS rep_doc_id,
+           ROUND(ratio, 4) AS rep_ratio,
+           csize - 1 AS n_dropped
+    FROM r WHERE rn = 1 AND csize >= 2
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual DELIVERABLE: one surviving document
+    per near-dup cluster, chosen by QUALITY (lexical-diversity ratio,
+    the `text_quality_score` metric) rather than the min-id convention
+    — keep the best copy, drop the rest. Reads the session-shared CC
+    labels, joins the per-doc ratio (ratio is a single IEEE division of
+    identical integer inputs, so it is bit-identical cross-engine and
+    safe to ORDER on), and reduces each cluster with ONE constant-state
+    argmax — max(struct(ratio, −doc_id)) encodes 'highest ratio, ties
+    to lowest id' as a plain mergeable aggregate, so at 100 TB only
+    (component, best-so-far) states shuffle, vs the oracle's
+    sort-every-partition double window. Singleton clusters are
+    excluded: the report lists where deduplication actually bites."""
+    from ..functions.texttools import tokens
+
+    labels = _cc_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    q = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ratio"),
+    )
+    best = F.max(F.struct(F.col("ratio"), (-F.col("doc_id")).alias("nid")))
+    return (
+        labels.join(q, "doc_id")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("csize"), best.alias("_b"))
+        .filter(F.col("csize") >= 2)
+        .select(
+            "component",
+            "csize",
+            (-F.col("_b.nid")).alias("rep_doc_id"),
+            F.round("_b.ratio", 4).alias("rep_ratio"),
+            (F.col("csize") - 1).alias("n_dropped"),
+        )
+    )
