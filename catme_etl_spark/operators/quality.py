@@ -222,3 +222,58 @@ def quality_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         row.select(F.explode(pairs).alias("p"))
         .select("p.col", "p.n_null", "p.n_distinct")
     )
+
+
+@query(
+    "quality_anomaly_iqr_fences",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(q1 - 1.5 * (q3 - q1), 3) + 0.0 AS fence_lo,
+           ROUND(q3 + 1.5 * (q3 - q1), 3) + 0.0 AS fence_hi,
+           COUNT(*) FILTER (e.value < q1 - 1.5 * (q3 - q1)
+                            OR e.value > q3 + 1.5 * (q3 - q1)) AS n_outliers
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q1, q3
+    """,
+)
+def quality_anomaly_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per series: exact quartiles → IQR
+    fences (±1.5·IQR) → outlier counts. The quartile pass and the
+    count pass are two scans with the tiny fence table broadcast
+    between them (per-group quantiles need the group's values; the
+    100 TB swap is ``approx_percentile``, which makes pass one a
+    mergeable single-scan sketch). Fence arithmetic is the same IEEE
+    expression on identical interpolated quantiles in both engines, so
+    boundary membership agrees; fences are ROUNDed for display only
+    AFTER the comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(lo, 3).alias("fence_lo"),
+            F.round(hi, 3).alias("fence_hi"),
+            "n_outliers",
+        )
+    )

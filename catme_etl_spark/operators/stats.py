@@ -19,10 +19,10 @@ not, and a near-zero correlation rounds to signed zero.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import money_sum
+from ..functions.money import cents, money_sum
 from ..sources.tables import load_table
 from .registry import query
 
@@ -349,4 +349,59 @@ def agg_welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m_c, 3).alias("mean_click"),
         F.round(m_v, 3).alias("mean_view"),
         F.round(t, 3).alias("welch_t"),
+    )
+
+
+@query(
+    "agg_gini_order_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, o_custkey) AS rk
+      FROM s
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(2.0 * SUM(CAST(rk AS DOUBLE) * x)
+                   / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 4) + 0.0 AS gini
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def agg_gini_order_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of order spend per nation — the revenue-
+    concentration number (0 = everyone spends equally, →1 = one
+    customer is the book). Uses the rank formulation
+    G = 2·Σ r_i·x_i / (n·Σx) − (n+1)/n over integer-cents totals: one
+    keyed window rank + one hash-agg, both on the nation partitioning,
+    so a single shuffle of per-customer totals. Σ r·x accumulates as
+    double (order-dependent); ROUND(4) absorbs the ~1e-15 drift."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("x"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "o_custkey")
+    r = s.select("*", F.row_number().over(w).alias("rk"))
+    n = F.count(F.lit(1))
+    return r.groupBy("c_nationkey").agg(
+        n.alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum(F.col("rk").cast("double") * F.col("x"))
+            / (n * F.sum("x").cast("double"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
     )

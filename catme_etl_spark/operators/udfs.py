@@ -326,3 +326,60 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.* FROM docs_for_udtf, "
         "LATERAL sentence_split(doc_id, text) s"
     )
+
+
+@query(
+    "grouped_map_user_ewma",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn, n, value AS ewma FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.n, 0.2 * o.value + 0.8 * rec.ewma
+      FROM rec JOIN o ON o.user_id = rec.user_id AND o.rn = rec.rn + 1
+    )
+    SELECT user_id, n AS n_events,
+           ROUND(ewma, 6) + 0.0 AS ewma_value
+    FROM rec WHERE rn = n
+    """,
+)
+def grouped_map_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE recursive EWMA (adjust=False: y_t = αx_t + (1−α)y_{t−1},
+    seeded y_1 = x_1, α = 0.2) — the canonical per-key sequential state
+    Spark's window algebra cannot express (no recursive frames), solved
+    at the ``applyInPandas`` rung: each user's history arrives ordered
+    in one pandas frame and ``Series.ewm`` runs the recurrence in C.
+    One shuffle on the key, exactly the keyed-agg cost shape.
+
+    The oracle is a DuckDB RECURSIVE CTE running the SAME recurrence —
+    both engines execute the identical FP operation sequence on
+    identical inputs, so the result is bit-identical before the final
+    rounding (which happens JVM-side with F.round so half-away
+    semantics match SQL ROUND; Python's round() is half-even)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = pdf["value"].ewm(alpha=0.2, adjust=False).mean().iloc[-1]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma_value": [float(y)],
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, n_events long, ewma_value double"
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
+    )
