@@ -80,3 +80,31 @@ def test_engineless_non_zip_excel_raises_importerror(tmp_path, monkeypatch):
         z.writestr("dummy.txt", "not a real workbook")
     with pytest.raises(ValueError):  # fallback runs, rejects content
         files.validate_excel(str(fake))
+
+
+def test_clear_shared_frees_localcheckpoint_blocks(spark):
+    """DataFrame.unpersist() does not free localCheckpoint RDD blocks;
+    the cache tracks the checkpointed RDD ids and must unpersist them
+    on clear — otherwise repeated bench clears accumulate orphaned
+    MEMORY_AND_DISK blocks for the session's lifetime."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators import _shared
+
+    def build():
+        return spark.range(1000).select(
+            "id", F.md5(F.col("id").cast("string")).alias("h")
+        )
+
+    df = _shared.shared_df("ck_leak_probe", "x", spark, build, materialize=True)
+    df.count()  # materialize the checkpoint blocks
+    ids_before = _shared._persistent_rdd_ids(spark)
+    tracked = set().union(*_shared._CK_RDD_IDS.values()) if _shared._CK_RDD_IDS else set()
+    assert tracked & ids_before, "checkpointed RDD ids were not tracked"
+
+    _shared.clear_shared()
+    ids_after = _shared._persistent_rdd_ids(spark)
+    assert not (tracked & ids_after), (
+        "localCheckpoint blocks survived clear_shared(): "
+        f"{sorted(tracked & ids_after)}"
+    )
