@@ -405,3 +405,91 @@ def agg_gini_order_concentration(
             4,
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS exact_cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY exact_cnt DESC, user_id ASC) AS rk
+      FROM c
+    )
+    SELECT event_type, CAST(rk AS INTEGER) AS rk, user_id, exact_cnt,
+           TRUE AS within_bounds
+    FROM r WHERE rk <= 3
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the FREQUENCY member of the
+    mergeable-sketch family (bitmap = exact distinct, HLL = approx
+    distinct, t-digest = percentile, CMS = per-item counts): one
+    ``count_min_sketch`` aggregate per event type (map-side mergeable,
+    O(KB) state), then the per-series top-3 users' exact counts are
+    checked against the sketch's point estimates via the public
+    ``org.apache.spark.util.sketch.CountMinSketch`` reader. Validated
+    like `agg_hll_union_rollup`: the output carries the exact counts
+    (oracle-matched) plus a boolean asserting the CMS guarantee
+    exact ≤ est ≤ exact + ⌈eps·N⌉ — a drifting sketch hash-mismatches
+    instead of hiding behind a rows-only check.
+
+    The two driver collects are the tiny aggregate tables (|types|
+    sketch rows, 3·|types| candidate rows), both budget-enforced — at
+    100 TB the sketch table IS the point: it answers "how often does
+    item x occur" for any x from kilobytes of state, no rescan."""
+    from ._shared import bounded_collect
+
+    eps, conf, seed = 0.001, 0.99, 42
+    ev = load_table(spark, sf_dir, "events")
+    sk_rows = bounded_collect(
+        ev.groupBy("event_type").agg(
+            F.count_min_sketch(
+                "user_id", F.lit(eps), F.lit(conf), F.lit(seed)
+            ).alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        what="CMS sketch table (one row per event type)",
+    )
+    top = bounded_collect(
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .select(
+            "*",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("exact_cnt").desc(), F.col("user_id").asc()
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 3),
+        what="per-type top-3 heavy-hitter candidates",
+    )
+    jvm = spark.sparkContext._jvm
+    readers = {
+        r.event_type: (
+            jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                bytes(r.sk)
+            ),
+            r.n,
+        )
+        for r in sk_rows
+    }
+    import math
+
+    out = []
+    for t in top:
+        cms, n = readers[t.event_type]
+        est = cms.estimateCount(jvm.java.lang.Long.valueOf(str(t.user_id)))
+        ok = t.exact_cnt <= est <= t.exact_cnt + math.ceil(eps * n)
+        out.append((t.event_type, int(t.rk), t.user_id, t.exact_cnt, ok))
+    return spark.createDataFrame(
+        out,
+        "event_type string, rk int, user_id long, exact_cnt long, "
+        "within_bounds boolean",
+    )
