@@ -168,3 +168,52 @@ def test_temperature_mix_broadcasts_rates(spark, sf_dir):
     the corpus scan, never shuffle the documents for the join."""
     q = e.queries()["sample_temperature_mix"](spark, sf_dir)
     assert_broadcast_join(q, min_count=1)
+
+
+def test_gaps_islands_single_shuffle(spark, sf_dir):
+    """Both window passes and the island aggregation share the user_id
+    partitioning — the whole query is ONE exchange (hash partitioning
+    on a grouping-key subset satisfies the agg's distribution)."""
+    q = e.queries()["window_gaps_islands_user_activity"](spark, sf_dir)
+    assert count_shuffles(q) == 1
+
+
+def test_interval_overlap_bnl_is_broadcast_of_generated_dim(spark, sf_dir):
+    """The theta condition runs as a BNL ONLY against the broadcast
+    27-row generated quarter dim — the interval table itself must not
+    cartesian with anything its own size."""
+    from catme_etl_spark.plans.explain import executed_plan_str
+
+    q = e.queries()["join_interval_overlap_quarters"](spark, sf_dir)
+    plan = executed_plan_str(q)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_completeness_profile_is_single_scan(spark, sf_dir):
+    """The per-column profile computes every null/distinct count from
+    ONE pass over storage (Catalyst's Expand), not one scan per column
+    like the oracle's UNION ALL formulation."""
+    from catme_etl_spark.plans.explain import scan_read_schemas
+
+    q = e.queries()["quality_completeness_profile"](spark, sf_dir)
+    assert len(scan_read_schemas(q)) == 1
+
+
+def test_entropy_closed_form_has_no_join(spark, sf_dir):
+    """H = log2(tot) - sum(n*log2 n)/tot needs only the per-stratum
+    counts: two cascaded aggs, no join back for the total (the naive
+    p*log2(p) form costs an extra shuffle + join)."""
+    from catme_etl_spark.plans.explain import executed_plan_str
+
+    q = e.queries()["agg_entropy_lang_by_source"](spark, sf_dir)
+    plan = executed_plan_str(q)
+    assert "Join" not in plan
+    assert count_shuffles(q) == 2
+
+
+def test_point_in_time_filter_pushdown_survives_asof_composition(spark, sf_dir):
+    """The as-of union/window composition must not block column
+    pruning: the lineitem scan reads only the probe columns."""
+    q = e.queries()["join_point_in_time_priority"](spark, sf_dir)
+    assert_columns_pruned(q, "l_quantity", "l_extendedprice", "l_returnflag")
