@@ -811,9 +811,23 @@ def cc_labels_reliable(
     iteration survives executor loss and the final labels are a
     restart-readable artifact, not session-lifetime RDD blocks. This is
     the CC counterpart of the durable LSH band index
-    (tests/test_round3_ops.py proves that round-trip)."""
-    spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    return _build_cc_labels(spark, sf_dir, reliable=True)
+    (tests/test_round3_ops.py proves that round-trip).
+
+    ``setCheckpointDir`` is session-global; the prior directory is
+    restored after the build (every round's ``df.checkpoint()`` is
+    eager, so nothing here lazily depends on the directory once the
+    labels are returned). Two documented edges: restoration re-roots
+    under the prior directory (Spark appends a fresh UUID level per
+    ``setCheckpointDir`` call), and when no directory was set before,
+    this one stays set — Spark has no unset."""
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(checkpoint_dir)
+    try:
+        return _build_cc_labels(spark, sf_dir, reliable=True)
+    finally:
+        if prev is not None:
+            sc.setCheckpointDir(prev)
 
 
 def _build_cc_labels(

@@ -260,6 +260,17 @@ def _check_committed_prefix(files, offset, what: str) -> None:
     offset and positional replay would diverge."""
     last = offset.get("last", "")
     n_committed = offset["sheets"]
+    if n_committed and not last:
+        # Pre-content-addressed checkpoints ({'sheets': n} only) can't
+        # be replayed by name range; fail with the real diagnosis
+        # instead of a misleading out-of-order error.
+        raise RuntimeError(
+            f"{what}: committed offset {{'sheets': {n_committed}}} has no "
+            "'last' key — a legacy positional checkpoint from before the "
+            "content-addressed offset format. Reset the checkpoint "
+            "directory (or rewrite the offset with 'last' set to the "
+            f"basename of the {n_committed}th sorted sheet) to resume."
+        )
     prefix = [f for f in files if os.path.basename(f) <= last]
     if len(prefix) != n_committed:
         raise RuntimeError(
@@ -428,17 +439,41 @@ class _SheetDirWriter(DataSourceWriter):
             (m for m in messages if m is not None), key=lambda m: m.staged
         )
         os.makedirs(self.dir, exist_ok=True)
+        manifest = []
         if self.overwrite:
             for old in glob.glob(os.path.join(self.dir, "*.csv")):
                 os.remove(old)
-        manifest = []
-        existing = len(glob.glob(os.path.join(self.dir, "part_*.csv")))
+        else:
+            # Append must carry prior published entries forward: the
+            # manifest is the full listing manifest-trusting readers
+            # rely on, so dropping earlier jobs' files from it would
+            # silently unpublish their data.
+            prior = os.path.join(self.dir, "_SUCCESS")
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    manifest = [ln for ln in f.read().splitlines() if ln]
+        # Next part index = max existing index + 1, NOT the file count:
+        # with gaps (a published part removed out-of-band) a count-based
+        # name could collide with a live file and os.replace would
+        # silently overwrite published data.
+        indices = []
+        for p in glob.glob(os.path.join(self.dir, "part_*.csv")):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            suffix = stem.split("_", 1)[1]
+            if suffix.isdigit():
+                indices.append(int(suffix))
+        nxt = max(indices) + 1 if indices else 0
         for i, m in enumerate(staged):
-            name = f"part_{existing + i:05d}.csv"
+            name = f"part_{nxt + i:05d}.csv"
             os.replace(m.staged, os.path.join(self.dir, name))
             manifest.append(f"{name},{m.rows}")
-        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+        # Manifest commit is itself atomic (temp + rename): a crash
+        # mid-commit leaves either the old complete manifest or the new
+        # one, never a torn file beside promoted parts.
+        tmp = os.path.join(self.dir, f"_SUCCESS._wip_{self.job_id}")
+        with open(tmp, "w") as f:
             f.write("\n".join(manifest) + ("\n" if manifest else ""))
+        os.replace(tmp, os.path.join(self.dir, "_SUCCESS"))
         shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages):

@@ -1,0 +1,89 @@
+"""Round-5 ADVICE fixes.
+
+- sheetdir 2PC sink, append mode: the _SUCCESS manifest must carry
+  prior jobs' entries forward (manifest-trusting readers would
+  otherwise lose earlier appends), part naming must survive index gaps
+  without clobbering live files, and the manifest write itself must be
+  atomic (temp + rename).
+- sheetfeed offsets: a legacy positional checkpoint ({'sheets': n}
+  with no 'last') must fail with a dedicated diagnosis, not the
+  misleading out-of-name-order error.
+- cc_labels_reliable must restore the session's prior checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _manifest(out: str) -> list[str]:
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        return [ln for ln in f.read().splitlines() if ln]
+
+
+def test_sheetdir_append_merges_manifest_and_skips_gaps(spark, tmp_path):
+    from catme_etl_spark.sources.pydatasource import SheetDirDataSource
+
+    spark.dataSource.register(SheetDirDataSource)
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("1", "a"), ("2", "b")], "id string, name string"
+    ).coalesce(1).write.format("sheetdir").mode("overwrite").save(out)
+    first = _manifest(out)
+    assert len(first) == 1 and first[0].startswith("part_00000.csv,")
+
+    spark.createDataFrame([("3", "c")], "id string, name string").coalesce(
+        1
+    ).write.format("sheetdir").mode("append").save(out)
+    merged = _manifest(out)
+    # prior entry kept, new one appended
+    assert merged[0] == first[0]
+    assert len(merged) == 2 and merged[1].startswith("part_00001.csv,")
+
+    # poke a gap: remove part_00000 but keep part_00001 — the next
+    # append must name from max+1 (part_00002), not count (part_00001,
+    # which would silently overwrite a live file)
+    os.remove(os.path.join(out, "part_00000.csv"))
+    spark.createDataFrame([("4", "d")], "id string, name string").coalesce(
+        1
+    ).write.format("sheetdir").mode("append").save(out)
+    names = sorted(
+        f for f in os.listdir(out) if f.startswith("part_") and f.endswith(".csv")
+    )
+    assert names == ["part_00001.csv", "part_00002.csv"]
+    with open(os.path.join(out, "part_00001.csv")) as f:
+        assert "3,c" in f.read()  # the live file survived the append
+    # no torn/temp manifest residue
+    assert not [f for f in os.listdir(out) if f.startswith("_SUCCESS._wip_")]
+
+
+def test_sheetfeed_legacy_offset_diagnosed(tmp_path):
+    from catme_etl_spark.sources.pydatasource import _check_committed_prefix
+
+    (tmp_path / "s1.csv").write_text("id\n1\n")
+    files = [str(tmp_path / "s1.csv")]
+    with pytest.raises(RuntimeError, match="legacy positional checkpoint"):
+        _check_committed_prefix(files, {"sheets": 1}, "sheetfeed")
+    # the content-addressed form still validates normally
+    _check_committed_prefix(files, {"sheets": 1, "last": "s1.csv"}, "sheetfeed")
+    _check_committed_prefix(files, {"sheets": 0, "last": ""}, "sheetfeed")
+
+
+def test_cc_labels_reliable_restores_checkpoint_dir(spark, sf_dir, tmp_path):
+    from catme_etl_spark.operators.dedup import cc_labels_reliable
+
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior_ck")
+    sc.setCheckpointDir(prior)
+    before = sc.getCheckpointDir()
+    cc_dir = str(tmp_path / "cc_ck")
+    labels = cc_labels_reliable(spark, sf_dir, cc_dir)
+    assert labels.count() > 0
+    after = sc.getCheckpointDir()
+    # the reliable build used cc_dir but restored the session's prior
+    # checkpoint ROOT afterward (Spark nests a fresh UUID level per
+    # setCheckpointDir call, so assert containment, not equality)
+    assert after is not None and after.startswith(before)
+    assert cc_dir not in after
