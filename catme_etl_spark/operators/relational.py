@@ -344,15 +344,40 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Approximate distinct: HLL sketches differ between engines by design →
-# rows-only check (no oracle entry; SURVEY §2.4 A1 approx variant).
-@query("agg_approx_count_distinct")
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE                      AS within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch — mergeable map-side, O(KB) state per group vs a full shuffle of keys for the exact count (rows-only: sketch estimates are engine-specific)."""
+    """PER-GROUP HyperLogLog++ distinct-count sketch — mergeable
+    map-side, O(KB) state per group vs a full shuffle of keys for the
+    exact count. Hash-certified via the repo's within-bounds pattern
+    (`agg_approx_distinct_bounds` is the global precedent): the output
+    carries the exact per-flag count (oracle-matched) plus a boolean
+    asserting the sketch estimate lands within 5× its configured rsd
+    (0.02 → ±10%, generous). The estimate is engine-specific but
+    deterministic per input, so estimator drift hash-mismatches instead
+    of hiding behind a rows-only check."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 5 * 0.02 * F.col("exact_parts")
+            ).alias("within_bounds"),
+        )
     )
 
 

@@ -455,12 +455,49 @@ def stream_to_parquet(
     return spark.read.parquet(out_dir).count()
 
 
-@query("stream_session_sealed")
+@query(
+    "stream_session_sealed",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    g AS (
+      SELECT user_id, epoch_us(MIN(ts)) AS sess_start_us,
+             COUNT(*) AS n_events, MAX(ts) AS sess_end
+      FROM islands GROUP BY user_id, sess
+    )
+    SELECT user_id, sess_start_us, n_events
+    FROM g
+    WHERE sess_end + INTERVAL 30 MINUTE
+          <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
 def stream_session_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) in APPEND mode: only sessions the
-    final watermark (max event time − 1 h) has sealed are emitted —
-    late-data semantics that no batch SQL can express, so this is a
-    rows-only check (driver records row count + schema stability)."""
+    final watermark (max event time − 1 h) has sealed are emitted.
+
+    Hash-certified by BATCH EQUIVALENCE: once the watermark passes a
+    session's end, its contents are frozen — so the sealed set equals
+    the batch gaps-and-islands sessionization (the
+    `events_session_30min` oracle) filtered to sessions whose Spark
+    window end (last event + gap) is at-or-before the final watermark.
+    The streamed run is genuinely multi-micro-batch (4 time-ordered
+    slices, watermark advancing between batches); the oracle replays
+    the same semantics in one SQL pass, verified set-identical at
+    sf0.001 and sf0.01. Sessions still OPEN at end-of-stream are
+    (correctly) absent from both sides — that is the append-mode
+    contract this query demonstrates."""
     e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = e.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("w")

@@ -174,12 +174,14 @@ def test_corrupt_rows_are_isolated_not_fatal(spark, tmp_path):
 
 
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
-    """The sketch query is rows-only at the driver gate; here we pin
-    its accuracy contract instead: HLL++ within 5% of exact."""
+    """Round 5: the sketch query is hash-certified via the
+    within-bounds pattern — every per-group bound must hold so the
+    driver's value hash (booleans included) is stable."""
     import __spark_entry__ as e
 
-    row = e.queries()["agg_approx_count_distinct"](spark, sf_dir).first()
-    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05
+    rows = e.queries()["agg_approx_count_distinct"](spark, sf_dir).collect()
+    assert rows and all(r.within_bounds for r in rows)
+    assert all(r.exact_parts > 0 for r in rows)
 
 
 # ---------------------------------------------------------------------------
