@@ -973,3 +973,80 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("csize") - 1).alias("n_dropped"),
         )
     )
+
+
+@query(
+    "pipeline_dedup_corpus",
+    oracle=f"""
+    WITH comp AS ({_CC_ORACLE}),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ratio
+      FROM documents
+    ),
+    j AS (
+      SELECT comp.component, comp.doc_id, q.ratio
+      FROM comp JOIN q USING (doc_id)
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY ratio DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS csize
+      FROM j
+    )
+    SELECT d.doc_id, r.component, r.csize, d.source, d.lang,
+           LENGTH(d.text) AS text_chars
+    FROM r JOIN documents d USING (doc_id)
+    WHERE r.rn = 1
+    """,
+)
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup deliverable, composed from the certified
+    stages: documents → SimHash signatures → banded candidate pairs →
+    Hamming-verified edges → connected-component labels → ONE surviving
+    document per cluster by quality argmax (singletons survive as their
+    own representative) → survivors rejoined to the corpus metadata.
+    This is the job a training-data pipeline runs nightly; every stage
+    is individually driver-certified and this query certifies their
+    COMPOSITION (the full lineage hashes end to end).
+
+    Plan shape: the session-shared CC labels materialize once; the
+    survivor choice is the same mergeable ``max(struct(ratio, −id))``
+    argmax as `dedup_cluster_representatives` (no csize filter — a
+    singleton's best doc is itself); the final metadata join is an
+    equi-join on doc_id. At 100 TB: band index and labels are the
+    heavy shuffles (sized in SCALING.md); the argmax shuffles one
+    (component, best) state per cluster; the rejoin co-partitions on
+    doc_id. The surviving corpus then streams through the 2PC
+    ``sheetdir`` sink (tests/test_round5_ops.py proves the
+    commit-manifest and abort paths on exactly this output)."""
+    from ..functions.texttools import tokens
+
+    labels = _cc_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    q = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ratio"),
+    )
+    best = F.max(F.struct(F.col("ratio"), (-F.col("doc_id")).alias("nid")))
+    survivors = (
+        labels.join(q, "doc_id")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("csize"), best.alias("_b"))
+        .select(
+            "component", "csize", (-F.col("_b.nid")).alias("doc_id")
+        )
+    )
+    return survivors.join(d, "doc_id").select(
+        "doc_id",
+        "component",
+        "csize",
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("text_chars"),
+    )

@@ -26,3 +26,30 @@ def test_sweep_order_matches_registry_exactly():
     assert listed - registered == set(), (
         f"in SWEEP_ORDER but not registered: {sorted(listed - registered)}"
     )
+
+
+def test_round5_certification_window_composition():
+    """Round-5 rotation: the driver's 50-slot window must open with the
+    2 canaries and contain every name needing (re-)certification this
+    round — the 4 rows-only→hash-certified reworks (changed schemas)
+    and all round-5 additions."""
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    from catme_etl_spark.operators.ordering import SWEEP_ORDER
+
+    window = SWEEP_ORDER[:50]
+    assert window[:2] == [
+        "etl_pipeline_stages",
+        "flagship_revenue_by_nation",
+    ]
+    needs_certification = [
+        # reworked (schema changed → r01-r04 green rows are stale)
+        "agg_approx_count_distinct",
+        "stream_session_sealed",
+        "sim_ml_lsh_pairs",
+        "sim_ivf_kmeans_topk",
+        # round-5 additions
+        "pipeline_dedup_corpus",
+    ]
+    for name in needs_certification:
+        assert name in window[2:], f"{name} fell outside the window"
