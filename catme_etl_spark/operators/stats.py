@@ -430,8 +430,9 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, t-digest = percentile, CMS = per-item counts): one
     ``count_min_sketch`` aggregate per event type (map-side mergeable,
     O(KB) state), then the per-series top-3 users' exact counts are
-    checked against the sketch's point estimates via the public
-    ``org.apache.spark.util.sketch.CountMinSketch`` reader. Validated
+    checked against the sketch's point estimates via the pure-Python
+    reader for the public CountMinSketch serialization
+    (``functions/cms.py`` — no private ``_jvm`` gateway). Validated
     like `agg_hll_union_rollup`: the output carries the exact counts
     (oracle-matched) plus a boolean asserting the CMS guarantee
     exact ≤ est ≤ exact + ⌈eps·N⌉ — a drifting sketch hash-mismatches
@@ -470,22 +471,18 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3),
         what="per-type top-3 heavy-hitter candidates",
     )
-    jvm = spark.sparkContext._jvm
-    readers = {
-        r.event_type: (
-            jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-                bytes(r.sk)
-            ),
-            r.n,
-        )
-        for r in sk_rows
-    }
     import math
 
+    from ..functions.cms import CountMinSketch
+
+    readers = {
+        r.event_type: (CountMinSketch.from_bytes(bytes(r.sk)), r.n)
+        for r in sk_rows
+    }
     out = []
     for t in top:
         cms, n = readers[t.event_type]
-        est = cms.estimateCount(jvm.java.lang.Long.valueOf(str(t.user_id)))
+        est = cms.estimate_count(t.user_id)
         ok = t.exact_cnt <= est <= t.exact_cnt + math.ceil(eps * n)
         out.append((t.event_type, int(t.rk), t.user_id, t.exact_cnt, ok))
     return spark.createDataFrame(

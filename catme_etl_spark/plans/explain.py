@@ -15,19 +15,26 @@ for ad-hoc `.explain` review while developing operators:
 
 from __future__ import annotations
 
+import contextlib
+import io
 import re
 
 from pyspark.sql import DataFrame
 
 
 def plan_str(df: DataFrame, mode: str = "formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    """Explain output as a string via the PUBLIC ``DataFrame.explain``
+    (it prints; capture stdout) — no ``_jvm`` gateway."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
 
 
 def executed_plan_str(df: DataFrame) -> str:
-    """Final (post-AQE-planning) physical plan string."""
+    """Final (post-AQE-planning) physical plan string. Diagnostic-only
+    surface: ``_jdf`` is the one non-public access left in the repo —
+    the final adaptive plan has no public string accessor in PySpark."""
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -71,6 +71,32 @@ def test_sheetfeed_legacy_offset_diagnosed(tmp_path):
     _check_committed_prefix(files, {"sheets": 0, "last": ""}, "sheetfeed")
 
 
+def test_cms_pure_python_reader_matches_jvm(spark):
+    """functions/cms.py decodes Spark's public CountMinSketch
+    serialization without the private _jvm gateway; cross-validate the
+    decoded estimates bit-for-bit against the JVM reader (the test MAY
+    use _jvm — the package may not)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.functions.cms import CountMinSketch
+
+    df = spark.range(0, 5000).select((F.col("id") % 97).alias("v"))
+    row = df.agg(
+        F.count_min_sketch("v", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
+            "sk"
+        )
+    ).first()
+    b = bytes(row.sk)
+    cms = CountMinSketch.from_bytes(b)
+    assert cms.total_count == 5000
+    jvm = spark.sparkContext._jvm
+    jcms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
+    for item in list(range(100)) + [-5, 10**12]:
+        assert cms.estimate_count(item) == jcms.estimateCount(
+            jvm.java.lang.Long.valueOf(str(item))
+        ), item
+
+
 def test_cc_labels_reliable_restores_checkpoint_dir(spark, sf_dir, tmp_path):
     from catme_etl_spark.operators.dedup import cc_labels_reliable
 
