@@ -58,6 +58,21 @@ def get_spark(
             "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
         )
     )
+    # Driver logging profile: default console layout + a named-logger
+    # override silencing the deliberate localCheckpoint-unpersist WARN
+    # (see conf/log4j2-driver.properties for the why). Only effective
+    # when this call actually launches the JVM — a reused session keeps
+    # whatever profile it started with.
+    log_conf = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "conf",
+        "log4j2-driver.properties",
+    )
+    if os.path.exists(log_conf):
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Dlog4j.configurationFile=file:{log_conf}",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -97,6 +97,41 @@ def test_cms_pure_python_reader_matches_jvm(spark):
         ), item
 
 
+def test_localcheckpoint_evict_warn_silenced(tmp_path):
+    """The deliberate localCheckpoint-block release in clear_shared()
+    must not spray 'lineage truncated ... cannot be recomputed' WARNs
+    into the bench tail. Fresh subprocess: the log4j2-driver profile
+    only applies when the JVM is actually launched by our builder."""
+    import subprocess
+    import sys
+
+    script = """
+import sys
+from catme_etl_spark.session import get_spark
+from catme_etl_spark.operators import _shared
+spark = get_spark("warns", shuffle_partitions=4)
+df = _shared.shared_df(
+    "warn_probe", "x", spark,
+    lambda: spark.range(100).selectExpr("id", "id * 2 AS y"),
+    materialize=True,
+)
+df.count()
+# non-vacuous: the checkpoint must have persisted blocks to release
+assert any(_shared._CK_RDD_IDS.values()), "no checkpoint blocks recorded"
+_shared.clear_shared()
+print("DONE", file=sys.stderr)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert "DONE" in proc.stderr, proc.stderr[-2000:]
+    assert "locally checkpointed" not in proc.stderr, proc.stderr[-2000:]
+
+
 def test_cc_labels_reliable_restores_checkpoint_dir(spark, sf_dir, tmp_path):
     from catme_etl_spark.operators.dedup import cc_labels_reliable
 
