@@ -61,6 +61,17 @@ HEADLINE = [
     "merge_cdc_latest_wins",
     "window_gaps_islands_user_activity",
     "asof_nearest_purchase",
+    # round-5 additions: every family added since r02 now has
+    # round-over-round regression tracking — point-in-time temporal
+    # join, CMS sketch bound-check, recursive per-key EWMA, the dedup
+    # deliverable (cluster representatives), single-scan IQR profile,
+    # and the composed end-to-end dedup pipeline
+    "join_point_in_time_priority",
+    "agg_cms_heavy_hitters",
+    "grouped_map_user_ewma",
+    "dedup_cluster_representatives",
+    "quality_anomaly_iqr_fences",
+    "pipeline_dedup_corpus",
 ]
 
 
