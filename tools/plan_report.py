@@ -6,26 +6,105 @@ joins, sort-merge joins, nested-loop joins, and whole-stage-codegen
 stages. This pins the shuffle-budget claims in SCALING.md to measured
 numbers and makes plan regressions diff-visible in review.
 
+A second table records MEASURED shuffle read/write bytes for the
+heaviest headline queries at sf0.1, captured through Spark's public
+monitoring REST API (stage-metric deltas around each cold run) — the
+"what moves" column as bytes, not prose.
+
 Streaming queries (``stream_*``) execute on build (availableNow → memory
 sink), so their plan is the *result's* plan, not the streaming DAG —
 they are listed but flagged.
 
 Usage: python tools/plan_report.py [--sf /root/testdata/sf0.01]
+       [--bytes-sf /root/testdata/sf0.1] [--no-bytes]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import re
 import sys
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The queries whose data movement dominates the bench: worth measuring,
+# not just plan-counting. Order matches bench.py's HEADLINE grouping.
+BYTES_QUERIES = [
+    "flagship_revenue_by_nation",
+    "q1_pricing_summary",
+    "tpch_q9_product_type_revenue",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_minhash_incremental",
+    "sim_ivf_topk",
+    "sim_srp_lsh_pairs",
+    "grouped_map_user_ewma",
+    "join_point_in_time_priority",
+    "dedup_cluster_representatives",
+    "pipeline_dedup_corpus",
+]
+
+
+def _stage_totals(ui_base: str, app_id: str) -> tuple[int, int]:
+    """Sum shuffle write/read bytes over ALL stages via the public
+    monitoring REST API (stable, documented interface)."""
+    with urllib.request.urlopen(
+        f"{ui_base}/api/v1/applications/{app_id}/stages", timeout=30
+    ) as r:
+        stages = json.load(r)
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    return w, rd
+
+
+def _fmt_bytes(n: int) -> str:
+    for unit in ("B", "KB", "MB", "GB"):
+        if n < 1024 or unit == "GB":
+            return f"{n:.1f} {unit}" if unit != "B" else f"{n} B"
+        n /= 1024.0
+    return f"{n:.1f} GB"
+
+
+def measure_shuffle_bytes(spark, qs, sf_dir: str) -> list[tuple]:
+    """Cold-run each BYTES_QUERIES entry through the noop sink and
+    record the stage-metric delta (shuffle write/read bytes). Shared
+    builders are cleared between queries so each delta is the full
+    cold pipeline — the same semantics as bench.py."""
+    from catme_etl_spark.operators._shared import clear_shared
+
+    app_id = spark.sparkContext.applicationId
+    ui_base = spark.sparkContext.uiWebUrl
+    rows = []
+    for name in BYTES_QUERIES:
+        if name not in qs:
+            continue
+        clear_shared()
+        spark.catalog.clearCache()
+        w0, r0 = _stage_totals(ui_base, app_id)
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            w1, r1 = _stage_totals(ui_base, app_id)
+            rows.append((name, w1 - w0, r1 - r0))
+            print(f"bytes {name}: write={_fmt_bytes(w1 - w0)} "
+                  f"read={_fmt_bytes(r1 - r0)}")
+        except Exception as ex:  # pragma: no cover - report tool
+            rows.append((name, None, None))
+            print(f"FAIL bytes {name}: {ex}")
+    clear_shared()
+    spark.catalog.clearCache()
+    return rows
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--bytes-sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--no-bytes", action="store_true")
     ap.add_argument("--out", default="PLANS.md")
     args = ap.parse_args()
 
@@ -37,7 +116,12 @@ def main() -> None:
     )
     from catme_etl_spark.session import get_spark
 
-    spark = get_spark("plan-report", shuffle_partitions=8)
+    # UI on: the byte measurements read the public monitoring REST API
+    spark = get_spark(
+        "plan-report",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     qs = e.queries()
     rows = []
     for name in sorted(qs):
@@ -93,6 +177,27 @@ def main() -> None:
                 f.write(f"| {name}{tag} | — | — | — | — | — |\n")
             else:
                 f.write(f"| {name}{tag} | {sh} | {bc} | {smj} | {bnl} | {cg} |\n")
+
+        if not args.no_bytes:
+            byte_rows = measure_shuffle_bytes(spark, qs, args.bytes_sf)
+            f.write(
+                "\n## Measured shuffle bytes (cold, sf0.1)\n\n"
+                "Stage-metric deltas from the public monitoring REST API\n"
+                "around one cold noop-sink run per query (shared builders\n"
+                "cleared first — bench.py semantics). This is the actual\n"
+                "data movement, including every builder stage; multiply by\n"
+                "1000× for the 100 TB mental model and compare against the\n"
+                "SCALING.md sizing table.\n\n"
+                "| query | shuffle write | shuffle read |\n"
+                "|---|---|---|\n"
+            )
+            for name, w, rd in byte_rows:
+                if w is None:
+                    f.write(f"| {name} | — | — |\n")
+                else:
+                    f.write(
+                        f"| {name} | {_fmt_bytes(w)} | {_fmt_bytes(rd)} |\n"
+                    )
     print(f"wrote {args.out} ({len(rows)} queries)")
 
 
