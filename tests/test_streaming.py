@@ -30,6 +30,35 @@ def test_sealed_sessions_are_subset_of_batch_sessions(spark):
     assert 0 < sealed.count() <= batch.count()
 
 
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """The 100×-state-size knob for C7: the RocksDB state store
+    provider (public Spark conf; state spills to local disk instead of
+    living on the executor heap) must produce results identical to the
+    default HDFS-backed in-memory provider on the custom
+    applyInPandasWithState job. On a cluster this is the difference
+    between stateful jobs bounded by executor heap and bounded by local
+    SSD."""
+    from catme_etl_spark.streaming.jobs import stream_stateful_user_totals
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = {
+        tuple(r) for r in stream_stateful_user_totals(spark, sf_dir).collect()
+    }
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {
+            tuple(r)
+            for r in stream_stateful_user_totals(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    assert rocks == default and len(rocks) > 0
+
+
 def test_tumbling_agg_from_rate_source(spark):
     """VERDICT r2 item 8: the streaming jobs are source-independent —
     the same tumbling aggregation runs from a ``rate-micro-batch``
