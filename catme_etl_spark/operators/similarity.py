@@ -638,6 +638,121 @@ def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_centroid_assign_audit",
+    oracle="""
+    WITH cent AS (
+      SELECT label, dim, ROUND(AVG(v), 5) + 0.0 AS cv
+      FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+      )
+      GROUP BY label, dim
+    ),
+    ev AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    vc AS (
+      SELECT ev.vec_id, ev.label, c.label AS clabel,
+             ROUND(SUM(ev.v * c.cv)
+                   / (SQRT(SUM(ev.v * ev.v)) * SQRT(SUM(c.cv * c.cv))),
+                   6) AS cos
+      FROM ev JOIN cent c USING (dim)
+      GROUP BY ev.vec_id, ev.label, c.label
+    ),
+    r AS (
+      SELECT vec_id, label, clabel, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, clabel) AS rn
+      FROM vc
+    )
+    SELECT label, clabel AS assigned_label, COUNT(*) AS n,
+           ROUND(AVG(cos), 4) + 0.0 AS avg_cos
+    FROM r WHERE rn = 1
+    GROUP BY label, clabel
+    """,
+)
+def sim_centroid_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by nearest-centroid assignment — the
+    classifier-free check a training-data pipeline runs on labeled
+    embeddings: build one centroid per label (the
+    `embeddings_centroid_by_label` means), assign every vector to its
+    nearest centroid by cosine, and report the (label, assigned_label)
+    confusion counts with mean assignment cosine. Off-diagonal rows are
+    candidate mislabels / label bleed; a label whose diagonal share
+    collapses is drifting.
+
+    Scale shape: the centroid table is K×dim (kilobytes at any corpus
+    size) — computed as one hash-agg over posexploded dims, then
+    broadcast; assignment is a single Arrow-batched pass over the
+    corpus (blocked matmul against the broadcast centroid matrix, no
+    shuffle), and only (label, assigned) pair counts aggregate at the
+    end. 100 TB cost = one corpus scan.
+
+    Float discipline: centroids are rounded in SPARK (F.round ≡ DuckDB
+    ROUND, half away from zero) and collected rounded, so both engines
+    score against IDENTICAL centroid values; per-pair cosines are
+    rounded half-away to 6 decimals inside the kernel BEFORE the
+    argmax (ties → smaller label), so the winner can't flip on
+    accumulation-order noise."""
+    import numpy as np
+    import pandas as pd
+
+    from ._shared import bounded_collect, shared_broadcast
+
+    def build_centroids():
+        rows = bounded_collect(
+            embeddings_centroid_by_label(spark, sf_dir),
+            what="label centroid table (K x dim rows)",
+        )
+        labels = sorted({r.label for r in rows})
+        dims = 1 + max(r.dim for r in rows)
+        lix = {lb: i for i, lb in enumerate(labels)}
+        mat = np.zeros((len(labels), dims - 1), dtype=np.float64)
+        for r in rows:
+            mat[lix[r.label], r.dim - 1] = r.centroid_v
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        return np.array(labels, dtype=np.int64), mat, norms
+
+    bc = shared_broadcast("label_centroids", sf_dir, spark, build_centroids)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def assign(batches):
+        clabels, cmat, cnorms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            na = np.sqrt((A * A).sum(axis=1))
+            cos = (A @ cmat.T) / (na[:, None] * cnorms[None, :])
+            # half-away-from-zero to 6 decimals: matches F.round/DuckDB
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            order = np.lexsort(
+                (np.broadcast_to(clabels, cos.shape), -cos), axis=1
+            )
+            best = order[:, 0]
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "assigned_label": clabels[best],
+                    "cos": cos[np.arange(len(best)), best],
+                }
+            )
+
+    out = fan_out(emb, spark).mapInPandas(
+        assign, schema="label long, assigned_label long, cos double"
+    )
+    return out.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg("cos"), 4) + 0.0).alias("avg_cos"),
+    )
+
+
+@query(
     "embeddings_centroid_by_label",
     oracle="""
     SELECT label, dim, ROUND(AVG(v), 5) + 0.0 AS centroid_v

@@ -50,6 +50,7 @@ def test_round5_certification_window_composition():
         "sim_ivf_kmeans_topk",
         # round-5 additions
         "pipeline_dedup_corpus",
+        "sim_centroid_assign_audit",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

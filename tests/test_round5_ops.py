@@ -46,6 +46,55 @@ def test_pipeline_dedup_corpus_invariants(spark, sf_dir):
     out.unpersist()
 
 
+def test_runtime_bloom_filter_join_pruning(spark):
+    """The 100 TB shuffle-join dial the SCALING.md joins section cites:
+    with a selective creation side, Catalyst injects a bloom filter
+    (bloom_filter_agg / might_contain) on the fact side of a shuffle
+    join, pruning rows BEFORE the exchange. Thresholds are sized for
+    clusters (application side >= 10 GB), so the test lowers them to
+    demonstrate the mechanism and asserts results are unchanged."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    join = lambda: li.join(o, li.l_orderkey == o.o_orderkey)  # noqa: E731
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            join().explain(mode="extended")
+        plan = buf.getvalue()
+        assert "bloom_filter" in plan or "might_contain" in plan, (
+            "no runtime bloom filter injected"
+        )
+        n_pruned = join().count()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert n_pruned == join().count() > 0
+
+
 def test_pipeline_dedup_corpus_through_2pc_sink(spark, sf_dir, tmp_path):
     """The deliverable writes through the two-phase-commit sheetdir
     sink: promoted parts + _SUCCESS manifest whose row counts equal the
