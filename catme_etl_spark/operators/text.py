@@ -671,3 +671,64 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+@query(
+    "text_boilerplate_chunks",
+    oracle="""
+    WITH c AS (
+      SELECT d.source,
+             md5(array_to_string(list_slice(toks, i + 1,
+                 least(i + 32, len(toks))), ' ')) AS h
+      FROM (SELECT source, string_split(text, ' ') AS toks
+            FROM documents) d,
+           UNNEST(range(0, len(toks), 32)) AS t(i)
+    ),
+    g AS (SELECT source, h, COUNT(*) AS n FROM c GROUP BY source, h)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_distinct,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 4) + 0.0
+             AS dup_ratio,
+           MAX(n) AS max_repeats
+    FROM g GROUP BY source
+    """,
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate detection — the WITHIN-source dedup
+    signal document-level dedup can't see: navigation bars, cookie
+    banners, and license headers repeat as identical 32-token chunks
+    across otherwise-distinct documents. Chunks the whole corpus on a
+    non-overlapping 32-token grid (disjoint, so the dup ratio isn't
+    inflated by window overlap — unlike `text_chunk_documents`' packing
+    grid), hashes each chunk, and reports per source: chunk count,
+    distinct chunks, duplicate ratio, and the repeat count of the most
+    common chunk. A source whose dup_ratio spikes is serving templated
+    pages; `max_repeats` names how bad the worst template is.
+
+    Scale shape: narrow explode (no shuffle) → two strictly-shrinking
+    hash-aggs — raw chunks shuffle ONCE as (source, hash) partial
+    counts, then per-source rollup is count-row-sized. The (source,
+    hash, n) table is itself the mergeable artifact a nightly job
+    materializes: re-aggregatable across days and directly joinable to
+    drop known-boilerplate chunks at read time."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    d = d.select("source", toks.alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(32))
+    c = d.select("source", "toks", F.explode(starts).alias("i")).select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("i") + 1, F.lit(32)))
+        ).alias("h"),
+    )
+    g = c.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").cast("long")
+    return g.groupBy("source").agg(
+        tot.alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.round(1.0 - F.count(F.lit(1)) / tot.cast("double"), 4) + 0.0
+        ).alias("dup_ratio"),
+        F.max("n").alias("max_repeats"),
+    )

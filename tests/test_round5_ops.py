@@ -46,6 +46,49 @@ def test_pipeline_dedup_corpus_invariants(spark, sf_dir):
     out.unpersist()
 
 
+def test_round5_plan_shapes(spark, sf_dir):
+    """Pin the round-5 operators' physical-plan shapes so regressions
+    are test-visible (the round-4 pattern):
+
+    - text_boilerplate_chunks: narrow explode + two cascaded hash-aggs
+      — exactly 2 shuffles, no joins of any kind.
+    - sim_centroid_assign_audit: broadcast-centroid Arrow pass + final
+      pair-count agg — no joins; at most 2 shuffles (fan_out at test
+      scale + the agg; at cluster parallelism fan_out is a no-op).
+    - pipeline_dedup_corpus: post-checkpoint composition — the label
+      snapshot join + survivor argmax stay within 3 shuffles and never
+      nest-loop.
+    """
+    import re
+
+    from catme_etl_spark.operators.dedup import pipeline_dedup_corpus
+    from catme_etl_spark.operators.similarity import (
+        sim_centroid_assign_audit,
+    )
+    from catme_etl_spark.operators.text import text_boilerplate_chunks
+    from catme_etl_spark.plans.explain import (
+        count_shuffles,
+        executed_plan_str,
+    )
+
+    bp = text_boilerplate_chunks(spark, sf_dir)
+    plan = executed_plan_str(bp)
+    assert count_shuffles(bp) == 2, executed_plan_str(bp)[:2000]
+    assert not re.search(r"Join|CartesianProduct", plan), plan[:2000]
+
+    ca = sim_centroid_assign_audit(spark, sf_dir)
+    plan = executed_plan_str(ca)
+    assert count_shuffles(ca) <= 2, plan[:2000]
+    assert not re.search(r"Join|CartesianProduct", plan), plan[:2000]
+
+    pd_ = pipeline_dedup_corpus(spark, sf_dir)
+    plan = executed_plan_str(pd_)
+    assert count_shuffles(pd_) <= 3, plan[:2000]
+    assert not re.search(
+        r"BroadcastNestedLoopJoin|CartesianProduct", plan
+    ), plan[:2000]
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """The 100 TB shuffle-join dial the SCALING.md joins section cites:
     with a selective creation side, Catalyst injects a bloom filter
