@@ -94,6 +94,104 @@ def rangejoin_view_near_purchase(spark, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_attribution_linear",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.click_id, c.ts AS cts, p.purchase_id, p.cents
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+    ),
+    r AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY cts, click_id) AS rk
+      FROM j
+    ),
+    cr AS (
+      SELECT click_id, cts,
+             cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
+               AS credit
+      FROM r
+    )
+    SELECT (CAST(floor(epoch(cts) / 3600) AS BIGINT) * 3600) * 1000000
+               AS hour_us,
+           COUNT(*) AS n_credited_clicks,
+           ROUND(SUM(credit) / 100.0, 2) AS attributed_value
+    FROM cr GROUP BY 1
+    """,
+)
+def events_attribution_linear(spark, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    across the user's clicks in the preceding 30 minutes, and credited
+    revenue rolls up by CLICK hour — the marketing report that says
+    which hours' engagement actually drove spend (vs
+    `asof_click_last_purchase`, which is last-touch).
+
+    Two scale-critical moves:
+
+    - The click↔purchase pairing is the BANDED equi-join
+      (`banded_interval_join`), never a theta nested-loop; the
+      one-sided [0, 30 min] window filters the banded candidates.
+    - Credit splitting uses the PENNY-ALLOCATION ledger: each click
+      gets ⌊cents/n⌋ and the first (cents mod n) clicks — ordered by
+      click time, ties by id — get the extra cent. Pure integer
+      arithmetic, so the split is EXACT and bit-identical
+      cross-engine, and the credited total provably equals the
+      purchase total (no 1/n float crumbs lost at any parallelism —
+      the same discipline as functions/money.py, extended through a
+      division).
+
+    Both windows key on purchase_id, so state shards by purchase; the
+    hourly rollup is a count-row-sized hash-agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = banded_interval_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        max_delta_us=1_800_000_000,
+    ).filter(
+        (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts")))
+        .between(0, 1_800_000_000)
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("ts", "click_id")
+    r = j.select(
+        "click_id",
+        F.col("ts").alias("cts"),
+        "cents",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    credit = F.expr("cents div n") + F.when(
+        F.col("rk") <= F.col("cents") % F.col("n"), 1
+    ).otherwise(0)
+    cr = r.select("click_id", "cts", credit.alias("credit"))
+    hour = (F.floor(F.unix_seconds(F.col("cts")) / 3600) * 3600) * 1_000_000
+    return cr.groupBy(hour.alias("hour_us")).agg(
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        F.round(F.sum("credit") / 100.0, 2).alias("attributed_value"),
+    )
+
+
+@query(
     "join_interval_overlap_quarters",
     oracle="""
     WITH iv AS (

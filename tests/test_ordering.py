@@ -52,6 +52,7 @@ def test_round5_certification_window_composition():
         "pipeline_dedup_corpus",
         "sim_centroid_assign_audit",
         "text_boilerplate_chunks",
+        "events_attribution_linear",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

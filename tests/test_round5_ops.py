@@ -89,6 +89,50 @@ def test_round5_plan_shapes(spark, sf_dir):
     ), plan[:2000]
 
 
+def test_attribution_conserves_pennies(spark, sf_dir):
+    """The penny-allocation ledger's defining invariant: credited cents
+    across all clicks exactly equal the total cents of every purchase
+    that had >= 1 click in its 30-min window — no 1/n float crumbs
+    created or lost at any parallelism."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.rangejoin import (
+        banded_interval_join,
+        events_attribution_linear,
+    )
+    from catme_etl_spark.sources.tables import load_table
+
+    out = events_attribution_linear(spark, sf_dir)
+    credited_cents = int(
+        round(out.agg(F.sum("attributed_value")).first()[0] * 100)
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(ev.event_type == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(ev.event_type == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    attributed = (
+        banded_interval_join(
+            clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+            max_delta_us=1_800_000_000,
+        )
+        .filter(
+            (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts")))
+            .between(0, 1_800_000_000)
+        )
+        .select("purchase_id", "cents")
+        .distinct()
+    )
+    expected_cents = attributed.agg(F.sum("cents")).first()[0]
+    assert credited_cents == expected_cents > 0
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """The 100 TB shuffle-join dial the SCALING.md joins section cites:
     with a selective creation side, Catalyst injects a bloom filter
