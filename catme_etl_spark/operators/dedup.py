@@ -733,6 +733,69 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
 
 
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {_simhash_sql_cte()},
+    bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> ({_SIMHASH_BITS} - {_SIM_BAND_BITS} * (b + 1)))
+               & {(1 << _SIM_BAND_BITS) - 1} AS bval
+      FROM sigs, (SELECT unnest(range({_N_SIM_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+    ),
+    np AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
+    ),
+    j AS (
+      SELECT least(da.source, db.source) AS src_lo,
+             greatest(da.source, db.source) AS src_hi
+      FROM np
+      JOIN documents da ON da.doc_id = np.doc_a
+      JOIN documents db ON db.doc_id = np.doc_b
+    )
+    SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+           CAST(src_lo = src_hi AS BOOLEAN) AS within_source
+    FROM j GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVENANCE of near-duplication: the verified SimHash pairs
+    rolled up by (source, source) — which sources mirror each other
+    (cross-source rows: syndication, scrapes of the same upstream,
+    licensing leakage) vs which duplicate internally (within_source
+    rows: templates, reposts). The per-cell counts tell a mix designer
+    whether deduplicating source A mostly deletes A's own redundancy
+    or silently drains B.
+
+    Cost shape: reads the session-shared verified pair table (built
+    once, tiny relative to the corpus), joins doc→source metadata on
+    doc_id twice (co-partitioned equi-joins), and aggregates to
+    |sources|² cells — the report is kilobytes at any corpus size.
+    Pair orientation is canonicalized with least/greatest so the
+    matrix is upper-triangular and engine-independent."""
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("src_lo"),
+            F.greatest("_sa", "_sb").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("within_source", F.col("src_lo") == F.col("src_hi"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transitive closure of the near-dup graph (connected components).
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ def test_round5_certification_window_composition():
         "sim_centroid_assign_audit",
         "text_boilerplate_chunks",
         "events_attribution_linear",
+        "dedup_cross_source_matrix",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"
