@@ -133,6 +133,54 @@ def test_attribution_conserves_pennies(spark, sf_dir):
     assert credited_cents == expected_cents > 0
 
 
+def test_attribution_penny_ledger_edge_cases(spark, tmp_path):
+    """Crafted corner cases for the ledger and the window boundary:
+    cents < n_clicks (floor = 0, remainder cents go to the EARLIEST
+    clicks), a purchase with no clicks credits nothing, a click after
+    the purchase is excluded, and a click exactly 30 minutes before is
+    included."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.rangejoin import events_attribution_linear
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: purchase of $0.03 at t+30 with 5 clicks -> credits
+        # 1,1,1,0,0 cents by click order; includes the exact-30-min
+        # boundary click at t+0
+        (101, ts(0), 1, "click", 0.0, "{}"),
+        (102, ts(5), 1, "click", 0.0, "{}"),
+        (103, ts(10), 1, "click", 0.0, "{}"),
+        (104, ts(15), 1, "click", 0.0, "{}"),
+        (105, ts(20), 1, "click", 0.0, "{}"),
+        (106, ts(30), 1, "purchase", 0.03, "{}"),
+        # user 2: purchase with no prior clicks -> no credit anywhere
+        (201, ts(40), 2, "purchase", 10.0, "{}"),
+        # user 3: click AFTER the purchase -> excluded
+        (301, ts(50), 3, "purchase", 5.0, "{}"),
+        (302, ts(51), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_attribution_linear(spark, str(tmp_path)).collect()
+    # only user 1's clicks are credited; all fall in the 12:00 hour
+    assert len(out) == 1
+    [row] = out
+    assert row.n_credited_clicks == 5
+    assert round(row.attributed_value * 100) == 3  # all 3 cents, no more
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """The 100 TB shuffle-join dial the SCALING.md joins section cites:
     with a selective creation side, Catalyst injects a bloom filter
