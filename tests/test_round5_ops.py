@@ -181,6 +181,38 @@ def test_attribution_penny_ledger_edge_cases(spark, tmp_path):
     assert round(row.attributed_value * 100) == 3  # all 3 cents, no more
 
 
+def test_sealed_session_watermark_boundary(spark, tmp_path):
+    """Pins the exact boundary the stream_session_sealed oracle
+    assumes: a session whose Spark window end (last event + 30 min)
+    equals the final watermark (max ts − 1 h) EXACTLY is emitted
+    (Spark seals on end <= watermark); a session ending 5 minutes past
+    the watermark is not. The sf test data never lands on the
+    boundary, so this crafted table is what actually certifies the
+    oracle's `<=`."""
+    import datetime as dt
+
+    from catme_etl_spark.streaming.jobs import stream_session_sealed
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(0), 1, "click", 0.0, "{}"),  # end t0+30 == watermark
+        (2, ts(5), 2, "click", 0.0, "{}"),  # end t0+35 > watermark
+        (3, ts(90), 3, "click", 0.0, "{}"),  # max ts → watermark t0+30
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = stream_session_sealed(spark, str(tmp_path)).collect()
+    assert sorted((r.user_id, r.n_events) for r in out) == [(1, 1)]
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """The 100 TB shuffle-join dial the SCALING.md joins section cites:
     with a selective creation side, Catalyst injects a bloom filter
