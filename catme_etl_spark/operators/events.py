@@ -89,7 +89,7 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -110,9 +110,13 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via
-    ``F.session_window`` — a new session starts when the gap since the
-    previous event is >= the timeout (Spark extends a session to
-    ``[first, last + gap)`` and merges strictly-earlier arrivals).
+    ``F.session_window`` — a new session starts only when the gap
+    since the previous event EXCEEDS the timeout: Spark extends a
+    session to ``[first, last + gap)`` and merges windows that overlap
+    OR TOUCH, so two events exactly 30 minutes apart share a session
+    (pinned by tests/test_round5_ops.py::test_session_gap_boundary;
+    the oracle's island break is therefore ``> INTERVAL 30 MINUTE``,
+    not ``>=``).
 
     The oracle reproduces it with the gaps-and-islands idiom. The
     session START is stable output; the Spark session end is

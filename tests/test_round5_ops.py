@@ -213,6 +213,56 @@ def test_sealed_session_watermark_boundary(spark, tmp_path):
     assert sorted((r.user_id, r.n_events) for r in out) == [(1, 1)]
 
 
+def test_session_gap_boundary(spark, tmp_path):
+    """Gap semantics both engines must agree on — MEASURED, not
+    assumed: Spark's session windows merge when they overlap OR TOUCH,
+    so two events exactly 30 minutes apart share ONE session; only a
+    gap strictly greater than the timeout starts a new one. (This test
+    caught the oracles' original `>= 30 MINUTE` island break — wrong
+    at the boundary, invisible in the boundary-free sf data — now
+    fixed to `>` in events.py and streaming/jobs.py.) The oracle SQL
+    must agree, so the same crafted table is also run through DuckDB."""
+    import datetime as dt
+
+    import duckdb
+
+    from catme_etl_spark.operators.events import events_session_30min
+    from catme_etl_spark.operators.registry import ORACLE
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: exactly 30 min apart -> ONE session (touching merges)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),
+        # user 2: 30m01s apart -> TWO sessions
+        (3, t0, 2, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30, seconds=1), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    out = events_session_30min(spark, str(tmp_path)).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert per_user[1] == [2]
+    assert sorted(per_user[2]) == [1, 1]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = {
+        (u, n)
+        for u, _, n, _ in con.execute(ORACLE["events_session_30min"]).fetchall()
+    }
+    assert oracle == {(r.user_id, r.n_events) for r in out}
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """The 100 TB shuffle-join dial the SCALING.md joins section cites:
     with a selective creation side, Catalyst injects a bloom filter
