@@ -421,6 +421,71 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_dedup_ingest",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES},
+    cand AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+      WHERE b.doc_id % 10 = 9
+    ){_MINHASH_VERIFY_CTES},
+    dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+    rej AS (
+      SELECT DISTINCT CASE
+               WHEN doc_a % 10 = 9 AND doc_b % 10 <> 9 THEN doc_a
+               ELSE doc_b
+             END AS doc_id
+      FROM dup
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           LENGTH(d.text) AS text_chars
+    FROM documents d
+    WHERE d.doc_id % 10 = 9
+      AND d.doc_id NOT IN (SELECT doc_id FROM rej)
+    """,
+)
+def pipeline_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY-INGEST composition (batch sibling of
+    `pipeline_dedup_corpus`): a new batch (docs with ``doc_id % 10 ==
+    9``, the same stand-in as `dedup_minhash_incremental`) is admitted
+    into the corpus only if it survives near-dup screening —
+
+    - a new doc that is a near-dup (Jaccard ≥ 0.5) of ANY existing
+      corpus doc is rejected unconditionally;
+    - within the batch, first-wins: of two near-dup new docs the lower
+      doc_id is admitted, the higher rejected (deterministic, and
+      transitively conservative — a doc whose only match was itself
+      rejected still stays out).
+
+    The admitted rows carry their corpus metadata — this is the
+    DataFrame a real pipeline appends to the corpus and feeds to the
+    index updater. Every stage is the already-certified incremental
+    machinery: the persisted band index is probed with the batch's
+    keys BROADCAST (budget-enforced), candidates verify by exact
+    shingle Jaccard, and the rejection rule is one narrow projection +
+    anti-join — per-ingest cost stays O(batch), independent of corpus
+    size."""
+    pairs = dedup_minhash_incremental(spark, sf_dir)
+    new_a = F.col("doc_a") % 10 == 9
+    new_b = F.col("doc_b") % 10 == 9
+    rejected = pairs.select(
+        F.when(new_a & ~new_b, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 9)
+    return batch.join(rejected, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("text_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (no LSH): candidate = docs sharing ≥1 shingle.
 # ---------------------------------------------------------------------------

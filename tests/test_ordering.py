@@ -54,6 +54,7 @@ def test_round5_certification_window_composition():
         "text_boilerplate_chunks",
         "events_attribution_linear",
         "dedup_cross_source_matrix",
+        "pipeline_dedup_ingest",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -181,6 +181,39 @@ def test_attribution_penny_ledger_edge_cases(spark, tmp_path):
     assert round(row.attributed_value * 100) == 3  # all 3 cents, no more
 
 
+def test_pipeline_dedup_ingest_partition(spark, sf_dir):
+    """Ingest admission is a partition of the batch: every new doc is
+    either admitted or has a qualifying near-dup pair naming it
+    rejected; no doc is both; corpus docs never appear."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        pipeline_dedup_ingest,
+    )
+    from catme_etl_spark.sources.tables import load_table
+
+    admitted = {
+        r.doc_id for r in pipeline_dedup_ingest(spark, sf_dir).collect()
+    }
+    batch = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 9)
+        .select("doc_id")
+        .collect()
+    }
+    assert admitted <= batch
+    pairs = dedup_minhash_incremental(spark, sf_dir).collect()
+    rejected = set()
+    for p in pairs:
+        a_new, b_new = p.doc_a % 10 == 9, p.doc_b % 10 == 9
+        rejected.add(p.doc_a if (a_new and not b_new) else p.doc_b)
+    rejected &= batch
+    assert admitted | rejected == batch
+    assert admitted & rejected == set()
+
+
 def test_sealed_session_watermark_boundary(spark, tmp_path):
     """Pins the exact boundary the stream_session_sealed oracle
     assumes: a session whose Spark window end (last event + 30 min)
