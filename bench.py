@@ -72,6 +72,14 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "quality_anomaly_iqr_fences",
     "pipeline_dedup_corpus",
+    # late round-5: the new pipeline/audit operators — ingest
+    # admission, provenance matrix, boilerplate chunks, attribution,
+    # and the centroid label audit
+    "pipeline_dedup_ingest",
+    "dedup_cross_source_matrix",
+    "text_boilerplate_chunks",
+    "events_attribution_linear",
+    "sim_centroid_assign_audit",
 ]
 
 
