@@ -269,3 +269,55 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_w", "w_off")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev AS prev_type, event_type AS next_type,
+           COUNT(*) AS n_trans,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev), 6) AS p
+    FROM seq
+    WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences: P(next | prev) with exact counts — the behavioral
+    fingerprint that powers next-action prediction and bot detection.
+
+    One keyed window (partitioned by user, ordered by ts with the
+    unique event_id tiebreaker so lag is deterministic under ts ties)
+    computes predecessors; transitions then hash-agg to a |types|²
+    matrix, so the only per-event shuffle is the user partitioning.
+    The row-normalizing totals live on a window over the *aggregated*
+    matrix (≤ |types|² rows) — never a second pass over events.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    norm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(norm), 6
+        ).alias("p"),
+    )

@@ -277,3 +277,60 @@ def quality_anomaly_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "quality_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_obs) AS n FROM obs)
+    SELECT digit, n_obs,
+           ROUND(n * ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS n_exp,
+           ROUND(POW(n_obs - n * ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                 / (n * ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS chi2_term
+    FROM obs, tot
+    """,
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit on order totals —
+    the classic synthetic/fabricated-data smell test: per digit 1-9,
+    observed count vs the Benford expectation N·log10(1+1/d) and that
+    digit's chi-square contribution.
+
+    The first digit is taken from the *integer cents* rendering (cast
+    to string, first char) so both engines extract the identical digit
+    with zero float-format dependence. One hash-agg collapses the fact
+    table to ≤ 9 rows; the total-N join is a one-row broadcast. At
+    100 TB this is a single scan with map-side partials — the audit
+    output is constant-size regardless of input.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    n_exp = F.col("n") * F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(n_exp, 4).alias("n_exp"),
+            F.round(F.pow(F.col("n_obs") - n_exp, 2) / n_exp, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )

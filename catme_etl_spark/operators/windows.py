@@ -343,3 +343,62 @@ def window_gaps_islands_user_activity(
         )
         .filter(F.col("n_events") >= 3)
     )
+
+
+@query(
+    "window_rolling_distinct_users",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+             user_id
+      FROM events
+    ),
+    cover AS (
+      SELECT event_type, day_idx + g.d AS d, user_id
+      FROM t, (SELECT unnest(range(7)) AS d) g
+    ),
+    c AS (
+      SELECT event_type, d, COUNT(DISTINCT user_id) AS users_7d
+      FROM cover GROUP BY event_type, d
+    ),
+    days AS (SELECT DISTINCT event_type, day_idx AS d FROM t)
+    SELECT c.event_type, c.d AS day_idx, c.users_7d
+    FROM c JOIN days ON c.event_type = days.event_type AND c.d = days.d
+    """,
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per event type per active
+    day — the rolling-DAU/WAU metric. COUNT(DISTINCT) over a sliding
+    frame has no native window form in Spark, and the naive
+    collect_set-over-range-window materializes a per-row set; instead
+    each (type, day, user) triple is *exploded forward* onto the ≤ 7
+    future days it keeps alive, then a plain distinct-agg counts per
+    day — the standard shuffle-friendly rewrite.
+
+    Scale shape: the first distinct collapses events to active
+    triples; the 7× explode fans out only the collapsed triples; the
+    final count(distinct) is one hash-agg with partials. No window, no
+    range join, no per-row state. Only days with actual activity are
+    kept (semi-join against the observed day set).
+    """
+    e = _t(spark, sf_dir, "events")
+    triples = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+        "user_id",
+    ).distinct()
+    cover = triples.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+        ).alias("d"),
+        "user_id",
+    )
+    counts = cover.groupBy("event_type", "d").agg(
+        F.count_distinct("user_id").alias("users_7d")
+    )
+    days = triples.select("event_type", F.col("day_idx").alias("d")).distinct()
+    return counts.join(days, ["event_type", "d"]).select(
+        "event_type", F.col("d").alias("day_idx"), "users_7d"
+    )

@@ -55,6 +55,9 @@ def test_round5_certification_window_composition():
         "events_attribution_linear",
         "dedup_cross_source_matrix",
         "pipeline_dedup_ingest",
+        "events_markov_transitions",
+        "quality_benford_first_digit",
+        "window_rolling_distinct_users",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -1,0 +1,112 @@
+"""Round-5 second-batch operators: behavioral Markov matrix, Benford
+first-digit audit, rolling distinct users.
+
+Each is oracle-hash-certified via tools/check_oracle.py (sf0.001 +
+sf0.01); these tests pin the physical-plan shapes and the semantic
+invariants the value hash can't express (probability normalization,
+chi-square totals, monotone coverage).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def test_round5b_plan_shapes(spark, sf_dir):
+    """Plan pins:
+
+    - events_markov_transitions: the only per-event shuffle is the
+      user window; transition counts + row normalization run on the
+      collapsed |types|^2 matrix — 3 shuffles, no joins at all.
+    - quality_benford_first_digit: one hash-agg collapses orders to
+      <=9 rows; the total-N join is the documented bounded one-row
+      broadcast BNL — 2 shuffles, never a SortMergeJoin.
+    - window_rolling_distinct_users: distinct triples -> 7x explode ->
+      distinct-agg -> broadcast semi-style day join; no window at all
+      (the COUNT(DISTINCT)-over-frame rewrite), no nested loop.
+    """
+    from catme_etl_spark.operators.events import events_markov_transitions
+    from catme_etl_spark.operators.quality import quality_benford_first_digit
+    from catme_etl_spark.operators.windows import window_rolling_distinct_users
+    from catme_etl_spark.plans.explain import count_shuffles, executed_plan_str
+
+    mk = events_markov_transitions(spark, sf_dir)
+    plan = executed_plan_str(mk)
+    assert count_shuffles(mk) == 3, plan[:2000]
+    assert not re.search(r"Join|CartesianProduct", plan), plan[:2000]
+
+    bf = quality_benford_first_digit(spark, sf_dir)
+    plan = executed_plan_str(bf)
+    assert count_shuffles(bf) == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan[:2000]
+
+    rd = window_rolling_distinct_users(spark, sf_dir)
+    plan = executed_plan_str(rd)
+    assert count_shuffles(rd) <= 4, plan[:2000]
+    assert "WindowExec" not in plan, plan[:2000]
+    assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan), plan[:2000]
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Per prev_type, transition probabilities sum to ~1 (rounding the
+    6-dp probabilities can drift the sum by at most |types| * 5e-7)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.events import events_markov_transitions
+
+    rows = (
+        events_markov_transitions(spark, sf_dir)
+        .groupBy("prev_type")
+        .agg(F.sum("p").alias("s"), F.sum("n_trans").alias("n"))
+        .collect()
+    )
+    assert rows, "empty transition matrix"
+    for r in rows:
+        assert abs(r["s"] - 1.0) < 1e-5, (r["prev_type"], r["s"])
+        assert r["n"] > 0
+
+
+def test_benford_expectations_total(spark, sf_dir):
+    """The 9 Benford expectations sum to N (the digit probabilities
+    log10(1+1/d), d=1..9, telescope to exactly 1), and every digit
+    1-9 is present with a positive expectation."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.quality import quality_benford_first_digit
+
+    df = quality_benford_first_digit(spark, sf_dir)
+    rows = df.collect()
+    digits = sorted(r["digit"] for r in rows)
+    assert digits == list(range(1, 10))
+    n_obs = sum(r["n_obs"] for r in rows)
+    n_exp = sum(r["n_exp"] for r in rows)
+    assert abs(n_exp - n_obs) < 0.01, (n_exp, n_obs)
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_rolling_distinct_dominates_daily(spark, sf_dir):
+    """The trailing-7-day distinct count is >= the same day's 1-day
+    distinct count for every (type, day) — the window only ever adds
+    users."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.windows import window_rolling_distinct_users
+    from catme_etl_spark.sources.tables import load_table
+
+    rolling = window_rolling_distinct_users(spark, sf_dir)
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+            "user_id",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count_distinct("user_id").alias("users_1d"))
+    )
+    bad = (
+        rolling.join(daily, ["event_type", "day_idx"])
+        .filter(F.col("users_7d") < F.col("users_1d"))
+        .count()
+    )
+    assert bad == 0
