@@ -963,22 +963,43 @@ def cc_labels_reliable(
 def _build_cc_labels(
     spark: SparkSession, sf_dir: str, reliable: bool = False
 ) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return propagate_min_labels(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        reliable=reliable,
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
+def propagate_min_labels(
+    vertices: DataFrame, pairs: DataFrame, reliable: bool = False
+) -> DataFrame:
+    """Connected-component labels (id, component) for an undirected
+    graph given as ``vertices(id)`` and ``pairs(a, b)`` — the generic
+    min-label propagation loop behind every transitive-closure dedup
+    composition (SimHash doc graph, SRP embedding graph).
+
+    Same loop for every caller: star-augmented propagation converging
+    in O(log diameter) single join+agg rounds, lineage truncated per
+    round (localCheckpoint, or reliable checkpoints when
+    ``reliable=True``), fixed point detected by the strictly-decreasing
+    label sum.
+    """
+
     def commit(df: DataFrame) -> DataFrame:
         # reliable=True → setCheckpointDir-backed checkpoint (durable,
         # survives executor death); False → executor-local blocks
         # (faster, the right single-tenant local call).
         return df.checkpoint() if reliable else df.localCheckpoint()
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = commit(  # materialize once; rounds re-read, not re-hash
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+        pairs.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+            pairs.select(F.col("b").alias("s"), F.col("a").alias("t"))
         )
     )
     labels = commit(
-        docs.select(F.col("doc_id").alias("d"), F.col("doc_id").alias("lab"))
+        vertices.select(F.col("id").alias("d"), F.col("id").alias("lab"))
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
     for _ in range(20):  # ~log(diameter) with star edges; 20 is slack
@@ -1013,7 +1034,7 @@ def _build_cc_labels(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("d").alias("doc_id"), F.col("lab").alias("component"))
+    return labels.select(F.col("d").alias("id"), F.col("lab").alias("component"))
 
 
 @query(

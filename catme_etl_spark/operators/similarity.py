@@ -782,3 +782,107 @@ def embeddings_centroid_by_label(
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg((F.round(F.avg("v"), 5) + 0.0).alias("centroid_v"))
     )
+
+
+_SEMANTIC_COMP_ORACLE = f"""
+    WITH RECURSIVE proj AS (
+      SELECT vec_id, embedding, {_SRP_KEY_SQL} AS key
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b,
+             (key >> ({_SRP_BAND_BITS} * b)) & {(1 << _SRP_BAND_BITS) - 1} AS bval
+      FROM proj, (SELECT unnest(range({_SRP_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT vec_a, vec_b
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = vec_a
+      JOIN embeddings eb ON eb.vec_id = vec_b
+      WHERE ROUND({sql_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    ),
+    edges AS (
+      SELECT vec_a AS s, vec_b AS t FROM verified
+      UNION ALL
+      SELECT vec_b, vec_a FROM verified
+    ),
+    walk AS (
+      SELECT vec_id AS d, vec_id AS lab FROM embeddings
+      UNION
+      SELECT e.t AS d, w.lab FROM walk w JOIN edges e ON e.s = w.d
+    ),
+    comp AS (SELECT d AS vec_id, MIN(lab) AS component FROM walk GROUP BY d)
+"""
+
+
+@query(
+    "pipeline_semantic_dedup",
+    oracle=f"""
+    {_SEMANTIC_COMP_ORACLE},
+    norms AS (
+      SELECT vec_id, ROUND({{norm}}, 4) AS nr FROM embeddings
+    ),
+    ranked AS (
+      SELECT component, c.vec_id, nr,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY nr DESC, c.vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM comp c JOIN norms ON norms.vec_id = c.vec_id
+    )
+    SELECT component,
+           CAST(n_members AS BIGINT) AS n_members,
+           vec_id AS survivor_id,
+           nr AS survivor_norm
+    FROM ranked
+    WHERE rn = 1 AND n_members >= 2
+    """.replace(
+        "{norm}",
+        "sqrt(list_sum(list_transform(range(len(embedding)), "
+        "i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))))",
+    ),
+)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style end-to-end *embedding-space* dedup composition:
+    deterministic SRP-LSH candidates → exact-cosine verification
+    (cos ≥ 0.4) → connected components over the verified pairs → one
+    norm-argmax survivor per multi-member cluster. The semantic sibling
+    of `pipeline_dedup_corpus` (which closes over the *lexical* SimHash
+    graph) — together they cover both halves of a modern
+    training-corpus dedup stack.
+
+    Survivor pick: highest L2 norm (rounded to 4 so accumulation-order
+    noise can't flip the winner), ties to the smallest vec_id — a
+    single mergeable `max_by(id, array(norm, -id))` state per cluster,
+    so at corpus scale only (component, best) pairs shuffle. The CC
+    loop is the shared star-augmented min-label propagation
+    (`dedup.propagate_min_labels`) over LSH-candidate edges only —
+    never all pairs.
+    """
+    from ..functions.vector import norm
+    from .dedup import propagate_min_labels
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = sim_srp_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = propagate_min_labels(
+        emb.select(F.col("vec_id").alias("id")),
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+    ).select(F.col("id").alias("vec_id"), "component")
+    norms = emb.select("vec_id", F.round(norm(F.col("embedding")), 4).alias("nr"))
+    return (
+        labels.join(norms, "vec_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(
+                "vec_id",
+                F.array(F.col("nr"), -F.col("vec_id").cast("double")),
+            ).alias("survivor_id"),
+            F.max("nr").alias("survivor_norm"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -490,3 +490,105 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, rk int, user_id long, exact_cnt long, "
         "within_bounds boolean",
     )
+
+
+@query(
+    "agg_ks_drift_halves",
+    oracle="""
+    WITH bounds AS (
+      SELECT (MIN(epoch(ts)) + MAX(epoch(ts))) / 2.0 AS mid FROM events
+    ),
+    grid AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             COUNT(CASE WHEN epoch(ts) < mid THEN 1 END) AS na,
+             COUNT(CASE WHEN epoch(ts) >= mid THEN 1 END) AS nb
+      FROM events, bounds
+      WHERE value IS NOT NULL
+      GROUP BY event_type, vc
+    ),
+    cum AS (
+      SELECT event_type,
+             SUM(na) OVER (PARTITION BY event_type ORDER BY vc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ca,
+             SUM(nb) OVER (PARTITION BY event_type ORDER BY vc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cb,
+             SUM(na) OVER (PARTITION BY event_type) AS ta,
+             SUM(nb) OVER (PARTITION BY event_type) AS tb
+      FROM grid
+    )
+    SELECT event_type,
+           CAST(MAX(ta) AS BIGINT) AS n_a,
+           CAST(MAX(tb) AS BIGINT) AS n_b,
+           floor(MAX(ABS(CAST(ca AS DOUBLE) / ta
+                         - CAST(cb AS DOUBLE) / tb)) * 1000000 + 0.5)
+             / 1000000 AS ks_d
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def agg_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type,
+    comparing the value distribution of the first half of the time
+    range against the second half — the standard "did my feature
+    distribution drift?" monitor for a training-data pipeline.
+
+    The ECDF difference is evaluated on the collapsed (type, cent)
+    grid, not per event: one hash-agg reduces N events to distinct
+    cent values with per-half counts, then a keyed cumulative window
+    (partitioned by type — the natural stratum at scale) walks each
+    grid once. Integer cents make the grid key and the tie-handling
+    (both ECDFs step together at equal values) identical across
+    engines; the final D is a pure ratio of exact integers, rounded.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = e.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2.0)
+        .alias("mid")
+    )
+    grid = (
+        e.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            cents("value").alias("vc"),
+            (F.unix_timestamp("ts") < F.col("mid")).alias("is_a"),
+        )
+        .groupBy("event_type", "vc")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).alias("na"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        )
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("event_type")
+    c = grid.select(
+        "event_type",
+        F.sum("na").over(cum_w).alias("ca"),
+        F.sum("nb").over(cum_w).alias("cb"),
+        F.sum("na").over(tot_w).alias("ta"),
+        F.sum("nb").over(tot_w).alias("tb"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+        # half-away on the binary double (see ts_interpolate_linear)
+        (
+            F.floor(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("ta")
+                        - F.col("cb").cast("double") / F.col("tb")
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("ks_d"),
+    )

@@ -732,3 +732,55 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ratio"),
         F.max("n").alias("max_repeats"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    n AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(ln(CAST(c AS DOUBLE) / n)) / COUNT(*), 4) + 0.0
+             AS avg_logprob
+    FROM tok JOIN vocab USING (t), n
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the CCNet-style fluency/quality score: docs
+    full of rare tokens (noise, boilerplate markup, other-language
+    text) score far below the corpus mode and get filtered or
+    down-weighted before training.
+
+    One tokenize-explode feeds both the vocabulary count and the
+    scoring pass; token probabilities attach via a broadcast of the
+    aggregated vocabulary (corpus-scale: broadcast the top-K vocab and
+    fold the tail into one OOV probability — the score only needs
+    ~1e5 head tokens to rank documents; here the full vocab is tiny).
+    The mean-of-logs sums ~1e2 doubles per doc, so cross-engine
+    accumulation-order drift is ~1e-13 — ROUND(…, 4) leaves 9 orders
+    of margin (the stats-module discipline). ``+ 0.0`` on the oracle
+    side normalizes signed zero.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c").cast("double") / F.col("n")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

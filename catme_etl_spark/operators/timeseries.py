@@ -343,3 +343,127 @@ def ts_downsample_minmax_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hi.event_id").alias("max_event_id"),
         )
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type, i,
+             CAST(SUM(vc) AS DOUBLE) / COUNT(*) AS v
+      FROM b GROUP BY event_type, i
+    ),
+    spine AS (
+      SELECT event_type, unnest(range(MIN(i), MAX(i) + 1)) AS i
+      FROM b GROUP BY event_type
+    ),
+    sparse AS (
+      SELECT s.event_type, s.i, o.v
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.i = o.i
+    ),
+    filled AS (
+      SELECT event_type, i, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM sparse
+    )
+    SELECT event_type,
+           i * {_BUCKET_S} * 1000000 AS win_start_us,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + (nv - pv) * (i - pi) / (ni - pi)
+                  END / 100.0) * 10000 + 0.5) / 10000 AS value_filled,
+           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+    FROM filled
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gap buckets in the per-type 10-minute
+    mean-value series — the other standard gap policy next to LOCF
+    (:func:`ts_forward_fill_by_type`): missing buckets take the value
+    on the straight line between the nearest observed buckets either
+    side.
+
+    Exactness discipline: bucket means are the exact rational
+    sum-of-cents / count (never an engine AVG over doubles), the
+    interpolation weight (i-pi)/(ni-pi) is a ratio of exact integers,
+    and the result rounds once at the end — so both engines walk
+    bit-identical doubles into the ROUND. The spine spans each type's
+    own [min, max] bucket, so every gap is interior and the prev/next
+    anchors always exist (no edge NULLs to police).
+
+    Scale shape: one hash-agg collapses events to observed buckets;
+    the spine explodes from a per-type min/max agg (O(range), not
+    O(events)); the fill windows partition by series key so each
+    executor sorts only its own series. Same signature as LOCF — this
+    is the hypertable `interpolate()` analog.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    obs = b.groupBy("event_type", "i").agg(
+        (F.sum("vc").cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    bounds = b.groupBy("event_type").agg(
+        F.min("i").alias("lo"), F.max("i").alias("hi")
+    )
+    spine = bounds.select("event_type", F.explode(F.sequence("lo", "hi")).alias("i"))
+    sparse = spine.join(obs, ["event_type", "i"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("v")
+    anchored = sparse.select(
+        "event_type",
+        "i",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(v.isNotNull(), F.col("i")), ignorenulls=True)
+        .over(wp)
+        .alias("pi"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(v.isNotNull(), F.col("i")), ignorenulls=True)
+        .over(wn)
+        .alias("ni"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("i") - F.col("pi")
+    ) / (F.col("ni") - F.col("pi"))
+    # half-away on the BINARY double (floor(x*1e4+0.5), both engines
+    # run the identical IEEE ops) — F.round vs DuckDB ROUND disagree
+    # when the exact rational sits on a 4th-decimal tie (…x.89625)
+    # because Spark rounds the shortest decimal repr and DuckDB the
+    # stored binary; values are nonnegative so no sign branch.
+    filled = F.when(v.isNotNull(), v).otherwise(interp) / 100.0
+    return anchored.select(
+        "event_type",
+        (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("value_filled"),
+        F.when(v.isNotNull(), F.lit("obs")).otherwise(F.lit("interp")).alias("src"),
+    )

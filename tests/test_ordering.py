@@ -58,6 +58,10 @@ def test_round5_certification_window_composition():
         "events_markov_transitions",
         "quality_benford_first_digit",
         "window_rolling_distinct_users",
+        "agg_ks_drift_halves",
+        "ts_interpolate_linear",
+        "text_unigram_logprob",
+        "pipeline_semantic_dedup",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -110,3 +110,89 @@ def test_rolling_distinct_dominates_daily(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_ks_drift_statistic_bounds(spark, sf_dir):
+    """KS D is a probability-scale statistic: 0 <= D <= 1, and both
+    halves are non-empty for every type at these SFs."""
+    from catme_etl_spark.operators.stats import agg_ks_drift_halves
+
+    rows = agg_ks_drift_halves(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ks_d"] <= 1.0, r
+        assert r["n_a"] > 0 and r["n_b"] > 0, r
+
+
+def test_interpolation_anchors_and_coverage(spark, sf_dir):
+    """Interpolated buckets stay inside the [min, max] envelope of the
+    observed series (a straight line cannot overshoot its anchors),
+    and no bucket is NULL (every gap is interior by construction)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.timeseries import ts_interpolate_linear
+
+    df = ts_interpolate_linear(spark, sf_dir)
+    assert df.filter(F.col("value_filled").isNull()).count() == 0
+    env = (
+        df.filter(F.col("src") == "obs")
+        .groupBy("event_type")
+        .agg(
+            F.min("value_filled").alias("lo"), F.max("value_filled").alias("hi")
+        )
+    )
+    bad = (
+        df.filter(F.col("src") == "interp")
+        .join(env, "event_type")
+        .filter(
+            (F.col("value_filled") < F.col("lo") - 1e-9)
+            | (F.col("value_filled") > F.col("hi") + 1e-9)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_unigram_logprob_is_nonpositive(spark, sf_dir):
+    """Every token probability is <= 1, so every mean log-prob is <= 0;
+    the most probable-token-only doc bounds the max."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.text import text_unigram_logprob
+
+    df = text_unigram_logprob(spark, sf_dir)
+    assert df.filter(F.col("avg_logprob") > 0).count() == 0
+    assert df.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_semantic_dedup_survivors_are_members(spark, sf_dir):
+    """Each survivor belongs to its own cluster, clusters have >= 2
+    members, and the component label is the minimum member id (the
+    min-label fixed point)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.dedup import propagate_min_labels
+    from catme_etl_spark.operators.similarity import (
+        pipeline_semantic_dedup,
+        sim_srp_lsh_pairs,
+    )
+    from catme_etl_spark.sources.tables import load_table
+
+    clusters = pipeline_semantic_dedup(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = sim_srp_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = propagate_min_labels(
+        emb.select(F.col("vec_id").alias("id")),
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+    ).select(F.col("id").alias("vec_id"), "component")
+
+    rows = clusters.collect()
+    assert rows, "no multi-member semantic clusters at this SF"
+    members = {}
+    for r in labels.collect():
+        members.setdefault(r["component"], []).append(r["vec_id"])
+    for r in rows:
+        mem = members[r["component"]]
+        assert len(mem) == r["n_members"]
+        assert r["survivor_id"] in mem
+        assert r["component"] == min(mem)
