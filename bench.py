@@ -80,6 +80,15 @@ HEADLINE = [
     "text_boilerplate_chunks",
     "events_attribution_linear",
     "sim_centroid_assign_audit",
+    # round-5 second batch: behavioral matrix, rolling distinct
+    # rewrite, drift statistic, interpolation, corpus LM score, and
+    # the embedding-space dedup composition
+    "events_markov_transitions",
+    "window_rolling_distinct_users",
+    "agg_ks_drift_halves",
+    "ts_interpolate_linear",
+    "text_unigram_logprob",
+    "pipeline_semantic_dedup",
 ]
 
 

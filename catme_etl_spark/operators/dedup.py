@@ -552,6 +552,78 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    live AS (
+      SELECT g FROM sh GROUP BY g
+      HAVING COUNT(*) <= {_STOP_SHINGLE_DF_CAP}
+    ),
+    shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN live USING (g)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / LEAST(na.n, nb.n), 4) AS containment,
+           ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set CONTAINMENT pairs — |A∩B| / min(|A|, |B|) — the
+    asymmetric near-dup measure that catches a small document embedded
+    inside a much larger one (quote farms, page-plus-boilerplate,
+    excerpted articles), which Jaccard structurally misses: a 100-line
+    doc fully contained in a 10,000-line doc has Jaccard ≈ 0.01 but
+    containment 1.0.
+
+    Shares the session-shared shingle sets, the stop-shingle DF cap,
+    and the candidates-sharing-a-shingle join with
+    :func:`dedup_ngram_jaccard_pairs` — one extra column over the same
+    plan, so adding the second metric costs nothing at scale. Jaccard
+    is emitted alongside so downstream thresholds can see both
+    measures per pair; containment ≥ 0.5 keeps the output to real
+    sub-document overlap.
+    """
+    sh = _shingle_sets(spark, sf_dir)  # session-shared, persisted
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    live = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF_CAP)
+        .select("g")
+    )
+    shf = sh.join(live, "g")
+    a = shf.select(F.col("doc_id").alias("doc_a"), "g")
+    b = shf.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))
+    inter = (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("i").cast("double") / F.least("na", "nb")
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cont >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (60-bit, token multiset).
 # ---------------------------------------------------------------------------

@@ -592,3 +592,58 @@ def agg_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("ks_d"),
     )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, user_id % 4 AS ub, COUNT(*) AS o
+      FROM events GROUP BY event_type, ub
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM cell GROUP BY event_type),
+    ct AS (SELECT ub, SUM(o) AS c FROM cell GROUP BY ub),
+    n AS (SELECT SUM(o) AS n FROM cell)
+    SELECT cell.event_type, cell.ub,
+           CAST(o AS BIGINT) AS n_obs,
+           ROUND(CAST(r AS DOUBLE) * c / n, 4) AS n_exp,
+           ROUND(POW(o - CAST(r AS DOUBLE) * c / n, 2)
+                 / (CAST(r AS DOUBLE) * c / n), 6) AS chi2_term
+    FROM cell
+    JOIN rt ON rt.event_type = cell.event_type
+    JOIN ct ON ct.ub = cell.ub, n
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event_type × user-bucket
+    contingency table (buckets = user_id mod 4) — "does behavior vary
+    by cohort?", the categorical sibling of the Welch-t and KS tests in
+    this module. Emits the full per-cell decomposition (observed,
+    expected under independence, chi-square contribution) so the
+    offending cells are visible, not just the statistic.
+
+    One hash-agg collapses events to |types|×4 cells; the row/column/
+    grand totals re-aggregate those cells (count-row-sized shuffles)
+    and attach via broadcast joins. Expected counts are ratios of
+    exact integers — deterministic doubles into one final ROUND.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(4)).alias("ub")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("ub").agg(F.sum("o").alias("c"))
+    n = cell.agg(F.sum("o").alias("n"))
+    e_ = F.col("r").cast("double") * F.col("c") / F.col("n")
+    return (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "ub")
+        .join(F.broadcast(n))
+        .select(
+            "event_type",
+            "ub",
+            F.col("o").cast("long").alias("n_obs"),
+            F.round(e_, 4).alias("n_exp"),
+            F.round(F.pow(F.col("o") - e_, 2) / e_, 6).alias("chi2_term"),
+        )
+    )

@@ -467,3 +467,101 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("value_filled"),
         F.when(v.isNotNull(), F.lit("obs")).otherwise(F.lit("interp")).alias("src"),
     )
+
+
+@query(
+    "ts_cusum_max_deviation",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS k
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, event_id, n, k,
+             SUM(vc * n - tot) OVER (PARTITION BY event_type ORDER BY k)
+               AS dev_num
+      FROM v
+    ),
+    m AS (
+      SELECT event_type, event_id, n, k, dev_num,
+             MAX(ABS(dev_num)) OVER (PARTITION BY event_type) AS max_abs
+      FROM s
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           floor((CAST(MAX(max_abs) AS DOUBLE) / MAX(n) / 100.0) * 10000
+                 + 0.5) / 10000 AS max_cusum,
+           MIN(CASE WHEN ABS(dev_num) = max_abs THEN k END) AS argmax_k
+    FROM m
+    GROUP BY event_type
+    """,
+)
+def ts_cusum_max_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type: the maximum absolute
+    cumulative deviation of the value series from its own mean, plus
+    the position where it peaks — the classic "did the level shift
+    mid-stream?" statistic (a mean shift makes the cumulative
+    deviation ramp; a stable series random-walks near zero).
+
+    Exactness trick: instead of cumsum(v_i − mean) in floats, the
+    running quantity is Σ(v_i·n − total) in integer *cents·n* — exact
+    int64 arithmetic all the way (n·Σv stays ≪ 2^63 at these SFs; at
+    petabyte row counts swap to DECIMAL(38,0), same plan), divided
+    back to dollars only at the end. The argmax position is the
+    ROW_NUMBER in (ts, event_id) order, tie → earliest — fully
+    deterministic cross-engine.
+
+    Keyed windows only (partition = event_type, the monitored series).
+    A 100 TB deployment partitions by (type, day) and CUSUMs within
+    calendar chunks, or maintains the running state in the streaming
+    module — this is the batch audit form.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    tot_w = Window.partitionBy("event_type")
+    ord_w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = v.select(
+        "event_type",
+        F.count(F.lit(1)).over(tot_w).alias("n"),
+        F.sum("vc").over(tot_w).alias("tot"),
+        F.row_number().over(ord_w).alias("k"),
+        "vc",
+    ).select(
+        "event_type",
+        "n",
+        "k",
+        F.sum(F.col("vc") * F.col("n") - F.col("tot"))
+        .over(Window.partitionBy("event_type").orderBy("k"))
+        .alias("dev_num"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        "k",
+        "dev_num",
+        F.max(F.abs("dev_num")).over(tot_w).alias("max_abs"),
+    )
+    return m.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            F.floor(
+                (F.max("max_abs").cast("double") / F.max("n") / 100.0) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("max_cusum"),
+        F.min(F.when(F.abs("dev_num") == F.col("max_abs"), F.col("k"))).alias(
+            "argmax_k"
+        ),
+    )

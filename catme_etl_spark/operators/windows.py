@@ -402,3 +402,66 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return counts.join(days, ["event_type", "d"]).select(
         "event_type", F.col("d").alias("day_idx"), "users_7d"
     )
+
+
+@query(
+    "window_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT c_mktsegment, o_custkey,
+             MAX(o_orderdate) AS last_d,
+             COUNT(*) AS f,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m_cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, o_custkey
+    )
+    SELECT c_mktsegment, o_custkey,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY last_d DESC, o_custkey) AS r_q,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY f DESC, o_custkey) AS f_q,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY m_cents DESC, o_custkey) AS m_q
+    FROM rfm
+    """,
+)
+def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile scoring per market
+    segment — the standard customer-value segmentation: quartile 1 =
+    most recent / most frequent / highest spend within the customer's
+    own segment.
+
+    One hash-agg collapses orders to per-customer (last date, count,
+    exact cents); three ntile windows share the segment partitioning
+    (one sort partitioning, three orderings) with custkey tie-breaks
+    so bucket boundaries are deterministic cross-engine. Segments are
+    few, so at corpus scale the per-segment sort is the bottleneck —
+    swap ntile for broadcast approx_percentile thresholds (the IQR-
+    fences pattern in operators/quality.py) when a segment outgrows a
+    task; quartile LABELS then tolerate the sketch's rank error.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rfm = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(cents("o_totalprice")).alias("m_cents"),
+        )
+    )
+    seg = "c_mktsegment"
+    wr = Window.partitionBy(seg).orderBy(F.col("last_d").desc(), "o_custkey")
+    wf = Window.partitionBy(seg).orderBy(F.col("f").desc(), "o_custkey")
+    wm = Window.partitionBy(seg).orderBy(F.col("m_cents").desc(), "o_custkey")
+    return rfm.select(
+        seg,
+        "o_custkey",
+        F.ntile(4).over(wr).alias("r_q"),
+        F.ntile(4).over(wf).alias("f_q"),
+        F.ntile(4).over(wm).alias("m_q"),
+    )

@@ -62,6 +62,10 @@ def test_round5_certification_window_composition():
         "ts_interpolate_linear",
         "text_unigram_logprob",
         "pipeline_semantic_dedup",
+        "dedup_containment_pairs",
+        "agg_chi2_independence",
+        "ts_cusum_max_deviation",
+        "window_rfm_segments",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

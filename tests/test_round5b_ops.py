@@ -196,3 +196,103 @@ def test_semantic_dedup_survivors_are_members(spark, sf_dir):
         assert len(mem) == r["n_members"]
         assert r["survivor_id"] in mem
         assert r["component"] == min(mem)
+
+
+def test_round5b_batch3_plan_shapes(spark, sf_dir):
+    """Plan pins for the third batch:
+
+    - dedup_containment_pairs: same candidate join as the Jaccard
+      sibling — broadcast hash joins only, never a nested loop over
+      doc pairs.
+    - agg_chi2_independence: cells/totals are count-row-sized; all
+      total attachments broadcast (the one BNL is the documented
+      bounded one-row grand-total join).
+    - ts_cusum_max_deviation: ONE per-event shuffle (the type
+      partitioning feeds every window), no joins.
+    - window_rfm_segments: one broadcast dim join + one per-customer
+      agg; the three ntile windows share the segment partitioning —
+      2 shuffles total.
+    """
+    from catme_etl_spark.operators.dedup import dedup_containment_pairs
+    from catme_etl_spark.operators.stats import agg_chi2_independence
+    from catme_etl_spark.operators.timeseries import ts_cusum_max_deviation
+    from catme_etl_spark.operators.windows import window_rfm_segments
+    from catme_etl_spark.plans.explain import count_shuffles, executed_plan_str
+
+    ct = dedup_containment_pairs(spark, sf_dir)
+    plan = executed_plan_str(ct)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+    ch = agg_chi2_independence(spark, sf_dir)
+    plan = executed_plan_str(ch)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan[:2000]
+
+    cs = ts_cusum_max_deviation(spark, sf_dir)
+    plan = executed_plan_str(cs)
+    assert count_shuffles(cs) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+    rf = window_rfm_segments(spark, sf_dir)
+    plan = executed_plan_str(rf)
+    assert count_shuffles(rf) == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For any pair, containment >= jaccard (min(|A|,|B|) <= union),
+    and both lie in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.dedup import dedup_containment_pairs
+
+    df = dedup_containment_pairs(spark, sf_dir)
+    assert df.filter(F.col("containment") < F.col("jaccard") - 1e-9).count() == 0
+    assert (
+        df.filter(
+            (F.col("containment") <= 0) | (F.col("containment") > 1.0)
+        ).count()
+        == 0
+    )
+
+
+def test_chi2_cell_and_total_consistency(spark, sf_dir):
+    """Expected counts sum to N (row/col margins are exact), every
+    contribution is nonnegative, and the table covers all cells."""
+    from catme_etl_spark.operators.stats import agg_chi2_independence
+
+    rows = agg_chi2_independence(spark, sf_dir).collect()
+    assert rows
+    n_obs = sum(r["n_obs"] for r in rows)
+    n_exp = sum(r["n_exp"] for r in rows)
+    assert abs(n_exp - n_obs) < 0.05 * len(rows), (n_exp, n_obs)
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_cusum_argmax_in_range(spark, sf_dir):
+    """The CUSUM peak position is a valid 1-based index and the
+    statistic is nonnegative."""
+    from catme_etl_spark.operators.timeseries import ts_cusum_max_deviation
+
+    for r in ts_cusum_max_deviation(spark, sf_dir).collect():
+        assert r["max_cusum"] >= 0
+        assert 1 <= r["argmax_k"] <= r["n"]
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    """ntile(4) buckets differ in size by at most 1 within each
+    segment, for each of the three dimensions."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.windows import window_rfm_segments
+
+    df = window_rfm_segments(spark, sf_dir)
+    for col in ("r_q", "f_q", "m_q"):
+        sizes = (
+            df.groupBy("c_mktsegment", col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("c_mktsegment")
+            .agg((F.max("n") - F.min("n")).alias("spread"))
+            .collect()
+        )
+        assert all(r["spread"] <= 1 for r in sizes), (col, sizes)
