@@ -296,3 +296,45 @@ def test_rfm_quartiles_balanced(spark, sf_dir):
             .collect()
         )
         assert all(r["spread"] <= 1 for r in sizes), (col, sizes)
+
+
+def test_propagate_fast_path_matches_loop_on_crafted_graph(spark):
+    """The driver union-find fast path and the distributed label-
+    propagation loop produce identical (id, component) labels on a
+    crafted graph exercising chains (transitivity), a cycle, reversed
+    edge order, duplicate edges, and singletons."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.dedup import propagate_min_labels
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 13)], "id long")
+    edges = spark.createDataFrame(
+        [
+            (2, 1),  # reversed order
+            (2, 3),
+            (3, 4),  # chain 1-2-3-4
+            (5, 6),
+            (6, 7),
+            (7, 5),  # cycle 5-6-7
+            (9, 10),
+            (9, 10),  # duplicate edge
+        ],
+        "a long, b long",
+    )
+    fast = {
+        (r["id"], r["component"])
+        for r in propagate_min_labels(verts, edges).collect()
+    }
+    # the reliable tier always runs the distributed loop
+    spark.sparkContext.setCheckpointDir("/tmp/cc_crafted_ck")
+    loop = {
+        (r["id"], r["component"])
+        for r in propagate_min_labels(verts, edges, reliable=True).collect()
+    }
+    expected = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (5, 5), (6, 5), (7, 5),
+        (8, 8), (9, 9), (10, 9), (11, 11), (12, 12),
+    }
+    assert fast == expected
+    assert loop == expected
