@@ -408,11 +408,15 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     own [min, max] bucket, so every gap is interior and the prev/next
     anchors always exist (no edge NULLs to police).
 
-    Scale shape: one hash-agg collapses events to observed buckets;
-    the spine explodes from a per-type min/max agg (O(range), not
-    O(events)); the fill windows partition by series key so each
-    executor sorts only its own series. Same signature as LOCF — this
-    is the hypertable `interpolate()` analog.
+    Scale shape — SEGMENT form, not spine form: one hash-agg collapses
+    events to observed buckets; one ``lead()`` window over the
+    *observed* rows (tiny: one row per bucket with data) pairs each
+    anchor with the next; each segment then explodes its own
+    ``[i, next)`` bucket range with the fill computed inline. No dense
+    spine is ever joined or window-scanned — the earlier spine + dual
+    prev/next ignore-nulls windows formulation measured 2× slower at
+    sf0.1 for identical output. Output rows still cover every bucket
+    in each type's [min, max] range.
     """
     e = load_table(spark, sf_dir, "events")
     b = e.select(
@@ -423,49 +427,48 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = b.groupBy("event_type", "i").agg(
         (F.sum("vc").cast("double") / F.count(F.lit(1))).alias("v")
     )
-    bounds = b.groupBy("event_type").agg(
-        F.min("i").alias("lo"), F.max("i").alias("hi")
-    )
-    spine = bounds.select("event_type", F.explode(F.sequence("lo", "hi")).alias("i"))
-    sparse = spine.join(obs, ["event_type", "i"], "left")
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = (
-        Window.partitionBy("event_type")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    v = F.col("v")
-    anchored = sparse.select(
+    w = Window.partitionBy("event_type").orderBy("i")
+    seg = obs.select(
         "event_type",
         "i",
         "v",
-        F.last("v", ignorenulls=True).over(wp).alias("pv"),
-        F.last(F.when(v.isNotNull(), F.col("i")), ignorenulls=True)
-        .over(wp)
-        .alias("pi"),
-        F.first("v", ignorenulls=True).over(wn).alias("nv"),
-        F.first(F.when(v.isNotNull(), F.col("i")), ignorenulls=True)
-        .over(wn)
-        .alias("ni"),
+        F.lead("i").over(w).alias("ni"),
+        F.lead("v").over(w).alias("nv"),
     )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        F.col("i") - F.col("pi")
-    ) / (F.col("ni") - F.col("pi"))
+    # each observed anchor emits its own bucket plus the gap up to (not
+    # including) the next anchor; the final anchor emits itself alone.
+    body = seg.filter(F.col("ni").isNotNull()).select(
+        "event_type",
+        "i",
+        "v",
+        "ni",
+        "nv",
+        F.explode(F.sequence(F.col("i"), F.col("ni") - 1)).alias("j"),
+    )
+    tail = seg.filter(F.col("ni").isNull()).select(
+        "event_type",
+        "i",
+        "v",
+        F.lit(None).cast("long").alias("ni"),
+        F.lit(None).cast("double").alias("nv"),
+        F.col("i").alias("j"),
+    )
+    rows = body.unionByName(tail)
+    is_obs = F.col("j") == F.col("i")
+    interp = F.col("v") + (F.col("nv") - F.col("v")) * (
+        F.col("j") - F.col("i")
+    ) / (F.col("ni") - F.col("i"))
     # half-away on the BINARY double (floor(x*1e4+0.5), both engines
     # run the identical IEEE ops) — F.round vs DuckDB ROUND disagree
     # when the exact rational sits on a 4th-decimal tie (…x.89625)
     # because Spark rounds the shortest decimal repr and DuckDB the
     # stored binary; values are nonnegative so no sign branch.
-    filled = F.when(v.isNotNull(), v).otherwise(interp) / 100.0
-    return anchored.select(
+    filled = F.when(is_obs, F.col("v")).otherwise(interp) / 100.0
+    return rows.select(
         "event_type",
-        (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
+        (F.col("j") * _BUCKET_S * 1_000_000).alias("win_start_us"),
         (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("value_filled"),
-        F.when(v.isNotNull(), F.lit("obs")).otherwise(F.lit("interp")).alias("src"),
+        F.when(is_obs, F.lit("obs")).otherwise(F.lit("interp")).alias("src"),
     )
 
 
