@@ -321,3 +321,83 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans").cast("double") / F.sum("n_trans").over(norm), 6
         ).alias("p"),
     )
+
+
+@query(
+    "events_pareto_user_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, n,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY n DESC, user_id) AS decile
+      FROM per_user
+    ),
+    d AS (
+      SELECT event_type, decile,
+             COUNT(*) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM ranked GROUP BY event_type, decile
+    ),
+    t AS (SELECT event_type, SUM(n_events) AS tot FROM d GROUP BY event_type)
+    SELECT d.event_type, decile, n_users, n_events,
+           floor((CAST(n_events AS DOUBLE) / tot) * 1000000 + 0.5)
+             / 1000000 AS share,
+           floor((CAST(SUM(n_events) OVER (PARTITION BY d.event_type
+                                           ORDER BY decile) AS DOUBLE) / tot)
+                 * 1000000 + 0.5) / 1000000 AS cum_share
+    FROM d JOIN t ON t.event_type = d.event_type
+    """,
+)
+def events_pareto_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz concentration of activity: per event type, users
+    ranked into activity deciles (decile 1 = heaviest) with each
+    decile's share and cumulative share of total events — the
+    "top 10% of users generate X% of traffic" curve, the per-slice
+    companion to the Gini coefficient in `operators/stats.py`.
+
+    One hash-agg collapses events to per-user counts; the ntile window
+    runs over those collapsed rows (keyed by type, user_id tie-break
+    for deterministic decile boundaries); everything after is
+    decile-row-sized. Shares are exact-integer ratios; the cumulative
+    sum walks 10 rows in decile order in both engines, so the doubles
+    fold identically into the half-away floor-round.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    ranked = per_user.select(
+        "event_type", "n", F.ntile(10).over(wd).alias("decile")
+    )
+    d = ranked.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    t = d.groupBy("event_type").agg(F.sum("n_events").alias("tot"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.col("n_events").cast("double") / F.col("tot")
+    cum = F.sum("n_events").over(wc).cast("double") / F.col("tot")
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "decile",
+            "n_users",
+            "n_events",
+            (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("share"),
+            (F.floor(cum * 1000000 + F.lit(0.5)) / 1000000).alias("cum_share"),
+        )
+    )

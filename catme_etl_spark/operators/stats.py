@@ -647,3 +647,104 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.col("o") - e_, 2) / e_, 6).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      GROUP BY dow, vc
+    ),
+    cum AS (
+      SELECT dow, vc, na, nb,
+             SUM(na + nb) OVER (PARTITION BY dow ORDER BY vc
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - (na + nb) AS cbefore
+      FROM grid
+    ),
+    agg AS (
+      SELECT dow,
+             CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             CAST(SUM(na * (2 * cbefore + na + nb + 1)) AS BIGINT) AS ra2
+      FROM cum GROUP BY dow
+    )
+    SELECT dow, n_a, n_b,
+           (ra2 - n_a * (n_a + 1)) / 2.0 AS u_a,
+           floor(((ra2 - n_a * (n_a + 1)) / 2.0 / n_a / n_b) * 1000000
+                 + 0.5) / 1000000 AS auc
+    FROM agg
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test per epoch-day-mod-7 stratum
+    (a tz-free weekday proxy — calendar DOW numbering differs between
+    engines): do
+    'click' and 'view' events draw their values from the same
+    distribution? The nonparametric sibling of the Welch t-test (no
+    normality assumption) — U/(n_a·n_b) is the AUC: P(click value >
+    view value), the effect size a drift monitor actually thresholds.
+
+    Exact-integer rank arithmetic: midranks over the collapsed
+    (stratum, cent) grid give 2·R_A = Σ na_v·(2·C_<v + t_v + 1) — a
+    pure int64 sum (ties handled by construction), so U and AUC are
+    ratios of exact integers, bit-identical cross-engine into the
+    final half-away floor-round. Same shape as the KS statistic: one
+    hash-agg to the grid, one keyed cumulative window over grid rows,
+    one final agg — raw events shuffle once.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    grid = (
+        e.select(
+            F.pmod(
+                F.floor(F.unix_timestamp("ts") / 86400).cast("long"), F.lit(7)
+            ).alias("dow"),
+            cents("value").alias("vc"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+        .groupBy("dow", "vc")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).alias("na"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        )
+    )
+    cum_w = (
+        Window.partitionBy("dow")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "dow",
+        "na",
+        "nb",
+        (F.sum(F.col("na") + F.col("nb")).over(cum_w) - F.col("na") - F.col("nb"))
+        .alias("cbefore"),
+    )
+    agg = cum.groupBy("dow").agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * F.col("cbefore") + F.col("na") + F.col("nb") + 1)
+        )
+        .cast("long")
+        .alias("ra2"),
+    )
+    u_a = (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    return agg.select(
+        "dow",
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (
+            F.floor((u_a / F.col("n_a") / F.col("n_b")) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("auc"),
+    )

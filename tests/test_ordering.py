@@ -66,6 +66,8 @@ def test_round5_certification_window_composition():
         "agg_chi2_independence",
         "ts_cusum_max_deviation",
         "window_rfm_segments",
+        "agg_mann_whitney_u",
+        "events_pareto_user_deciles",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -338,3 +338,36 @@ def test_propagate_fast_path_matches_loop_on_crafted_graph(spark):
     }
     assert fast == expected
     assert loop == expected
+
+
+def test_mann_whitney_bounds(spark, sf_dir):
+    """U lies in [0, n_a*n_b] and AUC in [0, 1] for every stratum."""
+    from catme_etl_spark.operators.stats import agg_mann_whitney_u
+
+    rows = agg_mann_whitney_u(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["u_a"] <= r["n_a"] * r["n_b"], r
+        assert 0.0 <= r["auc"] <= 1.0, r
+
+
+def test_pareto_deciles_monotone_and_complete(spark, sf_dir):
+    """Per type: shares sum to ~1, cumulative share ends at ~1, and the
+    heaviest decile's share dominates the lightest's."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.events import events_pareto_user_deciles
+
+    rows = events_pareto_user_deciles(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-4, t
+        assert abs(rs[-1]["cum_share"] - 1.0) < 1e-6, t
+        assert rs[0]["share"] >= rs[-1]["share"], t
+        # cumulative share is nondecreasing
+        for a, b in zip(rs, rs[1:]):
+            assert b["cum_share"] >= a["cum_share"] - 1e-9, t
