@@ -542,3 +542,87 @@ def stream_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.size("_users").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "stream_histogram_value_bins",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             LEAST(19, GREATEST(0,
+               CAST(ROUND(value * 100) AS BIGINT) // 500)) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, bin
+    ),
+    grid AS (
+      SELECT t.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(range(20)) AS bin) g
+    )
+    SELECT grid.event_type, grid.bin, COALESCE(c.n, 0) AS n
+    FROM grid LEFT JOIN c
+      ON c.event_type = grid.event_type AND c.bin = grid.bin
+    """,
+)
+def stream_histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGEABLE-STATE histogram (C7): per event type, a
+    20-bin fixed-width ($5) value histogram maintained as explicit
+    state across micro-batches via ``applyInPandasWithState`` — the
+    streaming analog of the batch sketch family (bitmap/HLL/CMS): the
+    state is a small mergeable array, updated order-insensitively, so
+    the stream can answer distribution questions at any trigger
+    without rescanning history.
+
+    Counts are clamped into [0, 19] ($0–$100 in $5 steps, top bin
+    open-ended) so state size is a constant 20 longs per key
+    regardless of stream length. The final per-type snapshot (largest
+    n_total row in the update-mode sink) explodes back to (type, bin,
+    n) rows and equals the batch histogram exactly — the oracle is the
+    plain GROUP BY over the same parquet.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = _stream_events(spark, sf_dir).select("event_type", "value")
+
+    def hist(key, pdfs, state):
+        (bins_list, n_total) = (
+            state.get if state.exists else ([0] * 20, 0)
+        )
+        bins = np.array(bins_list, dtype="int64")
+        for pdf in pdfs:
+            vc = (pdf["value"] * 100).round(0).astype("int64")
+            b = (vc // 500).clip(lower=0, upper=19).astype("int64")
+            bins += np.bincount(b, minlength=20).astype("int64")
+            n_total += len(pdf)
+        state.update((bins.tolist(), n_total))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_total": [n_total],
+                "bins_csv": [",".join(str(int(x)) for x in bins)],
+            }
+        )
+
+    out = e.groupBy("event_type").applyInPandasWithState(
+        hist,
+        outputStructType="event_type string, n_total long, bins_csv string",
+        stateStructType="bins array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_to_memory(out, "update")
+    final = (
+        sunk.groupBy("event_type")
+        .agg(F.max(F.struct("n_total", "bins_csv")).alias("s"))
+        .select("event_type", F.col("s.bins_csv").alias("bins_csv"))
+    )
+    return final.select(
+        "event_type",
+        F.posexplode(F.split("bins_csv", ",")).alias("bin", "n_str"),
+    ).select(
+        "event_type",
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_str").cast("long").alias("n"),
+    )

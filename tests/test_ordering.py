@@ -68,6 +68,7 @@ def test_round5_certification_window_composition():
         "window_rfm_segments",
         "agg_mann_whitney_u",
         "events_pareto_user_deciles",
+        "stream_histogram_value_bins",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -371,3 +371,28 @@ def test_pareto_deciles_monotone_and_complete(spark, sf_dir):
         # cumulative share is nondecreasing
         for a, b in zip(rs, rs[1:]):
             assert b["cum_share"] >= a["cum_share"] - 1e-9, t
+
+
+def test_stream_histogram_state_is_mergeable(spark, sf_dir):
+    """The streamed 20-bin histogram (state merged across micro-
+    batches) equals the batch histogram bin-for-bin, including empty
+    bins, and each type's bins sum to its event count."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.sources.tables import load_table
+    from catme_etl_spark.streaming.jobs import stream_histogram_value_bins
+
+    streamed = stream_histogram_value_bins(spark, sf_dir)
+    rows = streamed.collect()
+    assert {r["bin"] for r in rows} == set(range(20))
+    totals = {}
+    for r in rows:
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) + r["n"]
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert totals == batch
