@@ -89,6 +89,13 @@ HEADLINE = [
     "ts_interpolate_linear",
     "text_unigram_logprob",
     "pipeline_semantic_dedup",
+    # round-5 third batch: containment (new shingle consumer),
+    # rank-test family, exact-integer CUSUM, and the streaming
+    # mergeable-state histogram
+    "dedup_containment_pairs",
+    "agg_mann_whitney_u",
+    "ts_cusum_max_deviation",
+    "stream_histogram_value_bins",
 ]
 
 

