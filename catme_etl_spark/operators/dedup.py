@@ -531,6 +531,19 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard near-dup approximation; Jaccard denominators still count
     every shingle). Inert at sf0.01 (500 docs, every df ≤ cap),
     mirrored exactly in the oracle either way."""
+    inter = _shingle_intersections(spark, sf_dir)
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.filter(jac >= 0.3).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def _shingle_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, i, na, nb) — exact shingle-set intersection sizes
+    for all doc pairs sharing ≥ 1 live (DF-capped) shingle, plus both
+    set sizes. The shared candidate machinery behind every exact
+    set-similarity measure (Jaccard, containment, overlap coefficient):
+    one filtered self-join, metric arithmetic left to the caller."""
     sh = _shingle_sets(spark, sf_dir)  # session-shared, persisted
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     live = (
@@ -549,13 +562,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= 0.3)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return inter.join(na, "doc_a").join(nb, "doc_b")
 
 
 @query(
@@ -591,36 +598,17 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shares the session-shared shingle sets, the stop-shingle DF cap,
     and the candidates-sharing-a-shingle join with
-    :func:`dedup_ngram_jaccard_pairs` — one extra column over the same
-    plan, so adding the second metric costs nothing at scale. Jaccard
-    is emitted alongside so downstream thresholds can see both
-    measures per pair; containment ≥ 0.5 keeps the output to real
-    sub-document overlap.
+    :func:`dedup_ngram_jaccard_pairs` (one `_shingle_intersections`
+    build, two metrics) — adding the second measure costs nothing at
+    scale. Jaccard is emitted alongside so downstream thresholds can
+    see both measures per pair; containment ≥ 0.5 keeps the output to
+    real sub-document overlap.
     """
-    sh = _shingle_sets(spark, sf_dir)  # session-shared, persisted
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    live = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _STOP_SHINGLE_DF_CAP)
-        .select("g")
-    )
-    shf = sh.join(live, "g")
-    a = shf.select(F.col("doc_id").alias("doc_a"), "g")
-    b = shf.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))
-    inter = (
-        a.join(b, (F.col("g") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = _shingle_intersections(spark, sf_dir)
     cont = F.col("i").cast("double") / F.least("na", "nb")
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(cont >= 0.5)
+        inter.filter(cont >= 0.5)
         .select(
             "doc_a",
             "doc_b",

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import cents
 from ..sources.tables import load_table
 from .registry import query
 
@@ -313,9 +314,7 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is constant-size regardless of input.
     """
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    digit = F.substring(
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
-    ).cast("long")
+    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("long")
     obs = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n_obs")
     )

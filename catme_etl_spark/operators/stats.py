@@ -496,13 +496,17 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_ks_drift_halves",
     oracle="""
     WITH bounds AS (
-      SELECT (MIN(epoch(ts)) + MAX(epoch(ts))) / 2.0 AS mid FROM events
+      SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+              + MAX(CAST(floor(epoch(ts)) AS BIGINT))) / 2.0 AS mid
+      FROM events WHERE value IS NOT NULL
     ),
     grid AS (
       SELECT event_type,
              CAST(ROUND(value * 100) AS BIGINT) AS vc,
-             COUNT(CASE WHEN epoch(ts) < mid THEN 1 END) AS na,
-             COUNT(CASE WHEN epoch(ts) >= mid THEN 1 END) AS nb
+             COUNT(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+                        THEN 1 END) AS na,
+             COUNT(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+                        THEN 1 END) AS nb
       FROM events, bounds
       WHERE value IS NOT NULL
       GROUP BY event_type, vc

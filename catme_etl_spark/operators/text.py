@@ -777,10 +777,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(F.log(F.col("c").cast("double") / F.col("n")))
-                / F.count(F.lit(1)),
-                4,
+            (
+                F.round(
+                    F.sum(F.log(F.col("c").cast("double") / F.col("n")))
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("avg_logprob"),
         )
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import cents
 from ..sources.tables import load_table
 from .registry import query
 
@@ -353,6 +354,7 @@ def ts_downsample_minmax_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
              CAST(ROUND(value * 100) AS BIGINT) AS vc
       FROM events
+      WHERE value IS NOT NULL
     ),
     obs AS (
       SELECT event_type, i,
@@ -418,11 +420,11 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 for identical output. Output rows still cover every bucket
     in each type's [min, max] range.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = e.select(
         "event_type",
         F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        cents("value").alias("vc"),
     )
     obs = b.groupBy("event_type", "i").agg(
         (F.sum("vc").cast("double") / F.count(F.lit(1))).alias("v")
@@ -530,7 +532,7 @@ def ts_cusum_max_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "ts",
-        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        cents("value").alias("vc"),
     )
     tot_w = Window.partitionBy("event_type")
     ord_w = Window.partitionBy("event_type").orderBy("ts", "event_id")

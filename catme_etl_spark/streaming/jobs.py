@@ -584,7 +584,14 @@ def stream_histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    e = _stream_events(spark, sf_dir).select("event_type", "value")
+    # NULL values are out of the histogram's domain on both sides (the
+    # oracle's NULL bin falls out of the grid join; the pandas int cast
+    # would crash on NaN) — filter before the stateful operator.
+    e = (
+        _stream_events(spark, sf_dir)
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
 
     def hist(key, pdfs, state):
         (bins_list, n_total) = (

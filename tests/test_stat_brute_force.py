@@ -95,3 +95,72 @@ def test_ks_equals_numpy_ecdf(spark, tmp_path):
     assert r["n_a"] == len(a) and r["n_b"] == len(b)
     assert abs(r["ks_d"] - d_brute) < 1e-6, (r["ks_d"], d_brute)
     assert r["ks_d"] > 0.3  # the planted drift is visible
+
+
+def test_null_values_cross_engine(spark, tmp_path):
+    """NULL event values are out-of-domain for the value statistics —
+    pinned by driving a crafted table WITH nulls (absent from the sf
+    fixtures) through both engines: KS half-split bounds must come
+    from non-null rows only, and an all-NULL bucket must interpolate
+    as a gap, not anchor as an observation."""
+    import duckdb
+
+    from catme_etl_spark.operators.registry import ORACLE
+    from catme_etl_spark.operators.stats import agg_ks_drift_halves
+    from catme_etl_spark.operators.timeseries import ts_interpolate_linear
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        # NULL rows at the extreme timestamps: if they leaked into the
+        # KS bounds, mid (and the halves) would shift
+        (0, t0 - dt.timedelta(hours=5), 1, "click", None, "{}"),
+        (99, t0 + dt.timedelta(hours=50), 1, "click", None, "{}"),
+    ]
+    # observed buckets at 0 and 30 minutes; the 10-20min buckets carry
+    # ONLY null values -> must come out as interpolated gaps
+    rows += [
+        (1, t0, 1, "click", 10.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", None, "{}"),
+        (3, t0 + dt.timedelta(minutes=30), 1, "click", 40.0, "{}"),
+    ]
+    rows += [
+        (i + 10, t0 + dt.timedelta(hours=i), 2, "click", float(i % 7), "{}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+
+    for name, fn in (
+        ("agg_ks_drift_halves", agg_ks_drift_halves),
+        ("ts_interpolate_linear", ts_interpolate_linear),
+    ):
+        got = {
+            tuple(str(x) for x in r) for r in fn(spark, str(tmp_path)).collect()
+        }
+        want = {
+            tuple(str(x) for x in r) for r in con.execute(ORACLE[name]).fetchall()
+        }
+        assert got == want, (name, got ^ want)
+
+    # and the gap really interpolates: the t0 bucket averages the 10.0
+    # doc with user 2's colliding 0.0 event (mean 5.0), so the two
+    # NULL-only buckets take the 5.0 -> 40.0 line, NOT anchor values
+    out = {
+        (r["win_start_us"], r["src"], r["value_filled"])
+        for r in ts_interpolate_linear(spark, str(tmp_path)).collect()
+    }
+    base_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    step = 600 * 1_000_000
+    assert (base_us, "obs", 5.0) in out
+    assert (base_us + step, "interp", 16.6667) in out
+    assert (base_us + 2 * step, "interp", 28.3333) in out
