@@ -505,3 +505,57 @@ def test_seasonal_backtest_bias_within_mae(spark, sf_dir):
     for r in rows:
         assert r["n_buckets"] > 0
         assert abs(r["bias"]) <= r["mae"] + 1e-4, r
+
+
+def test_round5b_late_plan_shapes(spark, sf_dir):
+    """Plan pins for the late-batch operators:
+
+    - agg_mann_whitney_u / ts_rolling_median_close: one raw-data
+      shuffle + one keyed window over collapsed rows, no joins.
+    - ts_seasonal_naive_backtest: the day-offset pairing joins the
+      AGGREGATED series to itself (broadcast at test scale, hash at
+      100 TB) — never a window over raw events, never a nested loop.
+    - events_pareto_user_deciles: ntile over collapsed per-user counts
+      (broadcast total join only).
+    - quality_pk_uniqueness_audit: 10 independent one-row aggregates,
+      no joins of any kind.
+    - text_bigram_logprob: broadcast count-table joins only (the BNL
+      is the documented one-row grand-total N join).
+    """
+    import re
+
+    from catme_etl_spark.operators.events import events_pareto_user_deciles
+    from catme_etl_spark.operators.quality import quality_pk_uniqueness_audit
+    from catme_etl_spark.operators.stats import agg_mann_whitney_u
+    from catme_etl_spark.operators.text import text_bigram_logprob
+    from catme_etl_spark.operators.timeseries import (
+        ts_rolling_median_close,
+        ts_seasonal_naive_backtest,
+    )
+    from catme_etl_spark.plans.explain import count_shuffles, executed_plan_str
+
+    for fn, max_sh in (
+        (agg_mann_whitney_u, 2),
+        (ts_rolling_median_close, 2),
+    ):
+        df = fn(spark, sf_dir)
+        plan = executed_plan_str(df)
+        assert count_shuffles(df) <= max_sh, plan[:2000]
+        assert "Join" not in plan, plan[:2000]
+
+    bt = ts_seasonal_naive_backtest(spark, sf_dir)
+    plan = executed_plan_str(bt)
+    assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan)
+    assert "WindowExec" not in plan, plan[:2000]
+
+    pa = events_pareto_user_deciles(spark, sf_dir)
+    plan = executed_plan_str(pa)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    pk = quality_pk_uniqueness_audit(spark, sf_dir)
+    plan = executed_plan_str(pk)
+    assert "Join" not in plan, plan[:2000]
+
+    bg = text_bigram_logprob(spark, sf_dir)
+    plan = executed_plan_str(bg)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
