@@ -67,21 +67,55 @@ def sql_hex_long(expr: str, n_hex: int, start: int = 1) -> str:
     )
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def minhash_constants(n_seeds: int) -> list[tuple[int, int]]:
+    """Deterministic per-seed Carter-Wegman constants (a_s, b_s),
+    a_s ∈ [1, p-1], b_s ∈ [0, p-1], derived from md5(f"mh{s}") — the
+    same constants embed as literals in the Spark plan and the DuckDB
+    oracle SQL, so both engines evaluate the identical family."""
+    import hashlib
+
+    out = []
+    for s in range(n_seeds):
+        hx = hashlib.md5(f"mh{s}".encode()).hexdigest()
+        a = int(hx[:14], 16) % (MINHASH_P - 1) + 1
+        b = int(hx[14:27], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_family(digest_hex: Column, n_seeds: int) -> Column:
     """The n-seed universal hash family over one md5 digest:
-    ``h_s = a + s·b`` with a = 56-bit, b = 52-bit slices of the hex —
-    ``a + (n-1)·b`` stays < 2^61 for n ≤ 32, so the arithmetic is
-    int64-exact in Spark and DuckDB alike. One digest per value, n
-    cheap integer hashes out.
+    ``h_s(x) = (a_s·x + b_s) mod p`` with p = 2^31−1, x = the digest's
+    56-bit prefix reduced mod p, and INDEPENDENT per-seed constants
+    (:func:`minhash_constants`). a_s < 2^31 and x < 2^31 keep the
+    product < 2^62 — int64-exact in Spark and DuckDB alike. One digest
+    per value, n cheap integer hashes out.
+
+    Why independent constants matter (found by
+    `dedup_minhash_estimator_audit`): the earlier linear-in-s form
+    ``a + s·b`` makes the SAME value minimize every seed whenever one
+    value has both small a and small b — per-seed minima were almost
+    perfectly correlated, so the k/32 Jaccard estimate saturated at
+    1.0 for near-disjoint candidate docs and LSH banding's S-curve
+    assumption (independent rows) was silently violated, inflating
+    false-positive candidates that only the exact-verify stage
+    filtered out.
 
     Built as a literal ``F.array`` (not ``F.transform``) on purpose:
     higher-order-function lambdas run interpreted and re-evaluate the
-    captured ``a``/``b`` digest expressions PER ELEMENT (n× md5 per
-    value — measured ~17× slower), while a plain array of expressions
-    sits inside whole-stage codegen where common-subexpression
-    elimination computes the digest once; ``element_at`` on it also
+    captured digest expressions PER ELEMENT (n× md5 per value —
+    measured ~17× slower), while a plain array of expressions sits
+    inside whole-stage codegen where common-subexpression elimination
+    computes the digest once; ``element_at`` on it also
     constant-folds. Same values either way.
     """
-    a = hex_prefix_long(digest_hex, 14, 1)
-    b = hex_prefix_long(digest_hex, 13, 15)
-    return F.array(*[a + F.lit(s).cast("long") * b for s in range(n_seeds)])
+    x = hex_prefix_long(digest_hex, 14, 1) % F.lit(MINHASH_P)
+    return F.array(
+        *[
+            (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+            for a, b in minhash_constants(n_seeds)
+        ]
+    )

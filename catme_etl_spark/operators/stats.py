@@ -752,3 +752,51 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("auc"),
     )
+
+
+@query(
+    "agg_trend_regression",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(regr_slope(value, floor(epoch(ts)) - 1700000000) * 86400, 3)
+             + 0.0 AS slope_per_day,
+           ROUND(regr_intercept(value, floor(epoch(ts)) - 1700000000), 3)
+             + 0.0 AS intercept,
+           ROUND(regr_r2(value, floor(epoch(ts)) - 1700000000), 4) + 0.0 AS r2
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of value over time in ONE streaming aggregate
+    pass — `regr_slope/intercept/r2` are moment aggregates (like
+    corr/covar) with map-side partials, so the trend monitor costs a
+    single scan at any size: the "is this metric drifting and how
+    fast" readout, reported as dollars-per-day.
+
+    The time axis is epoch seconds re-centered near the data (−1.7e9)
+    BEFORE the moments: x² sums of raw 1.7e9-scale epochs eat ~19 of
+    the 53 mantissa bits and the slope's catastrophic cancellation
+    amplifies engine-order drift above the rounding grid — recentering
+    keeps x ~1e6 so cross-engine drift stays ~1e-10 under ROUND(…, 3).
+    The moment-family float discipline (module docstring) applies:
+    ratio-of-moments quantities, rounded once, signed zero normalized.
+
+    The oracle floors ``epoch(ts)`` because Spark's
+    ``unix_timestamp`` truncates to seconds — same x by definition on
+    both engines (the repo's floor(epoch) rule).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (F.unix_timestamp("ts") - F.lit(1_700_000_000)).cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.regr_slope("value", x) * 86400, 3) + F.lit(0.0)).alias(
+            "slope_per_day"
+        ),
+        (F.round(F.regr_intercept("value", x), 3) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        (F.round(F.regr_r2("value", x), 4) + F.lit(0.0)).alias("r2"),
+    )

@@ -45,6 +45,9 @@ def test_round5_certification_window_composition():
     needs_certification = [
         # reworked (schema changed → r01-r04 green rows are stale)
         "agg_approx_count_distinct",
+        # minhash-family fix → all minhash-derived values changed
+        "dedup_minhash_lsh_pairs",
+        "dedup_minhash_canonical",
         "stream_session_sealed",
         "sim_ml_lsh_pairs",
         "sim_ivf_kmeans_topk",
@@ -74,6 +77,8 @@ def test_round5_certification_window_composition():
         "ts_rolling_median_close",
         "quality_pk_uniqueness_audit",
         "ts_seasonal_naive_backtest",
+        "agg_trend_regression",
+        "dedup_minhash_estimator_audit",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -559,3 +559,34 @@ def test_round5b_late_plan_shapes(spark, sf_dir):
     bg = text_bigram_logprob(spark, sf_dir)
     plan = executed_plan_str(bg)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_trend_regression_reasonable(spark, sf_dir):
+    """r2 in [0, 1]; n positive; slope finite for every type."""
+    import math
+
+    from catme_etl_spark.operators.stats import agg_trend_regression
+
+    rows = agg_trend_regression(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] > 0
+        assert 0.0 <= r["r2"] <= 1.0, r
+        assert math.isfinite(r["slope_per_day"]), r
+
+
+def test_minhash_estimator_error_distribution(spark, sf_dir):
+    """The audit's own claim holds on real data: est and exact agree
+    in expectation — mean absolute error across candidate pairs stays
+    within 2x the theoretical standard error ~0.09, and est is always
+    a multiple of 1/32."""
+    from catme_etl_spark.operators.dedup import dedup_minhash_estimator_audit
+
+    rows = dedup_minhash_estimator_audit(spark, sf_dir).collect()
+    assert rows
+    mae = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mae < 0.18, mae
+    for r in rows:
+        k = round(r["est_jaccard"] * 32)
+        assert abs(r["est_jaccard"] - round(k / 32.0 * 10000 + 0.0001) / 10000) < 2e-4
+        assert 0.0 <= r["est_jaccard"] <= 1.0
