@@ -435,6 +435,72 @@ _SRP_KEY_SQL = " + ".join(
 )
 
 
+def _srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct SRP band-collision candidate pairs (vec_a < vec_b) —
+    the banded self-join shared by the pairs query and the recall
+    audit. Session-shared (the 16×dim unrolled signature compiles and
+    runs once; consumers read the persisted candidates)."""
+
+    def build() -> DataFrame:
+        from ..functions.vector import dim_of
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        dim = dim_of(emb)
+        key_sql = " + ".join(
+            "(CASE WHEN ("
+            + " + ".join(
+                f"CAST(element_at(embedding, {d + 1}) AS DOUBLE) * "
+                f"({_srp_weight(p, d)})"
+                for d in range(dim)
+            )
+            + f") >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(_SRP_PLANES)
+        )
+        # persist: the candidate self-join reads the signature twice;
+        # the 16×dim unrolled projection must not run once per side.
+        # fan_out: don't compute 16 unrolled 64-term FMA chains per row
+        # in a single scan task when the file arrives as one split.
+        sig = (
+            fan_out(emb, spark)
+            .select("vec_id", F.expr(key_sql).alias("key"))
+            .persist()
+        )
+        banded = sig.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SRP_BANDS - 1))).alias("b"),
+            F.col("key").alias("key"),
+        ).select(
+            "vec_id",
+            "b",
+            F.expr(
+                f"shiftright(key, {_SRP_BAND_BITS} * b)"
+                f" & {(1 << _SRP_BAND_BITS) - 1}"
+            ).alias("bval"),
+        )
+        a = banded.select(F.col("vec_id").alias("vec_a"), "b", "bval")
+        bb = banded.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("b").alias("b2"),
+            F.col("bval").alias("bval2"),
+        )
+        return (
+            a.join(
+                bb,
+                (F.col("b") == F.col("b2"))
+                & (F.col("bval") == F.col("bval2"))
+                & (F.col("vec_a") < F.col("vec_b")),
+            )
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+
+    from ._shared import shared_df
+
+    return shared_df("srp_candidates", sf_dir, spark, build)
+
+
 @query(
     "sim_srp_lsh_pairs",
     oracle=f"""
@@ -485,53 +551,7 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dim_of, make_cosine_pandas_udf
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = dim_of(emb)
-    key_sql = " + ".join(
-        "(CASE WHEN ("
-        + " + ".join(
-            f"CAST(element_at(embedding, {d + 1}) AS DOUBLE) * "
-            f"({_srp_weight(p, d)})"
-            for d in range(dim)
-        )
-        + f") >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(_SRP_PLANES)
-    )
-    # persist: the candidate self-join reads the signature twice; the
-    # 16×dim unrolled projection must not run once per side.
-    # fan_out: don't compute 16 unrolled 64-term FMA chains per row in
-    # a single scan task when the file arrives as one split.
-    sig = (
-        fan_out(emb, spark)
-        .select("vec_id", F.expr(key_sql).alias("key"))
-        .persist()
-    )
-    banded = sig.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_SRP_BANDS - 1))).alias("b"),
-        F.col("key").alias("key"),
-    ).select(
-        "vec_id",
-        "b",
-        F.expr(
-            f"shiftright(key, {_SRP_BAND_BITS} * b) & {(1 << _SRP_BAND_BITS) - 1}"
-        ).alias("bval"),
-    )
-    a = banded.select(F.col("vec_id").alias("vec_a"), "b", "bval")
-    bb = banded.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("b").alias("b2"),
-        F.col("bval").alias("bval2"),
-    )
-    cand = (
-        a.join(
-            bb,
-            (F.col("b") == F.col("b2"))
-            & (F.col("bval") == F.col("bval2"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    cand = _srp_candidates(spark, sf_dir)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos_udf = make_cosine_pandas_udf()
@@ -885,4 +905,81 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nr").alias("survivor_norm"),
         )
         .filter(F.col("n_members") >= 2)
+    )
+
+
+@query(
+    "sim_srp_recall_audit",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {_SRP_KEY_SQL} AS key
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b,
+             (key >> ({_SRP_BAND_BITS} * b)) & {(1 << _SRP_BAND_BITS) - 1} AS bval
+      FROM proj, (SELECT unnest(range({_SRP_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ),
+    srp AS (
+      SELECT vec_a, vec_b FROM cand
+      JOIN embeddings ea ON ea.vec_id = vec_a
+      JOIN embeddings eb ON eb.vec_id = vec_b
+      WHERE ROUND({sql_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    ),
+    truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM srp) AS n_retrieved,
+           floor((CAST((SELECT COUNT(*) FROM srp) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM truth)) * 1000000 + 0.5)
+             / 1000000 AS recall
+    """,
+)
+def sim_srp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recall of the deterministic SRP-LSH tier against
+    brute-force ground truth — because both sides are deterministic,
+    the recall itself is an oracle-checked VALUE, not an asserted
+    bound (the strongest form of ANN quality evidence this repo emits;
+    the seeded pyspark.ml tier can only get the boolean-bounds form,
+    `sim_ml_lsh_pairs`).
+
+    Every SRP-verified pair passes the same cos ≥ 0.4 filter as the
+    truth set, so retrieved ⊆ truth and recall = n_retrieved/n_true —
+    one number that drops when bands/planes are mistuned for the
+    corpus. Candidate count rides along: (n_candidates − n_retrieved)
+    is the verification cost the banding wastes on false positives.
+    At open-ended scale the truth side becomes a sampled audit (fixed
+    doc sample, same shape); candidates and retrieved stay exact.
+    """
+    from .dedup import dedup_embedding_cosine_pairs
+
+    truth = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    srp = sim_srp_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    cand = _srp_candidates(spark, sf_dir)
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates"))))
+        .crossJoin(F.broadcast(srp.agg(F.count(F.lit(1)).alias("n_retrieved"))))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_retrieved",
+            (
+                F.floor(
+                    (F.col("n_retrieved").cast("double") / F.col("n_true"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("recall"),
+        )
     )

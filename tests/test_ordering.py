@@ -79,6 +79,7 @@ def test_round5_certification_window_composition():
         "ts_seasonal_naive_backtest",
         "agg_trend_regression",
         "dedup_minhash_estimator_audit",
+        "sim_srp_recall_audit",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -590,3 +590,15 @@ def test_minhash_estimator_error_distribution(spark, sf_dir):
         k = round(r["est_jaccard"] * 32)
         assert abs(r["est_jaccard"] - round(k / 32.0 * 10000 + 0.0001) / 10000) < 2e-4
         assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+def test_srp_recall_audit_consistency(spark, sf_dir):
+    """retrieved <= candidates and retrieved <= truth; recall in
+    (0, 1]; and the deterministic tier actually retrieves something at
+    this SF."""
+    from catme_etl_spark.operators.similarity import sim_srp_recall_audit
+
+    r = sim_srp_recall_audit(spark, sf_dir).collect()[0]
+    assert r["n_retrieved"] <= r["n_candidates"]
+    assert r["n_retrieved"] <= r["n_true"]
+    assert 0.0 < r["recall"] <= 1.0, r
