@@ -602,3 +602,20 @@ def test_srp_recall_audit_consistency(spark, sf_dir):
     assert r["n_retrieved"] <= r["n_candidates"]
     assert r["n_retrieved"] <= r["n_true"]
     assert 0.0 < r["recall"] <= 1.0, r
+
+
+def test_scurve_observed_tracks_theory(spark, sf_dir):
+    """Observed band-collision rates stay within binomial noise of the
+    theoretical S-curve in every populated Jaccard bucket — the
+    assertion that failed (by ~an order of magnitude in the low
+    buckets) under the pre-fix correlated hash family."""
+    import math
+
+    from catme_etl_spark.operators.dedup import dedup_minhash_scurve_audit
+
+    rows = dedup_minhash_scurve_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, obs, theo = r["n_pairs"], r["obs_rate"], r["theo_rate"]
+        tol = max(0.03, 4.0 * math.sqrt(max(theo * (1 - theo), 1e-6) / n))
+        assert abs(obs - theo) <= tol, (r, tol)
