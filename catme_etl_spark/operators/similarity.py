@@ -983,3 +983,97 @@ def sim_srp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "sim_ivf_recall_audit",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    vc AS (
+      SELECT v.vec_id, c.cid, {_COS_VC} AS vcos,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {_COS_VC} DESC, c.cid) AS rn
+      FROM embeddings v, cent c
+    ),
+    assign AS (SELECT vec_id, cid FROM vc WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM vc WHERE rn <= {NPROBE}),
+    icand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    iscored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {sql_cosine('qa.embedding', 'qb.embedding')} AS cos_raw
+      FROM icand c
+      JOIN embeddings qa ON qa.vec_id = c.query_id
+      JOIN embeddings qb ON qb.vec_id = c.neighbor_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM iscored
+      ) WHERE rank <= {TOP_K}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_AB} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT COUNT(DISTINCT query_id) FROM brute) AS n_queries,
+           (SELECT COUNT(*) FROM brute) AS n_truth,
+           (SELECT COUNT(*) FROM ivf JOIN brute
+              USING (query_id, neighbor_id)) AS n_hits,
+           floor((CAST((SELECT COUNT(*) FROM ivf JOIN brute
+                          USING (query_id, neighbor_id)) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM brute)) * 1000000 + 0.5)
+             / 1000000 AS recall_at_{TOP_K}
+    """,
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recall@{TOP_K} of the stride-centroid IVF tier against the
+    brute-force truth — the SRP audit's sibling for the
+    coarse-quantization path: both tiers are deterministic, so the
+    recall is an oracle-checked VALUE (the seeded kmeans tier keeps
+    its bounds form, `sim_ivf_kmeans_topk`). The number quantifies
+    exactly what NPROBE={NPROBE} probes of a {CENTROID_STRIDE}-stride
+    codebook give up: true neighbors living in unprobed inverted lists
+    are unreachable by construction, and a codebook/NPROBE mistune
+    moves this single number before it corrupts any downstream result.
+
+    Both sides are the registered, individually-certified queries —
+    one equi-join on (query, neighbor) and three count aggregates on
+    top; at open-ended scale the brute-force truth becomes a sampled
+    query panel (same shape, exact per sample).
+    """
+    ivf = sim_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = ivf.join(brute, ["query_id", "neighbor_id"])
+    return (
+        brute.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            (
+                F.floor(
+                    (F.col("n_hits").cast("double") / F.col("n_truth"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+    )

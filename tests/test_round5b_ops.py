@@ -619,3 +619,14 @@ def test_scurve_observed_tracks_theory(spark, sf_dir):
         n, obs, theo = r["n_pairs"], r["obs_rate"], r["theo_rate"]
         tol = max(0.03, 4.0 * math.sqrt(max(theo * (1 - theo), 1e-6) / n))
         assert abs(obs - theo) <= tol, (r, tol)
+
+
+def test_ivf_recall_audit_consistency(spark, sf_dir):
+    """n_hits <= n_truth = TOP_K * n_queries; recall in (0, 1]; the
+    stride tier retrieves a nontrivial fraction at this SF."""
+    from catme_etl_spark.operators.similarity import TOP_K, sim_ivf_recall_audit
+
+    r = sim_ivf_recall_audit(spark, sf_dir).collect()[0]
+    assert r["n_truth"] == TOP_K * r["n_queries"]
+    assert 0 < r["n_hits"] <= r["n_truth"]
+    assert 0.2 <= r[f"recall_at_{TOP_K}"] <= 1.0, r
