@@ -98,6 +98,9 @@ HEADLINE = [
     "stream_histogram_value_bins",
     # the capstone corpus-to-training-batches composition
     "pipeline_training_export",
+    # sketch/ANN self-audits (shingle + band-index consumers)
+    "dedup_minhash_scurve_audit",
+    "sim_srp_recall_audit",
 ]
 
 
