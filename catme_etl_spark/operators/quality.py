@@ -394,3 +394,70 @@ def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "quality_anomaly_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, median(vc) AS m FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, vc, ABS(vc - m) AS d
+      FROM v JOIN med ON med.event_type = v.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           COUNT(*) AS n,
+           floor((MAX(m) / 100.0) * 10000 + 0.5) / 10000 AS med_value,
+           floor((MAX(mad.mad) / 100.0) * 10000 + 0.5) / 10000 AS mad_value,
+           CAST(COUNT(CASE WHEN d > 3 * 1.4826 * mad.mad THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM dev
+    JOIN mad ON mad.event_type = dev.event_type
+    JOIN med ON med.event_type = dev.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def quality_anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD (median-absolute-deviation) outlier audit per event type —
+    the fully ROBUST sibling of the IQR fences and the mean-based
+    z-score: median and MAD have a 50% breakdown point, so a corrupted
+    batch cannot drag its own anomaly threshold the way it drags a
+    mean/stddev. Flags |v − median| > 3·1.4826·MAD (the Gaussian-
+    consistent cutoff).
+
+    Exactness: medians are computed over integer cents (Spark's exact
+    `median` aggregate; even counts give .5 — binary-exact), so the
+    deviation table and the threshold comparison are deterministic
+    cross-engine; dollars emerge through one half-away floor-round.
+    Two grouped median passes + one rejoin; at 100 TB swap the exact
+    medians for `approx_percentile(0.5)` (same plan, documented
+    sketch tolerance — the IQR-fences pattern).
+    """
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", cents("value").alias("vc"))
+    )
+    med = v.groupBy("event_type").agg(F.median("vc").alias("m"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "vc", F.abs(F.col("vc") - F.col("m")).alias("d"), "m"
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    half = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        half(F.max("m") / 100.0).alias("med_value"),
+        half(F.max("mad") / 100.0).alias("mad_value"),
+        F.count(
+            F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1)
+        ).cast("long").alias("n_outliers"),
+    )

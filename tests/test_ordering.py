@@ -82,6 +82,7 @@ def test_round5_certification_window_composition():
         "sim_srp_recall_audit",
         "dedup_minhash_scurve_audit",
         "sim_ivf_recall_audit",
+        "quality_anomaly_mad_outliers",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"
