@@ -869,3 +869,127 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_lang_confusion_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+           {_lang_scores_sql()}
+      FROM documents
+    ),
+    p AS (
+      SELECT lang AS lang_label,
+             CASE GREATEST(score_en, score_de, score_fr, score_es, score_zh)
+                  WHEN score_en THEN 'en' WHEN score_de THEN 'de'
+                  WHEN score_fr THEN 'fr' WHEN score_es THEN 'es'
+                  ELSE 'zh' END AS lang_pred
+      FROM s
+    ),
+    rt AS (SELECT lang_label, COUNT(*) AS r FROM p GROUP BY lang_label)
+    SELECT p.lang_label, p.lang_pred,
+           COUNT(*) AS n,
+           floor((CAST(COUNT(*) AS DOUBLE) / MAX(rt.r)) * 1000000 + 0.5)
+             / 1000000 AS row_share
+    FROM p JOIN rt ON rt.lang_label = p.lang_label
+    GROUP BY p.lang_label, p.lang_pred
+    """,
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-token language classifier against
+    the DECLARED language labels — the label-noise audit for the text
+    modality (the sibling of `sim_centroid_assign_audit` on the
+    embedding modality): off-diagonal mass localizes exactly which
+    declared language the classifier disagrees with, with each cell's
+    share of its true-label row.
+
+    Reuses the certified classifier (`text_language_id`); the matrix
+    is one hash-agg over its output plus a row-total attach — at any
+    corpus size the result is ≤ |langs|² rows. Cells are exact counts;
+    shares are exact-integer ratios through one half-away floor-round.
+    """
+    pred = text_language_id(spark, sf_dir).select("lang_label", "lang_pred")
+    cells = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rt = cells.groupBy("lang_label").agg(F.sum("n").alias("r"))
+    return (
+        cells.join(F.broadcast(rt), "lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n",
+            (
+                F.floor((F.col("n").cast("double") / F.col("r")) * 1000000
+                        + F.lit(0.5))
+                / 1000000
+            ).alias("row_share"),
+        )
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) x
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(CASE WHEN first.first_doc = sh.doc_id THEN 1 END)
+                AS BIGINT) AS n_novel,
+           floor((CAST(COUNT(CASE WHEN first.first_doc = sh.doc_id THEN 1 END)
+                       AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000
+             AS novelty
+    FROM sh JOIN first ON first.g = sh.g
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY score per document: the share of a doc's distinct
+    trigram shingles whose corpus-wide FIRST occurrence (minimum
+    doc_id, i.e. arrival order) is this document — the curation signal
+    that separates documents contributing new content from documents
+    recombining what the corpus already has (novelty ≈ 0 ⇒ pure
+    remix/boilerplate even when no single pair-wise duplicate exists —
+    the case pair-based dedup structurally misses).
+
+    Reuses the session-shared shingle sets; one groupBy(g) computes
+    first-occurrence owners, one join back + per-doc agg scores every
+    document. At 100 TB the first-occurrence table IS the incremental
+    state a streaming curator maintains (new batch shingles probe it,
+    the repo's `dedup_minhash_incremental` pattern). Exact counts;
+    the ratio rounds once half-away.
+    """
+    from .dedup import _shingle_sets
+
+    sh = _shingle_sets(spark, sf_dir)
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.floor(
+                    (F.col("n_novel").cast("double") / F.col("n_shingles"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("novelty"),
+        )
+    )

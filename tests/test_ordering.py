@@ -83,6 +83,8 @@ def test_round5_certification_window_composition():
         "dedup_minhash_scurve_audit",
         "sim_ivf_recall_audit",
         "quality_anomaly_mad_outliers",
+        "text_lang_confusion_matrix",
+        "text_ngram_novelty",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -630,3 +630,47 @@ def test_ivf_recall_audit_consistency(spark, sf_dir):
     assert r["n_truth"] == TOP_K * r["n_queries"]
     assert 0 < r["n_hits"] <= r["n_truth"]
     assert 0.2 <= r[f"recall_at_{TOP_K}"] <= 1.0, r
+
+
+def test_lang_confusion_row_shares(spark, sf_dir):
+    """Each true-label row's shares sum to ~1 and the matrix covers
+    every declared language."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.text import text_lang_confusion_matrix
+    from catme_etl_spark.sources.tables import load_table
+
+    rows = text_lang_confusion_matrix(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["lang_label"], 0.0)
+        by_label[r["lang_label"]] += r["row_share"]
+    declared = {
+        r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    assert set(by_label) == declared
+    for label, tot in by_label.items():
+        assert abs(tot - 1.0) < 1e-4, (label, tot)
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The minimum doc_id is 100% novel by construction; novelty is in
+    (0, 1] everywhere; and per-doc novel counts sum to the number of
+    distinct shingles in the corpus (each shingle has exactly one
+    first owner)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.dedup import _shingle_sets
+    from catme_etl_spark.operators.text import text_ngram_novelty
+
+    df = text_ngram_novelty(spark, sf_dir)
+    rows = df.collect()
+    first_doc = min(r["doc_id"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        if r["doc_id"] == first_doc:
+            assert r["novelty"] == 1.0
+    total_novel = sum(r["n_novel"] for r in rows)
+    n_distinct = _shingle_sets(spark, sf_dir).select("g").distinct().count()
+    assert total_novel == n_distinct
