@@ -209,6 +209,29 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      materialize=True)
 
 
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32-column minhash signature table ``(doc_id, h0..h31)``,
+    built once per session and shared by the band index AND the
+    estimator audit — the signature pass is the expensive stage
+    (~1.5s of a 6s band build at sf0.1 when duplicated)."""
+
+    def build() -> DataFrame:
+        sh = _shingle_sets(spark, sf_dir)
+        hs = minhash_family(F.md5("g"), _N_SEEDS)
+        return (
+            sh.select("doc_id", hs.alias("hs"))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.element_at("hs", s + 1)).alias(f"h{s}")
+                    for s in range(_N_SEEDS)
+                ]
+            )
+        )
+
+    return shared_df("minhash_signatures", sf_dir, spark, build, materialize=True)
+
+
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banded LSH index table ``(doc_id, band, bkey)``, persisted
     once per session — consumed by the full self-join pairs builder AND
@@ -219,18 +242,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join at sf0.1 was the duplicated signature pass)."""
 
     def build() -> DataFrame:
-        sh = _shingle_sets(spark, sf_dir)
-        hs = minhash_family(F.md5("g"), _N_SEEDS)
-        sig = (
-            sh.select("doc_id", hs.alias("hs"))
-            .groupBy("doc_id")
-            .agg(
-                *[
-                    F.min(F.element_at("hs", s + 1)).alias(f"h{s}")
-                    for s in range(_N_SEEDS)
-                ]
-            )
-        )
+        sig = _minhash_signatures(spark, sf_dir)
         band_keys = F.array(
             *[
                 F.concat_ws(
@@ -1508,18 +1520,7 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     session-shared builders.
     """
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    sh = _shingle_sets(spark, sf_dir)
-    hs = minhash_family(F.md5("g"), _N_SEEDS)
-    sig = (
-        sh.select("doc_id", hs.alias("hs"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.element_at("hs", s + 1)).alias(f"h{s}")
-                for s in range(_N_SEEDS)
-            ]
-        )
-    )
+    sig = _minhash_signatures(spark, sf_dir)
     sigl = sig.select(
         "doc_id",
         F.posexplode(

@@ -548,8 +548,6 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would issue thousands of py4j round-trips (measured 30+ s of pure
     driver time before any execution).
     """
-    from ..functions.vector import dim_of, make_cosine_pandas_udf
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cand = _srp_candidates(spark, sf_dir)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))

@@ -579,7 +579,8 @@ def ts_cusum_max_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
              arg_max(CAST(ROUND(value * 100) AS BIGINT), event_id) AS cc
-      FROM events GROUP BY event_type, i
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, i
     )
     SELECT event_type, i * {_BUCKET_S} * 1000000 AS win_start_us,
            median(cc) OVER (PARTITION BY event_type ORDER BY i
@@ -602,7 +603,10 @@ def ts_rolling_median_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, so any engine's median formula agrees bit-for-bit and
     one division to dollars stays hash-stable with no rounding at all.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL values are out-of-domain (module rule): without the filter
+    # Spark's max_by returns NULL when the max-id row is NULL while
+    # DuckDB's arg_max skips NULL args — engines would diverge.
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     closes = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
@@ -638,7 +642,8 @@ _DAY_BUCKETS = 86400 // _BUCKET_S  # 144 ten-minute buckets per day
       SELECT event_type,
              CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc
-      FROM events GROUP BY event_type, i
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, i
     )
     SELECT a.event_type,
            COUNT(*) AS n_buckets,
@@ -666,7 +671,7 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact ints and both metrics are single divisions into the
     half-away floor-round.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),

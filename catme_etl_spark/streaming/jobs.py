@@ -556,7 +556,8 @@ def stream_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grid AS (
       SELECT t.event_type, g.bin
-      FROM (SELECT DISTINCT event_type FROM events) t,
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE value IS NOT NULL) t,
            (SELECT unnest(range(20)) AS bin) g
     )
     SELECT grid.event_type, grid.bin, COALESCE(c.n, 0) AS n

@@ -140,9 +140,16 @@ def test_null_values_cross_engine(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
     )
 
+    from catme_etl_spark.operators.timeseries import (
+        ts_rolling_median_close,
+        ts_seasonal_naive_backtest,
+    )
+
     for name, fn in (
         ("agg_ks_drift_halves", agg_ks_drift_halves),
         ("ts_interpolate_linear", ts_interpolate_linear),
+        ("ts_rolling_median_close", ts_rolling_median_close),
+        ("ts_seasonal_naive_backtest", ts_seasonal_naive_backtest),
     ):
         got = {
             tuple(str(x) for x in r) for r in fn(spark, str(tmp_path)).collect()
