@@ -800,3 +800,101 @@ def agg_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(F.regr_r2("value", x), 4) + F.lit(0.0)).alias("r2"),
     )
+
+
+@query(
+    "agg_seasonality_strength",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS ss
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(ss) AS BIGINT) AS sst,
+             SUM(CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sse_w
+      FROM g GROUP BY event_type
+    ),
+    peak AS (
+      SELECT event_type, h AS peak_hour
+      FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type
+                 ORDER BY floor((CAST(s AS DOUBLE) / n / 100.0) * 10000
+                                + 0.5) DESC, h) AS rn
+        FROM g
+      ) WHERE rn = 1
+    )
+    SELECT t.event_type, nn AS n,
+           floor((1.0 - sse_w
+                        / (CAST(sst AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nn))
+                 * 10000 + 0.5) / 10000 AS eta_sq,
+           peak.peak_hour
+    FROM t JOIN peak ON peak.event_type = t.event_type
+    """,
+)
+def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: η² = the share
+    of value variance explained by the 24-hour profile (1 − within-
+    hour SSE / total SSE), plus the peak hour — the diagnostic that
+    says whether the seasonal-naive baseline (`ts_seasonal_naive_
+    backtest`) should work at all (η² ≈ 0 ⇒ no daily rhythm to
+    exploit; η² → 1 ⇒ the hour label alone predicts the value).
+
+    One hash-agg collapses events to 24×|types| exact-integer moment
+    rows (n, Σcents, Σcents²); everything after is ANOVA arithmetic on
+    those integers, cast to double at the same points in both engines
+    (the per-group s² crosses int64 range, so the squaring is
+    double-side on both). Hours are epoch-hour mod 24 — tz-free. One
+    half-away rounding on η² and on the peak-hour ordering key.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vc = cents("value")
+    g = e.groupBy(
+        "event_type",
+        F.pmod(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long"), F.lit(24)
+        ).alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vc).alias("s"),
+        F.sum(vc * vc).alias("ss"),
+    )
+    sse_w_term = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("n")
+    mean_r = F.floor(
+        (F.col("s").cast("double") / F.col("n") / 100.0) * 10000 + F.lit(0.5)
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+        F.sum(sse_w_term).alias("sse_w"),
+        F.max_by("h", F.array(mean_r, (-F.col("h")).cast("double"))).alias(
+            "peak_hour"
+        ),
+    )
+    sse_t = F.col("sst").cast("double") - F.col("st").cast("double") * F.col(
+        "st"
+    ).cast("double") / F.col("nn")
+    return t.select(
+        "event_type",
+        F.col("nn").alias("n"),
+        (
+            F.floor((1.0 - F.col("sse_w") / sse_t) * 10000 + F.lit(0.5)) / 10000
+        ).alias("eta_sq"),
+        "peak_hour",
+    )

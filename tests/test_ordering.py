@@ -85,6 +85,7 @@ def test_round5_certification_window_composition():
         "quality_anomaly_mad_outliers",
         "text_lang_confusion_matrix",
         "text_ngram_novelty",
+        "agg_seasonality_strength",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"
