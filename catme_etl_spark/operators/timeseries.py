@@ -701,3 +701,81 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("bias"),
     )
+
+
+@query(
+    "ts_autocorr_lag1",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, i
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(a.sc AS DOUBLE) AS x, CAST(b.sc AS DOUBLE) AS y
+      FROM s a JOIN s b
+        ON b.event_type = a.event_type AND b.i = a.i + 1
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           floor(((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * 10000 + 0.5) / 10000 + 0.0 AS acf1
+    FROM m
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the 10-minute value-total series per
+    event type — completing the classical decomposition diagnostics
+    trio with `agg_trend_regression` (trend) and
+    `agg_seasonality_strength` (seasonality): high ACF(1) says
+    adjacent buckets predict each other (persistence a forecaster can
+    exploit, and the signal that a CUSUM alarm will fire in runs, not
+    as isolated ticks).
+
+    Adjacent-bucket pairing is an equi-join on (type, i+1) over the
+    AGGREGATED series — missing buckets break the chain honestly
+    instead of imputing zeros (the `ts_seasonal_naive_backtest`
+    pairing shape at lag 1). Sums/products run in double from exact
+    integer bucket totals with identical op order cross-engine; one
+    half-away rounding, signed zero normalized.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+    ).agg(F.sum(cents("value")).alias("sc"))
+    a = s.select("event_type", "i", F.col("sc").cast("double").alias("x"))
+    b = s.select(
+        "event_type", (F.col("i") - 1).alias("i"),
+        F.col("sc").cast("double").alias("y"),
+    )
+    pairs = a.join(b, ["event_type", "i"])
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.floor((num / den) * 10000 + F.lit(0.5)) / 10000 + F.lit(0.0)).alias(
+            "acf1"
+        ),
+    )

@@ -86,6 +86,7 @@ def test_round5_certification_window_composition():
         "text_lang_confusion_matrix",
         "text_ngram_novelty",
         "agg_seasonality_strength",
+        "ts_autocorr_lag1",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"
