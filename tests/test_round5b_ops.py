@@ -674,3 +674,52 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     total_novel = sum(r["n_novel"] for r in rows)
     n_distinct = _shingle_sets(spark, sf_dir).select("g").distinct().count()
     assert total_novel == n_distinct
+
+
+def test_final_batch_plan_shapes(spark, sf_dir):
+    """Plan pins for the final round-5 batch: broadcast joins only
+    (median/total/first-occurrence attachments), no windows anywhere
+    (all are hash-agg + join shapes), and the ANOVA runs in exactly
+    2 shuffles (moments + type rollup)."""
+    import re
+
+    from catme_etl_spark.operators.quality import quality_anomaly_mad_outliers
+    from catme_etl_spark.operators.stats import agg_seasonality_strength
+    from catme_etl_spark.operators.text import (
+        text_lang_confusion_matrix,
+        text_ngram_novelty,
+    )
+    from catme_etl_spark.operators.timeseries import ts_autocorr_lag1
+    from catme_etl_spark.plans.explain import count_shuffles, executed_plan_str
+
+    for fn in (
+        quality_anomaly_mad_outliers,
+        text_lang_confusion_matrix,
+        text_ngram_novelty,
+        ts_autocorr_lag1,
+    ):
+        df = fn(spark, sf_dir)
+        plan = executed_plan_str(df)
+        assert not re.search(
+            r"SortMergeJoin|BroadcastNestedLoopJoin|CartesianProduct", plan
+        ), (fn.__name__, plan[:1500])
+        assert "WindowExec" not in plan, (fn.__name__, plan[:1500])
+
+    an = agg_seasonality_strength(spark, sf_dir)
+    plan = executed_plan_str(an)
+    assert count_shuffles(an) == 2, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_diagnostics_trio_values(spark, sf_dir):
+    """Sanity across the decomposition trio: eta_sq and |acf1| within
+    their definitional ranges, peak_hour a valid hour."""
+    from catme_etl_spark.operators.stats import agg_seasonality_strength
+    from catme_etl_spark.operators.timeseries import ts_autocorr_lag1
+
+    for r in agg_seasonality_strength(spark, sf_dir).collect():
+        assert 0.0 <= r["eta_sq"] <= 1.0, r
+        assert 0 <= r["peak_hour"] <= 23, r
+    for r in ts_autocorr_lag1(spark, sf_dir).collect():
+        assert -1.0 <= r["acf1"] <= 1.0, r
+        assert r["n_pairs"] > 0
