@@ -401,3 +401,127 @@ def events_pareto_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cum * 1000000 + F.lit(0.5)) / 1000000).alias("cum_share"),
         )
     )
+
+
+@query(
+    "events_funnel_within_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    s1 AS (
+      SELECT user_id, sess,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+      FROM islands GROUP BY user_id, sess
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.sess, s1.v,
+             MIN(CASE WHEN i.event_type = 'click' AND i.ts >= s1.v
+                      THEN i.ts END) AS c
+      FROM s1 JOIN islands i
+        ON i.user_id = s1.user_id AND i.sess = s1.sess
+      GROUP BY s1.user_id, s1.sess, s1.v
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.sess, s2.v, s2.c,
+             MIN(CASE WHEN i.event_type = 'purchase' AND i.ts >= s2.c
+                      THEN i.ts END) AS p
+      FROM s2 JOIN islands i
+        ON i.user_id = s2.user_id AND i.sess = s2.sess
+      GROUP BY s2.user_id, s2.sess, s2.v, s2.c
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(COUNT(v) AS BIGINT) AS n_with_view,
+           CAST(COUNT(c) AS BIGINT) AS n_view_click,
+           CAST(COUNT(p) AS BIGINT) AS n_full_funnel
+    FROM s3
+    """,
+)
+def events_funnel_within_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View → click → purchase conversion WITHIN a single 30-minute
+    session (the certified touch-merges gap semantics) — the
+    intent-to-action funnel: the per-user funnel
+    (`events_funnel_view_click_purchase`) credits conversions days
+    apart; this one only counts a stage if it happens in the same
+    sitting, which is what checkout-flow optimization actually tunes.
+
+    Sessionization is the certified keyed islands window; each funnel
+    stage is a conditional-min aggregate over the session's events
+    anchored at the previous stage's first timestamp (>= : a click in
+    the same event-time instant as the first view counts — ties are
+    simultaneous, not out of order). Three session-keyed aggregates,
+    each a join back to the (already partitioned) session rows —
+    constant output.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select(
+        "user_id", "ts", "event_type", F.sum("is_new").over(run).alias("sess")
+    )
+    s1 = islands.groupBy("user_id", "sess").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v")
+    )
+    s2 = (
+        s1.join(islands, ["user_id", "sess"])
+        .groupBy("user_id", "sess", "v")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("v")),
+                    F.col("ts"),
+                )
+            ).alias("c")
+        )
+    )
+    s3 = (
+        s2.join(islands, ["user_id", "sess"])
+        .groupBy("user_id", "sess", "v", "c")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("c")),
+                    F.col("ts"),
+                )
+            ).alias("p")
+        )
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("v").cast("long").alias("n_with_view"),
+        F.count("c").cast("long").alias("n_view_click"),
+        F.count("p").cast("long").alias("n_full_funnel"),
+    )

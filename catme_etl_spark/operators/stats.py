@@ -898,3 +898,68 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("eta_sq"),
         "peak_hour",
     )
+
+
+@query(
+    "agg_weighted_median_price",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+      FROM lineitem GROUP BY l_returnflag, pc
+    ),
+    c AS (
+      SELECT l_returnflag, pc,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g
+    )
+    SELECT l_returnflag,
+           CAST(MAX(tw) AS BIGINT) AS total_qty,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN pc END) AS BIGINT) / 100.0
+             AS wmedian_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median price per return flag — "the price at
+    which half the shipped units were cheaper": the inventory-weighted
+    location statistic a plain median (one vote per line) misstates
+    whenever order sizes correlate with price.
+
+    Exact and deterministic by construction: weights collapse onto the
+    integer-cent price grid (one hash-agg), a keyed cumulative window
+    walks each flag's grid once, and the weighted median is the
+    smallest price whose cumulative weight reaches half the total
+    (lower weighted median — a pure integer comparison, no
+    interpolation to disagree on). Same shape as the KS/Mann-Whitney
+    grid walks; at 100 TB the grid is |distinct prices| per flag, not
+    |rows|.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", cents("l_extendedprice").alias("pc")
+    ).agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("w"))
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "pc",
+        F.sum("w").over(cum_w).alias("cw"),
+        F.sum("w").over(tot_w).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("tw").cast("long").alias("total_qty"),
+        (
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("pc")))
+            .cast("long")
+            / 100.0
+        ).alias("wmedian_price"),
+    )

@@ -87,6 +87,8 @@ def test_round5_certification_window_composition():
         "text_ngram_novelty",
         "agg_seasonality_strength",
         "ts_autocorr_lag1",
+        "agg_weighted_median_price",
+        "events_funnel_within_session",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -723,3 +723,45 @@ def test_diagnostics_trio_values(spark, sf_dir):
     for r in ts_autocorr_lag1(spark, sf_dir).collect():
         assert -1.0 <= r["acf1"] <= 1.0, r
         assert r["n_pairs"] > 0
+
+
+def test_funnel_within_session_monotone(spark, sf_dir):
+    """Funnel stages are monotone: sessions >= with_view >=
+    view_click >= full_funnel, all nonnegative."""
+    from catme_etl_spark.operators.events import events_funnel_within_session
+
+    r = events_funnel_within_session(spark, sf_dir).collect()[0]
+    assert (
+        r["n_sessions"]
+        >= r["n_with_view"]
+        >= r["n_view_click"]
+        >= r["n_full_funnel"]
+        >= 0
+    )
+    assert r["n_sessions"] > 0
+
+
+def test_weighted_median_properties(spark, sf_dir):
+    """The weighted median is an actually-occurring price, and at
+    least half the quantity lies at or below it (the defining
+    property, re-checked directly against lineitem)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators.stats import agg_weighted_median_price
+    from catme_etl_spark.sources.tables import load_table
+
+    med = {
+        r["l_returnflag"]: (r["wmedian_price"], r["total_qty"])
+        for r in agg_weighted_median_price(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for flag, (m, tot) in med.items():
+        below = (
+            li.filter(
+                (F.col("l_returnflag") == flag)
+                & (F.round(F.col("l_extendedprice") * 100, 0) <= round(m * 100))
+            )
+            .agg(F.sum(F.round("l_quantity", 0).cast("long")))
+            .collect()[0][0]
+        )
+        assert 2 * below >= tot, (flag, below, tot)
