@@ -657,7 +657,7 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_mann_whitney_u",
     oracle="""
     WITH grid AS (
-      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+      SELECT ((CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7) + 7) % 7 AS dow,
              CAST(ROUND(value * 100) AS BIGINT) AS vc,
              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS na,
              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nb
@@ -807,7 +807,7 @@ def agg_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT event_type,
-             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h,
+             ((CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) + 24) % 24 AS h,
              COUNT(*) AS n,
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
              SUM(CAST(ROUND(value * 100) AS BIGINT)
