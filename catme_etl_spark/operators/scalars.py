@@ -334,3 +334,32 @@ def scalar_url_parse_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("user")).alias("q_user"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           CAST(xor(event_id, 4095) AS BIGINT) AS xored,
+           (event_id << 3) | 5 AS shifted_or,
+           event_id >> 4 AS shr,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events
+    WHERE event_id % 37 = 0
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar coverage (F3 family): AND/XOR/OR, shifts, and
+    popcount over int64 ids — the ops every hash/partition/bitmap
+    trick in this repo leans on, certified directly. Pure codegen'd
+    JVM expressions; the filter prunes at the scan."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    return e.select(
+        "event_id",
+        F.expr("event_id & CAST(255 AS BIGINT)").alias("lo_byte"),
+        F.expr("event_id ^ CAST(4095 AS BIGINT)").alias("xored"),
+        F.expr("shiftleft(event_id, 3) | CAST(5 AS BIGINT)").alias("shifted_or"),
+        F.expr("shiftright(event_id, 4)").alias("shr"),
+        F.expr("bit_count(event_id)").cast("long").alias("popcount"),
+    )

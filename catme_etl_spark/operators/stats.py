@@ -963,3 +963,63 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("wmedian_price"),
     )
+
+
+@query(
+    "agg_hhi_market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey, o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS r
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey, o_custkey
+    ),
+    t AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n_customers,
+             CAST(SUM(r) AS BIGINT) AS tot
+      FROM rev GROUP BY c_nationkey
+    )
+    SELECT rev.c_nationkey,
+           CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+           floor(SUM((CAST(r AS DOUBLE) / tot) * (CAST(r AS DOUBLE) / tot))
+                 * 1000000 + 0.5) / 1000000 AS hhi
+    FROM rev JOIN t ON t.c_nationkey = rev.c_nationkey
+    GROUP BY rev.c_nationkey
+    """,
+)
+def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of customer revenue concentration per
+    nation — Σ share² over each nation's customers, the antitrust-
+    grade concentration number completing the inequality family (Gini
+    coefficient, Pareto deciles): HHI → 1/n means revenue spread
+    evenly, HHI → 1 means one customer IS the market.
+
+    Exact integer cents aggregate to per-customer revenue; shares are
+    exact-int ratios; the share² sum accumulates ≤ |customers-per-
+    nation| doubles (drift ~1e-13 against a 1e-6 rounding grid). Two
+    cascaded hash-aggs + one broadcast total attach — never a window,
+    never a second scan of orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("r"))
+    )
+    t = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("r").cast("long").alias("tot"),
+    )
+    share = F.col("r").cast("double") / F.col("tot")
+    return (
+        rev.join(F.broadcast(t), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n_customers").cast("long").alias("n_customers"),
+            (
+                F.floor(F.sum(share * share) * 1000000 + F.lit(0.5)) / 1000000
+            ).alias("hhi"),
+        )
+    )

@@ -89,6 +89,8 @@ def test_round5_certification_window_composition():
         "ts_autocorr_lag1",
         "agg_weighted_median_price",
         "events_funnel_within_session",
+        "agg_hhi_market_concentration",
+        "scalar_bitwise_funcs",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

@@ -765,3 +765,13 @@ def test_weighted_median_properties(spark, sf_dir):
             .collect()[0][0]
         )
         assert 2 * below >= tot, (flag, below, tot)
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI lies in [1/n, 1] for every nation."""
+    from catme_etl_spark.operators.stats import agg_hhi_market_concentration
+
+    rows = agg_hhi_market_concentration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_customers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9, r
