@@ -525,3 +525,142 @@ def events_funnel_within_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c").cast("long").alias("n_view_click"),
         F.count("p").cast("long").alias("n_full_funnel"),
     )
+
+
+@query(
+    "events_conversion_latency_quartiles",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    s1 AS (
+      SELECT user_id, sess,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+      FROM islands GROUP BY user_id, sess
+    ),
+    s3 AS (
+      SELECT s1.user_id, s1.sess, s1.v,
+             MIN(CASE WHEN i.event_type = 'purchase' AND i.ts >= s1.v
+                      THEN i.ts END) AS p
+      FROM s1 JOIN islands i
+        ON i.user_id = s1.user_id AND i.sess = s1.sess
+      GROUP BY s1.user_id, s1.sess, s1.v
+    ),
+    lat AS (
+      SELECT epoch_us(p) - epoch_us(v) AS us
+      FROM s3 WHERE p IS NOT NULL
+    ),
+    c AS (
+      SELECT us,
+             SUM(COUNT(*)) OVER (ORDER BY us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+             SUM(COUNT(*)) OVER () AS n
+      FROM lat GROUP BY us
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           MIN(CASE WHEN 4 * cum >= n THEN us END) / 1000000.0 AS p25_s,
+           MIN(CASE WHEN 2 * cum >= n THEN us END) / 1000000.0 AS p50_s,
+           MIN(CASE WHEN 4 * cum >= 3 * n THEN us END) / 1000000.0 AS p75_s
+    FROM c
+    """,
+)
+def events_conversion_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How long does view → purchase take WITHIN a session? Lower
+    quartiles of the first-view-to-first-subsequent-purchase latency
+    over converting sessions — the speed number checkout optimization
+    tracks next to the conversion rate
+    (`events_funnel_within_session`).
+
+    Quartiles use the grid-walk LOWER-quantile definition (smallest
+    latency whose cumulative count reaches ¼/½/¾ of converters) — a
+    pure integer comparison over exact microsecond diffs, the
+    `agg_weighted_median_price` pattern, so no interpolation rule can
+    disagree cross-engine. The latency table is session-count-sized;
+    the final walk is a window over its collapsed distinct values
+    (globally ordered but tiny — bounded by distinct latencies; at
+    open-ended scale bucket the latencies first, same shape).
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select(
+        "user_id", "ts", "event_type", F.sum("is_new").over(run).alias("sess")
+    )
+    s1 = islands.groupBy("user_id", "sess").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v")
+    )
+    s3 = (
+        s1.join(islands, ["user_id", "sess"])
+        .groupBy("user_id", "sess", "v")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("v")),
+                    F.col("ts"),
+                )
+            ).alias("p")
+        )
+    )
+    lat = s3.filter(F.col("p").isNotNull()).select(
+        (F.unix_micros("p") - F.unix_micros("v")).alias("us")
+    )
+    grid = lat.groupBy("us").agg(F.count(F.lit(1)).alias("k"))
+    # cumulative counts WITHOUT a global window (the repo bans
+    # unpartitioned WindowExec): a triangular self-join over the
+    # distinct-latency grid — bounded O(g²) on a session-count-sized
+    # aggregate, broadcast on one side.
+    ga = grid.select(F.col("us"), F.col("k"))
+    gb = grid.select(F.col("us").alias("us2"), F.col("k").alias("k2"))
+    c = (
+        ga.join(F.broadcast(gb), F.col("us2") <= F.col("us"))
+        .groupBy("us")
+        .agg(F.sum("k2").alias("cum"))
+        .crossJoin(
+            F.broadcast(grid.agg(F.sum("k").alias("n")))
+        )
+    )
+    q = lambda mult_c, mult_n: F.min(  # noqa: E731
+        F.when(mult_c * F.col("cum") >= mult_n * F.col("n"), F.col("us"))
+    )
+    return c.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        (q(4, 1) / 1_000_000.0).alias("p25_s"),
+        (q(2, 1) / 1_000_000.0).alias("p50_s"),
+        (q(4, 3) / 1_000_000.0).alias("p75_s"),
+    )

@@ -91,6 +91,7 @@ def test_round5_certification_window_composition():
         "events_funnel_within_session",
         "agg_hhi_market_concentration",
         "scalar_bitwise_funcs",
+        "events_conversion_latency_quartiles",
     ]
     for name in needs_certification:
         assert name in window[2:], f"{name} fell outside the window"

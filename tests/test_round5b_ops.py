@@ -775,3 +775,18 @@ def test_hhi_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert 1.0 / r["n_customers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9, r
+
+
+def test_conversion_latency_quartiles_ordered(spark, sf_dir):
+    """p25 <= p50 <= p75, all nonnegative, and the converter count
+    matches the funnel's full-funnel... superset (view->purchase needs
+    no intermediate click, so it is >= the 3-stage funnel count)."""
+    from catme_etl_spark.operators.events import (
+        events_conversion_latency_quartiles,
+        events_funnel_within_session,
+    )
+
+    q = events_conversion_latency_quartiles(spark, sf_dir).collect()[0]
+    assert 0 <= q["p25_s"] <= q["p50_s"] <= q["p75_s"]
+    f = events_funnel_within_session(spark, sf_dir).collect()[0]
+    assert q["n_converted"] >= f["n_full_funnel"]
