@@ -1,0 +1,275 @@
+"""Dependency-driven re-certification selection (round-6 item #4).
+
+The driver's correctness gate certifies only the FIRST 50 names of
+``SWEEP_ORDER`` each round; every other certified name relies on
+"nothing it depends on changed since its green row". Until round 6
+that window was curated by hand. This tool makes it mechanical:
+
+- Every registered query gets a FINGERPRINT: sha256 over the source
+  text of its callable plus, transitively, the source of every
+  in-package function/class it references (via ``co_names`` of its
+  code object and all nested code objects) and the canonical repr of
+  every in-package constant it touches, plus its oracle SQL. Changing
+  a shared helper (``functions/texttools.py``'s MinHash family, a
+  ``_shared`` budget primitive) therefore changes the fingerprint of
+  every consumer — exactly the blast radius a reviewer would have to
+  reason about by hand.
+- ``snapshot`` writes the current fingerprints to
+  ``tools/rotation_state.json``. Committed at the moment the window is
+  emitted, it records "what the driver is about to certify".
+- ``window`` diffs live fingerprints against the committed state:
+  changed or new names MUST re-certify, so they are placed directly
+  after the two harness canaries; untouched names keep their current
+  SWEEP_ORDER position as spillover. Exits non-zero if the forced set
+  overflows the 50-slot window (certification would silently span two
+  rounds — a human must split the change).
+- ``emit --write`` regenerates ``operators/ordering.py`` from that
+  computed order; ``tests/test_ordering.py`` asserts the committed
+  list equals this tool's output, so a hand-edit that disagrees with
+  the dependency diff fails CI.
+
+Granularity note: fingerprints are function-level, not module-level —
+adding a new helper to ``_shared.py`` does not invalidate queries that
+never call it. Module-level coarseness applies only when a query
+references a whole in-package module object (rare; the repo imports
+names, not modules).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import inspect
+import json
+import os
+import sys
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "catme_etl_spark"
+STATE_PATH = os.path.join(REPO, "tools", "rotation_state.json")
+ORDERING_PATH = os.path.join(REPO, PKG, "operators", "ordering.py")
+WINDOW_SLOTS = 50
+# Harness sanity canaries: cheap, certified every round since r01. A
+# failure in slot 1-2 means the environment broke, not a query.
+CANARIES = ["etl_pipeline_stages", "flagship_revenue_by_nation"]
+
+
+def _canon_repr(obj: object) -> str:
+    """Deterministic repr: set iteration order depends on the process
+    hash seed, so sets are sorted before repr'ing."""
+    if isinstance(obj, (set, frozenset)):
+        try:
+            return "set:" + repr(sorted(obj, key=repr))
+        except Exception:
+            return "set:" + repr(sorted(map(repr, obj)))
+    return repr(obj)
+
+
+def _source_of(obj: object) -> str:
+    try:
+        return inspect.getsource(obj)  # type: ignore[arg-type]
+    except (OSError, TypeError):
+        return _canon_repr(obj)
+
+
+def _all_code_names(code: types.CodeType) -> set[str]:
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        names.update(c.co_freevars)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return names
+
+
+def _closure_sources(fn: object) -> list[str]:
+    """Source texts of ``fn`` and everything in-package it references,
+    transitively."""
+    out: list[str] = []
+    seen: set[tuple[str | None, str]] = set()
+    stack: list[object] = [fn]
+    while stack:
+        f = stack.pop()
+        key = (
+            getattr(f, "__module__", None),
+            getattr(f, "__qualname__", None) or _canon_repr(f),
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(_source_of(f))
+        code = getattr(f, "__code__", None)
+        if code is None and inspect.isclass(f):
+            # class source already captured; follow its methods' refs
+            for m in vars(f).values():
+                code2 = getattr(m, "__code__", None)
+                if code2 is not None:
+                    stack.append(m)
+            continue
+        if code is None:
+            continue
+        mod = sys.modules.get(getattr(f, "__module__", "") or "")
+        g: dict[str, object] = getattr(mod, "__dict__", {})
+        for nm in sorted(_all_code_names(code)):
+            if nm not in g:
+                continue
+            obj = g[nm]
+            if isinstance(obj, types.ModuleType):
+                if obj.__name__.startswith(PKG):
+                    out.append(_source_of(obj))
+                continue
+            objmod = getattr(obj, "__module__", None)
+            if callable(obj):
+                if isinstance(objmod, str) and objmod.startswith(PKG):
+                    stack.append(obj)
+            else:
+                # a constant living in an in-package module's globals
+                out.append(f"{nm}={_canon_repr(obj)}")
+    return out
+
+
+def compute_fingerprints() -> dict[str, str]:
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    from catme_etl_spark.operators.registry import ORACLE, QUERIES
+
+    fps: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        texts = sorted(set(_closure_sources(fn)))
+        h = hashlib.sha256()
+        h.update(ORACLE.get(name, "<no-oracle>").encode())
+        for t in texts:
+            h.update(b"\x00")
+            h.update(t.encode())
+        fps[name] = h.hexdigest()[:20]
+    return fps
+
+
+def load_state() -> dict[str, str]:
+    if not os.path.exists(STATE_PATH):
+        return {}
+    with open(STATE_PATH) as f:
+        return json.load(f)
+
+
+def changed_names(
+    fps: dict[str, str] | None = None, state: dict[str, str] | None = None
+) -> list[str]:
+    """Names whose fingerprint differs from the committed state (or are
+    new), in registry order."""
+    fps = fps if fps is not None else compute_fingerprints()
+    state = state if state is not None else load_state()
+    return [n for n, fp in fps.items() if state.get(n) != fp]
+
+
+def compute_sweep_order() -> tuple[list[str], list[str]]:
+    """Return (new SWEEP_ORDER, forced names). Canaries first, then
+    every changed/new name (current-order-preserving, new names in
+    registry order), then untouched spillover in current order."""
+    from catme_etl_spark.operators.ordering import SWEEP_ORDER
+    from catme_etl_spark.operators.registry import QUERIES
+
+    forced = [n for n in changed_names() if n not in CANARIES]
+    current_pos = {n: i for i, n in enumerate(SWEEP_ORDER)}
+    in_current = [n for n in forced if n in current_pos]
+    brand_new = [n for n in QUERIES if n in forced and n not in current_pos]
+    head = (
+        CANARIES
+        + sorted(in_current, key=current_pos.__getitem__)
+        + brand_new
+    )
+    tail = [n for n in SWEEP_ORDER if n not in head]
+    # registered names missing from SWEEP_ORDER entirely (shouldn't
+    # happen — test_ordering enforces sync — but never drop a name)
+    rest = [n for n in QUERIES if n not in head and n not in tail]
+    return head + tail + rest, forced
+
+
+HEADER = '''"""Driver-sweep query ordering — GENERATED by ``tools/rotation.py emit``.
+
+The correctness driver walks ``queries()`` in dict order under a budget
+that has covered exactly the FIRST {slots} entries in every round so far.
+Rounds 1-5 together hash-certified all 210 pre-round-6 names
+(CORRECTNESS_r01..r05). From round 6 the window is selected
+mechanically, not curated: ``tools/rotation.py`` fingerprints every
+query (its callable source + the transitive source of every in-package
+helper it references + its oracle SQL) and forces every name whose
+fingerprint changed since the committed ``tools/rotation_state.json``
+— plus every brand-new name — into the window, directly after the two
+harness canaries. Untouched names spill over in their prior order, so
+certified history stays meaningful. ``tests/test_ordering.py`` asserts
+this list equals the tool's output.
+
+Forced into the round-6 window ({nforced} changed/new names): see
+``python tools/rotation.py window``.
+"""
+
+SWEEP_ORDER = [
+'''
+
+
+def emit(write: bool) -> str:
+    order, forced = compute_sweep_order()
+    lines = [HEADER.format(slots=WINDOW_SLOTS, nforced=len(forced))]
+    for i, n in enumerate(order):
+        if i == WINDOW_SLOTS:
+            lines.append(
+                "    # ------- slot %d ends here (driver certifies entries"
+                " above) -------\n" % WINDOW_SLOTS
+            )
+        lines.append(f'    "{n}",\n')
+    lines.append("]\n")
+    text = "".join(lines)
+    if write:
+        with open(ORDERING_PATH, "w") as f:
+            f.write(text)
+    return text
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("cmd", choices=["snapshot", "window", "emit"])
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+
+    if args.cmd == "snapshot":
+        fps = compute_fingerprints()
+        with open(STATE_PATH, "w") as f:
+            json.dump(fps, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {len(fps)} fingerprints to {STATE_PATH}")
+        return 0
+
+    if args.cmd == "window":
+        forced = changed_names()
+        print(f"{len(forced)} changed/new names vs committed state:")
+        for n in forced:
+            print(f"  {n}")
+        capacity = WINDOW_SLOTS - len(CANARIES)
+        if len([n for n in forced if n not in CANARIES]) > capacity:
+            print(
+                f"ERROR: {len(forced)} forced names exceed the "
+                f"{capacity}-slot window capacity — split the change "
+                "across rounds explicitly.",
+                file=sys.stderr,
+            )
+            return 1
+        return 0
+
+    # emit
+    text = emit(args.write)
+    if not args.write:
+        sys.stdout.write(text)
+    else:
+        print(f"rewrote {ORDERING_PATH}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
