@@ -132,6 +132,65 @@ def fan_out(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
 # generation, and misuse must fail loudly instead of OOMing the driver.
 MAX_COLLECT_ROWS = int(os.environ.get("CATME_MAX_COLLECT_ROWS", "200000"))
 
+# On-disk parquet budget for a size-gated broadcast hint (see
+# maybe_broadcast). 64 MiB of snappy parquet decodes to roughly
+# 200-400 MB of rows — a sane single broadcast for 4-16 GiB executors;
+# a table past this must NOT be pinned to the build side by a hint.
+BROADCAST_BUDGET_DEFAULT = 64 << 20
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a table — a single parquet file or a
+    (possibly partitioned) directory. Pure filesystem metadata: the
+    probe costs zero Spark jobs, which is what lets every gated query
+    check its build side on every run."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, table: str,
+                    budget_bytes: int | None = None) -> DataFrame:
+    """Broadcast hint GATED on the base table's on-disk size.
+
+    customer/supplier/part grow linearly with the corpus: at bench SF
+    they are classic broadcast dims, but a hard ``F.broadcast`` hint is
+    an unconditional command — at 100× (part ≈ 20B rows) it OOMs the
+    driver and executors where the unhinted plan would degrade
+    gracefully to a shuffle join. This is the hint-level sibling of
+    :func:`require_bounded`: apply the hint only while the probed size
+    fits the budget, otherwise return the frame unhinted and let
+    AQE/sort-merge take over (AQE still converts to broadcast at
+    runtime if a FILTERED side turns out small — the gate only removes
+    the unconditional pin, never the optimization).
+
+    The probe measures the BASE table file; caller-applied filters
+    only shrink the data, so the gate is conservative-safe. Budget via
+    ``CATME_BROADCAST_BUDGET_BYTES`` (tests set it to force the
+    fallback path). Constant-size dims (nation: 25 rows, region: 5)
+    and one-row aggregates keep their unconditional hints — they do
+    not scale with SF and gating them would only add probe noise.
+    """
+    from pyspark.sql import functions as F
+
+    if budget_bytes is None:
+        budget_bytes = int(
+            os.environ.get(
+                "CATME_BROADCAST_BUDGET_BYTES", str(BROADCAST_BUDGET_DEFAULT)
+            )
+        )
+    if _table_bytes(sf_dir, table) <= budget_bytes:
+        return F.broadcast(df)
+    return df
+
 
 def shared_df(
     name: str,

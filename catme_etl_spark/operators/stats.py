@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents, money_sum
 from ..sources.tables import load_table
+from ._shared import maybe_broadcast
 from .registry import query
 
 
@@ -1004,7 +1005,7 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     rev = (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(maybe_broadcast(c, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_nationkey", "o_custkey")
         .agg(F.sum(cents("o_totalprice")).alias("r"))
     )

@@ -3,8 +3,10 @@
 volume, Q6 forecast revenue, Q10 returned-item reporting.
 
 These are the canonical multi-join/agg plans the engine must keep
-100-TB-shaped: fact-side filters push into the parquet scan, dimension
-tables broadcast, aggregates run partial→final over one hash shuffle.
+100-TB-shaped: fact-side filters push into the parquet scan; constant
+dims (nation/region) broadcast unconditionally while SF-scaling dims
+(supplier/part) go through the size-gated `maybe_broadcast`; aggregates
+run partial→final over one hash shuffle.
 Money arithmetic uses the exact integer-cents idiom
 (catme_etl_spark/functions/money.py) for cross-engine hash stability.
 """
@@ -16,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents, money_from_cents, pct100
 from ..sources.tables import load_table
+from ._shared import maybe_broadcast
 from .registry import query
 
 
@@ -106,7 +109,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s, sf_dir, "supplier"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -205,7 +208,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents("l_extendedprice") * (100 - pct100("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4

@@ -20,8 +20,12 @@ The reference (`waldfalke/catme-etl`) has no joins/aggregations of any
 kind (`unified_code.py:296-334` is a single-input pipeline; SURVEY
 §2.3); this whole surface is mandated by the driver contract.
 
-Scale notes: every dimension side is broadcast; fact-fact joins
-shuffle on their join key once; aggregates are partial→final hash
+Scale notes: constant-size dims (nation/region) and one-row
+aggregates broadcast unconditionally; SF-scaling dims (customer/
+supplier/part) broadcast through the size-gated `maybe_broadcast`
+(operators/_shared.py) so at 100× the plan degrades to a shuffle join
+instead of pinning an OOM-sized build side. Fact-fact joins shuffle
+on their join key once; aggregates are partial→final hash
 aggs; money arithmetic uses exact integer cents
 (catme_etl_spark/functions/money.py) so a 1000-executor sum is
 bit-identical to the oracle's.
@@ -34,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents, money_from_cents, pct100
 from ..sources.tables import load_table
+from ._shared import maybe_broadcast
 from .registry import query
 
 
@@ -95,7 +100,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
@@ -154,10 +159,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev()
     nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
@@ -200,9 +205,9 @@ def tpch_q9_product_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(money_from_cents(F.sum(_rev()), scale=10_000).alias("revenue"))
@@ -323,7 +328,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(top), F.col("total_c") == F.col("max_c"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -358,7 +363,7 @@ def tpch_q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFra
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -395,7 +400,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_q, F.col("l_partkey") == F.col("aq_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -495,7 +500,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(money_from_cents(F.sum(_rev()), scale=10_000).alias("revenue"))
     )
@@ -602,8 +607,8 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_regionkey")
     )
     offers = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(

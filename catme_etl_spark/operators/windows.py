@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents, money_from_cents
 from ..sources.tables import load_table
+from ._shared import maybe_broadcast
 from .registry import query
 
 
@@ -444,7 +445,9 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     rfm = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            maybe_broadcast(
+                c.select("c_custkey", "c_mktsegment"), sf_dir, "customer"
+            ),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .groupBy("c_mktsegment", "o_custkey")
