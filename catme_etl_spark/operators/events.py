@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import money_sum
 from ..sources.tables import load_table
+from ._shared import require_bounded
 from .registry import query
 
 
@@ -589,10 +590,15 @@ def events_conversion_latency_quartiles(
     latency whose cumulative count reaches ¼/½/¾ of converters) — a
     pure integer comparison over exact microsecond diffs, the
     `agg_weighted_median_price` pattern, so no interpolation rule can
-    disagree cross-engine. The latency table is session-count-sized;
-    the final walk is a window over its collapsed distinct values
-    (globally ordered but tiny — bounded by distinct latencies; at
-    open-ended scale bucket the latencies first, same shape).
+    disagree cross-engine. Cumulative counts over the distinct-latency
+    grid come from a TWO-LEVEL prefix sum (no global window — the repo
+    bans unpartitioned WindowExec — and no triangular self-join over
+    the raw grid, whose O(g²) output grows quadratically in distinct
+    microsecond latencies): a keyed cumulative window WITHIN each
+    minute bucket plus an offset from the strictly-earlier buckets,
+    where the bucket roll-up is bounded by the latency RANGE in
+    minutes — not by data volume — and `require_bounded` makes a
+    dirty-data blowup fail loudly instead of degrading.
     """
     from pyspark.sql import Window
 
@@ -641,19 +647,41 @@ def events_conversion_latency_quartiles(
         (F.unix_micros("p") - F.unix_micros("v")).alias("us")
     )
     grid = lat.groupBy("us").agg(F.count(F.lit(1)).alias("k"))
-    # cumulative counts WITHOUT a global window (the repo bans
-    # unpartitioned WindowExec): a triangular self-join over the
-    # distinct-latency grid — bounded O(g²) on a session-count-sized
-    # aggregate, broadcast on one side.
-    ga = grid.select(F.col("us"), F.col("k"))
-    gb = grid.select(F.col("us").alias("us2"), F.col("k").alias("k2"))
-    c = (
-        ga.join(F.broadcast(gb), F.col("us2") <= F.col("us"))
-        .groupBy("us")
-        .agg(F.sum("k2").alias("cum"))
-        .crossJoin(
-            F.broadcast(grid.agg(F.sum("k").alias("n")))
+    # two-level prefix sum (see docstring): within-minute keyed window
+    # + offset from strictly-earlier minute buckets. The triangular
+    # join runs over the BUCKET aggregate only.
+    g2 = grid.withColumn("mb", F.floor(F.col("us") / 60_000_000))
+    wmin = (
+        Window.partitionBy("mb")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = g2.select("mb", "us", F.sum("k").over(wmin).alias("cw"))
+    bkt = g2.groupBy("mb").agg(F.sum("k").alias("bt"))
+    require_bounded(
+        bkt,
+        100_000,
+        what="latency minute-bucket grid",
+        hint=(
+            "the view→purchase latency range exceeds ~190 years of "
+            "minutes — the events table has corrupt timestamps; clean "
+            "them rather than raising the bound"
+        ),
+    )
+    off = (
+        bkt.select("mb")
+        .join(
+            F.broadcast(bkt.select(F.col("mb").alias("mb2"), F.col("bt").alias("bt2"))),
+            F.col("mb2") < F.col("mb"),
+            "left",
         )
+        .groupBy("mb")
+        .agg(F.coalesce(F.sum("bt2"), F.lit(0)).alias("off"))
+    )
+    c = (
+        within.join(F.broadcast(off), "mb")
+        .select("us", (F.col("cw") + F.col("off")).alias("cum"))
+        .crossJoin(F.broadcast(grid.agg(F.sum("k").alias("n"))))
     )
     q = lambda mult_c, mult_n: F.min(  # noqa: E731
         F.when(mult_c * F.col("cum") >= mult_n * F.col("n"), F.col("us"))

@@ -342,24 +342,35 @@ def scalar_url_parse_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            event_id & 255 AS lo_byte,
            CAST(xor(event_id, 4095) AS BIGINT) AS xored,
-           (event_id << 3) | 5 AS shifted_or,
+           ((event_id & 1152921504606846975) << 3) | 5 AS shifted_or,
            event_id >> 4 AS shr,
            CAST(bit_count(event_id) AS BIGINT) AS popcount
     FROM events
-    WHERE event_id % 37 = 0
+    WHERE event_id % 37 = 0 AND event_id >= 0
     """,
 )
 def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar coverage (F3 family): AND/XOR/OR, shifts, and
     popcount over int64 ids — the ops every hash/partition/bitmap
     trick in this repo leans on, certified directly. Pure codegen'd
-    JVM expressions; the filter prunes at the scan."""
-    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    JVM expressions; the filter prunes at the scan.
+
+    Domain discipline: ids are masked to 60 bits before the left
+    shift (Spark's shiftleft wraps silently on int64 overflow while
+    DuckDB's << differs out of range) and the query asserts the
+    non-negative id domain in its filter (% and >> diverge
+    cross-engine for negative operands)."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") % 37 == 0) & (F.col("event_id") >= 0)
+    )
     return e.select(
         "event_id",
         F.expr("event_id & CAST(255 AS BIGINT)").alias("lo_byte"),
         F.expr("event_id ^ CAST(4095 AS BIGINT)").alias("xored"),
-        F.expr("shiftleft(event_id, 3) | CAST(5 AS BIGINT)").alias("shifted_or"),
+        F.expr(
+            "shiftleft(event_id & CAST(1152921504606846975 AS BIGINT), 3)"
+            " | CAST(5 AS BIGINT)"
+        ).alias("shifted_or"),
         F.expr("shiftright(event_id, 4)").alias("shr"),
         F.expr("bit_count(event_id)").cast("long").alias("popcount"),
     )

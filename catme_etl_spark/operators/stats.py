@@ -532,6 +532,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000 AS ks_d
     FROM cum
     GROUP BY event_type
+    HAVING MAX(ta) > 0 AND MAX(tb) > 0
     """,
 )
 def agg_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,7 +545,9 @@ def agg_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, not per event: one hash-agg reduces N events to distinct
     cent values with per-half counts, then a keyed cumulative window
     (partitioned by type — the natural stratum at scale) walks each
-    grid once. Integer cents make the grid key and the tie-handling
+    grid once. Types with an EMPTY half are dropped on both engines
+    (a 0 denominator is NULL in Spark but inf/NaN under DuckDB's IEEE
+    float ops — the one divergence class a skewed fixture could hit). Integer cents make the grid key and the tie-handling
     (both ECDFs step together at equal values) identical across
     engines; the final D is a pure ratio of exact integers, rounded.
     """
@@ -579,6 +582,10 @@ def agg_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na").over(tot_w).alias("ta"),
         F.sum("nb").over(tot_w).alias("tb"),
     )
+    # empty-half guard BEFORE the ratio (ANSI mode makes x/0 an error,
+    # not NULL): ta/tb are group constants, so dropping their rows here
+    # is exactly the oracle's HAVING on the aggregated totals
+    c = c.filter((F.col("ta") > 0) & (F.col("tb") > 0))
     return c.groupBy("event_type").agg(
         F.max("ta").alias("n_a"),
         F.max("tb").alias("n_b"),
@@ -685,6 +692,7 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(((ra2 - n_a * (n_a + 1)) / 2.0 / n_a / n_b) * 1000000
                  + 0.5) / 1000000 AS auc
     FROM agg
+    WHERE n_a > 0 AND n_b > 0
     """,
 )
 def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +751,9 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ra2"),
     )
     u_a = (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    # strata missing one group are dropped on both engines (0
+    # denominator: NULL in Spark, inf/NaN under DuckDB IEEE floats)
+    agg = agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     return agg.select(
         "dow",
         "n_a",
@@ -838,10 +849,13 @@ def agg_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     )
     SELECT t.event_type, nn AS n,
-           floor((1.0 - sse_w
-                        / (CAST(sst AS DOUBLE)
-                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nn))
-                 * 10000 + 0.5) / 10000 AS eta_sq,
+           CASE WHEN (CAST(sst AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nn) > 0
+                THEN floor((1.0 - sse_w
+                             / (CAST(sst AS DOUBLE)
+                                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nn))
+                      * 10000 + 0.5) / 10000
+           END AS eta_sq,
            peak.peak_hour
     FROM t JOIN peak ON peak.event_type = t.event_type
     """,
@@ -894,8 +908,11 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "event_type",
         F.col("nn").alias("n"),
-        (
-            F.floor((1.0 - F.col("sse_w") / sse_t) * 10000 + F.lit(0.5)) / 10000
+        # sse_t = 0 (all values identical) -> NULL on both engines;
+        # matches the oracle's CASE guard
+        F.when(
+            sse_t > 0,
+            F.floor((1.0 - F.col("sse_w") / sse_t) * 10000 + F.lit(0.5)) / 10000,
         ).alias("eta_sq"),
         "peak_hour",
     )

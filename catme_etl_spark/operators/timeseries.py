@@ -726,9 +726,11 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           floor(((n * sxy - sx * sy)
-                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
-                 * 10000 + 0.5) / 10000 + 0.0 AS acf1
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN floor(((n * sxy - sx * sy)
+                            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                      * 10000 + 0.5) / 10000 + 0.0
+           END AS acf1
     FROM m
     """,
 )
@@ -768,14 +770,17 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    prod = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # zero-variance series -> NULL on both engines (guarding the
+    # PRODUCT keeps the fp op order identical to the oracle's CASE)
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n_pairs"),
-        (F.floor((num / den) * 10000 + F.lit(0.5)) / 10000 + F.lit(0.0)).alias(
-            "acf1"
-        ),
+        F.when(
+            prod > 0,
+            F.floor((num / F.sqrt(prod)) * 10000 + F.lit(0.5)) / 10000
+            + F.lit(0.0),
+        ).alias("acf1"),
     )

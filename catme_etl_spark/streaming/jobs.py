@@ -600,8 +600,16 @@ def stream_histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bins = np.array(bins_list, dtype="int64")
         for pdf in pdfs:
-            vc = (pdf["value"] * 100).round(0).astype("int64")
-            b = (vc // 500).clip(lower=0, upper=19).astype("int64")
+            # half-AWAY cents, the repo's floor(x+0.5) discipline —
+            # pandas .round() is half-to-even while the oracle's DuckDB
+            # ROUND is half-away; the two agree at this query's $5
+            # (even-cent) bin edges, but the tie rule is made explicit
+            # so an odd-cent bin width cannot silently diverge. (For
+            # negative values floor(x·100+0.5) is half-up, not
+            # half-away, but every such cent lands in a bin ≤ 0 on
+            # both engines and the clip collapses the difference.)
+            vc = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+            b = (vc // 500).clip(min=0, max=19).astype("int64")
             bins += np.bincount(b, minlength=20).astype("int64")
             n_total += len(pdf)
         state.update((bins.tolist(), n_total))
