@@ -150,9 +150,32 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
+    # Host-drift correction (round-6 item #2): a fixed micro-canary
+    # (the flagship join+agg — untouched since r01) runs COLD
+    # immediately before every headline query. canary_ratio[q] =
+    # canary-time-before-q / best-canary-of-this-run measures how
+    # contended the host was at the moment q ran; queries_normalized
+    # divides the wall time by that ratio. Cross-round, compare
+    # queries_normalized (plus canary_ref_sec for absolute drift)
+    # instead of re-running queries by hand to adjudicate phantom
+    # regressions — the two r05 4x outliers were exactly this.
+    CANARY = "flagship_revenue_by_nation"
+    # prime the canary's cold cost: best of two before the sweep
+    c_samples = [cold_run(CANARY), cold_run(CANARY)]
+
     times: dict[str, float] = {}
+    canary: dict[str, float] = {}
     for name in names:
+        c = cold_run(CANARY)
+        c_samples.append(c)
+        canary[name] = round(c, 3)
         times[name] = round(min(cold_run(name), cold_run(name)), 3)
+
+    c_ref = min(c_samples)
+    ratios = {
+        n: round(max(canary[n] / c_ref, 1.0), 3) for n in names
+    }
+    normalized = {n: round(times[n] / ratios[n], 3) for n in names}
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -163,6 +186,10 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "canary_ref_sec": round(c_ref, 3),
+                "canary_ratio": ratios,
+                "queries_normalized": normalized,
+                "normalized_total": round(sum(normalized.values()), 3),
                 "sf": sf,
             }
         )
