@@ -101,6 +101,18 @@ HEADLINE = [
     # sketch/ANN self-audits (shingle + band-index consumers)
     "dedup_minhash_scurve_audit",
     "sim_srp_recall_audit",
+    # round-6 additions: template clustering + the split-contamination
+    # audit it feeds, the skew/inequality profile family, URL
+    # canonicalization, the quality-score histogram, and the
+    # bounded-staleness as-of variant
+    "dedup_prefix_template_clusters",
+    "quality_split_leakage_audit",
+    "skew_salt_plan_event_type",
+    "agg_theil_index",
+    "agg_pareto_alpha_hill",
+    "scalar_url_canonicalize_dedup",
+    "text_logprob_bins",
+    "asof_backward_tolerance_1h",
 ]
 
 

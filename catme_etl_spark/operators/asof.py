@@ -175,3 +175,75 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("gap_us div 1000000").alias("gap_s"),
         )
     )
+
+
+@query(
+    "asof_backward_tolerance_1h",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS p_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT c.event_id, p.p_id,
+             epoch_us(c.ts) - epoch_us(p.pts) AS stale_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.pts <= c.ts
+       AND p.pts >= c.ts - INTERVAL 60 MINUTE
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_id ORDER BY stale_us, p_id) AS rn
+      FROM cand
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           r.p_id AS purchase_id,
+           r.stale_us // 1000 AS staleness_ms
+    FROM c LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+      ON r.event_id = c.event_id
+    """,
+)
+def asof_backward_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness point-in-time lookup — the feature-store
+    freshness SLA: each click joined to the user's most recent
+    purchase no older than ONE HOUR, NULL when the freshest available
+    feature is stale (instead of silently attaching a week-old value,
+    which is what an unbounded backward as-of does). The tolerance
+    variant of `asof_nearest_purchase` / `join_point_in_time_priority`.
+
+    Same 100-TB shape as the other as-of operators: the equi-join on
+    user_id carries the shuffle (AQE can skew-split it), the staleness
+    window is a post-join filter, top-1 is a keyed window with a total
+    (staleness, id) order, and the LEFT join back preserves the
+    no-match clicks — exactly the rows the SLA monitor counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    stale_us = F.unix_micros("ts") - F.unix_micros("pts")
+    cand = (
+        c.join(p, F.col("user_id") == F.col("p_user"))
+        .filter((F.col("pts") <= F.col("ts")) & (stale_us <= 3_600_000_000))
+        .select(F.col("event_id").alias("m_id"), stale_us.alias("stale_us"), "p_id")
+    )
+    w = Window.partitionBy("m_id").orderBy("stale_us", "p_id")
+    best = (
+        cand.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    return c.join(best, F.col("event_id") == F.col("m_id"), "left").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("p_id").alias("purchase_id"),
+        F.expr("stale_us div 1000").alias("staleness_ms"),
+    )

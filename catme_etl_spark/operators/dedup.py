@@ -1658,3 +1658,46 @@ def dedup_minhash_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obs_rate",
         (F.floor(theo * 1000000 + F.lit(0.5)) / 1000000).alias("theo_rate"),
     )
+
+
+@query(
+    "dedup_prefix_template_clusters",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split(text, ' ')[1:20], ' ')) AS tpl
+      FROM documents
+    )
+    SELECT tpl,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+    FROM p GROUP BY tpl HAVING COUNT(*) > 1
+    """,
+)
+def dedup_prefix_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-spam detection: documents sharing an IDENTICAL first-20
+    -token prefix form a template cluster (mirror pages, scraped
+    boilerplate shells, auto-generated listings all share their opening
+    span even when tails differ — the case exact-hash dedup misses and
+    MinHash over full shingles dilutes). Emits every cluster of size
+    > 1 with its source spread and min-id representative.
+
+    Scale shape: one narrow projection to (md5-of-prefix) then a
+    single hash-agg — the md5 key shuffles 16 bytes per doc, never the
+    text. The 20-token prefix is the industry-standard cheap template
+    key (a URL-pattern analog for text); tightening/loosening is a
+    constant, not a plan change.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
+    return (
+        d.select("doc_id", "source", F.md5(pfx).alias("tpl"))
+        .groupBy("tpl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -22,8 +22,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import cents
+from ..functions.texttools import sql_hex_long
 from ..sources.tables import load_table
 from .registry import query
+from .sampling import hash_bucket
+
+# the deterministic 80/10/10 split bucket of sample_train_val_test,
+# as DuckDB SQL (md5 of the doc id -> 56-bit int -> mod 100)
+_SPLIT_BKT_SQL = "(" + sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 14, 1) + " % 100)"
 
 
 def _fk_violations(
@@ -460,4 +466,72 @@ def quality_anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(
             F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1)
         ).cast("long").alias("n_outliers"),
+    )
+
+
+@query(
+    "quality_split_leakage_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:20], ' ')) AS tpl,
+             CASE WHEN {_SPLIT_BKT_SQL} < 80 THEN 'train'
+                  WHEN {_SPLIT_BKT_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    t AS (
+      SELECT tpl,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT split) AS n_splits
+      FROM s GROUP BY tpl HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_templates,
+           CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_leaky_templates,
+           CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END), 0)
+                AS BIGINT) AS n_docs_at_risk
+    FROM t
+    """,
+)
+def quality_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test CONTAMINATION audit: near-duplicate documents
+    (here: template clusters sharing a 20-token prefix, the
+    `dedup_prefix_template_clusters` key) that straddle split
+    boundaries leak evaluation data into training — the benchmark-
+    inflation failure every serious pipeline gates on. Composes the
+    repo's own deterministic 80/10/10 content-hash split
+    (`sample_train_val_test`) with the template key and counts the
+    clusters (and member docs) assigned to MORE THAN ONE split.
+
+    At corpus scale this is the audit you run BEFORE publishing a
+    split: one narrow projection, one hash-agg over 16-byte keys, one
+    single-row summary — no text shuffle, no pairwise join (cluster
+    membership replaces the quadratic pair enumeration).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise(F.lit("test"))
+    )
+    pfx = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
+    t = (
+        d.select(F.md5(pfx).alias("tpl"), split.alias("split"))
+        .groupBy("tpl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    leaky = F.when(F.col("n_splits") > 1, 1).otherwise(0)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_templates"),
+        F.coalesce(F.sum(leaky), F.lit(0)).cast("long").alias(
+            "n_leaky_templates"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_docs_at_risk"),
     )

@@ -374,3 +374,63 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 4)").alias("shr"),
         F.expr("bit_count(event_id)").cast("long").alias("popcount"),
     )
+
+
+@query(
+    "scalar_url_canonicalize_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, event_id, user_id FROM events
+      WHERE event_type IN ('click', 'view')
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(DISTINCT (event_id % 5, user_id)) AS BIGINT)
+             AS n_canonical_distinct
+    FROM u GROUP BY event_type
+    """,
+)
+def scalar_url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization → dedup — the first stage of every web-
+    corpus pipeline: strip tracking params (utm_*, per-hit session
+    ids), lowercase the host, drop the fragment, THEN count distinct.
+    URLs are synthesized from event columns with a unique per-hit
+    `sid` param and a mixed-case host, so the oracle can state both
+    cardinalities BY CONSTRUCTION: raw distinct = one per event (the
+    sid makes every URL unique), canonical distinct = distinct
+    (path-digit, user) pairs — the check proves Spark's parse_url-
+    based canonicalizer inverts the construction exactly.
+
+    All JVM built-ins (concat/parse_url/lower) inside whole-stage
+    codegen; the distinct-count is the standard two-phase expand — no
+    UDFs, no regex backtracking on the hot path.
+    """
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    url = F.concat(
+        F.lit("https://Shop.Example.com/"),
+        F.col("event_type"),
+        F.lit("/"),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit("?utm_source=mail&user="),
+        F.col("user_id").cast("string"),
+        F.lit("&sid="),
+        F.col("event_id").cast("string"),
+        F.lit("#frag"),
+    )
+    u = e.select("event_type", url.alias("url"))
+    canon = F.concat(
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.parse_url("url", F.lit("PATH")),
+        F.lit("?user="),
+        F.parse_url("url", F.lit("QUERY"), F.lit("user")),
+    )
+    return u.select("event_type", "url", canon.alias("canon")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_raw_distinct"),
+        F.countDistinct("canon").alias("n_canonical_distinct"),
+    )

@@ -121,3 +121,48 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+@query(
+    "skew_salt_plan_event_type",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+    SELECT event_type, n,
+           CAST(GREATEST(1, CEIL(CAST(n AS DOUBLE) / 50000.0)) AS BIGINT)
+             AS salt_n,
+           floor(CAST(n AS DOUBLE) / tot * 1000000 + 0.5) / 1000000 AS share
+    FROM c, t
+    """,
+)
+def skew_salt_plan_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIVEN salting plan: per join/agg key, the salt factor
+    `salted_join` should use so no shuffle partition receives more
+    than ~50k rows of one key — the measured input to tier 2 of this
+    module's skew ladder (AQE handles moderate skew; pathological hot
+    keys need an explicit plan). Emitting it as a query makes the skew
+    profile itself a certified, monitorable artifact: the nightly run
+    that watches `share` drift toward 1.0 is the early warning that
+    tomorrow's join needs a bigger salt.
+
+    One hash-agg over the key column (map-side partials — the scan
+    never shuffles raw rows), one broadcast one-row total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("n").cast("double") / 50000.0).cast("long"),
+        ).alias("salt_n"),
+        (
+            F.floor(F.col("n").cast("double") / F.col("tot") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("share"),
+    )

@@ -1041,3 +1041,119 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi"),
         )
     )
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey, o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey, o_custkey
+    ),
+    t AS (
+      SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS tot
+      FROM rev GROUP BY c_nationkey
+    )
+    SELECT rev.c_nationkey,
+           CAST(MAX(t.n) AS BIGINT) AS n_customers,
+           floor(SUM((CAST(r AS DOUBLE) * t.n / tot)
+                     * ln(CAST(r AS DOUBLE) * t.n / tot)) / MAX(t.n)
+                 * 1000000 + 0.5) / 1000000 AS theil_t
+    FROM rev JOIN t ON t.c_nationkey = rev.c_nationkey
+    GROUP BY rev.c_nationkey
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer-revenue inequality per nation —
+    Σ (x/μ)·ln(x/μ) / n, completing the inequality family (Gini:
+    rank-based; HHI: share-squared; Pareto deciles: tail mass) with
+    the DECOMPOSABLE entropy measure: unlike Gini, Theil splits
+    exactly into within-group + between-group terms, which is why
+    income-distribution and corpus-concentration monitors prefer it
+    for drill-down.
+
+    Plan shape mirrors `agg_hhi_market_concentration`: exact-cents
+    per-customer roll-up (size-gated customer broadcast), per-nation
+    totals re-attached as a tiny broadcast, one more hash-agg. The
+    x/μ ratio is computed with the identical op order on both engines
+    (r·n/tot); ln of the shared double is the same libm call class as
+    the certified entropy/logprob queries; one half-away 1e-6 round.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(maybe_broadcast(c, sf_dir, "customer"),
+               F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("r"))
+    )
+    t = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("long").alias("tot"),
+    )
+    ratio = F.col("r").cast("double") * F.col("n") / F.col("tot")
+    return (
+        rev.join(F.broadcast(t), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            (
+                F.floor(
+                    F.sum(ratio * F.log(ratio)) / F.max("n") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("theil_t"),
+        )
+    )
+
+
+@query(
+    "agg_pareto_alpha_hill",
+    oracle="""
+    WITH tail AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders WHERE o_totalprice > 50000.0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           floor((COUNT(*) / SUM(ln(CAST(pc AS DOUBLE) / 5000000.0)))
+                 * 10000 + 0.5) / 10000 AS alpha_hill
+    FROM tail GROUP BY o_orderpriority
+    """,
+)
+def agg_pareto_alpha_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail exponent of order values
+    per priority class: α = n / Σ ln(xᵢ/x_min) over the tail above a
+    fixed threshold ($50k). The quantitative sibling of
+    `events_pareto_user_deciles` — instead of reporting tail MASS, it
+    fits the tail SHAPE, the number that says whether "top 1% of
+    orders carries X%" will keep holding as the corpus grows (α ≤ 2 ⇒
+    unbounded variance ⇒ plan for whales).
+
+    A fixed threshold (not an order statistic) keeps the estimator a
+    single filtered hash-agg — no global sort, no per-group top-k; the
+    filter pushes to the parquet scan. ln runs on exact-integer cents
+    over the shared constant, one half-away 1e-4 round.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 50000.0
+    )
+    pc = cents("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        (
+            F.floor(
+                (
+                    F.count(F.lit(1))
+                    / F.sum(F.log(pc.cast("double") / 5000000.0))
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("alpha_hill"),
+    )

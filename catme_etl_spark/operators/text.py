@@ -993,3 +993,68 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "text_logprob_bins",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    n AS (SELECT COUNT(*) AS n FROM tok),
+    score AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             ROUND(SUM(ln(CAST(c AS DOUBLE) / n)) / COUNT(*), 4) + 0.0
+               AS avg_logprob
+      FROM tok JOIN vocab USING (t), n
+      GROUP BY doc_id
+    )
+    SELECT CAST(floor(avg_logprob) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM score GROUP BY bin
+    """,
+)
+def text_logprob_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality-score HISTOGRAM: per-document mean unigram
+    log-probability (the `text_unigram_logprob` CCNet-style score)
+    bucketed into unit-width logprob bins — the distribution a corpus
+    curator actually thresholds on ("keep everything above bin −9",
+    the perplexity-bucket mixing recipe from CCNet/RedPajama). Emitting
+    the binned distribution instead of per-doc scores is also the
+    scale form: the histogram is a few dozen rows no matter the corpus
+    size, so the nightly quality monitor diffs THIS, not 10^9 scores.
+
+    Bins use fixed unit width — no global sort, no ntile; the bin of a
+    doc depends only on its own (already hash-certified) rounded
+    score, so the floor is taken on identical doubles cross-engine.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    score = (
+        tok.join(F.broadcast(vocab), "t")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.round(
+                    F.sum(F.log(F.col("c").cast("double") / F.col("n")))
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        score.groupBy(F.floor("avg_logprob").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -58,14 +58,23 @@ CANARIES = ["etl_pipeline_stages", "flagship_revenue_by_nation"]
 
 
 def _canon_repr(obj: object) -> str:
-    """Deterministic repr: set iteration order depends on the process
-    hash seed, so sets are sorted before repr'ing."""
-    if isinstance(obj, (set, frozenset)):
+    """Deterministic, RUNTIME-STATE-FREE repr of a module-level
+    constant. Mutable containers (dict/set/list used as session
+    caches — ``_shared._DF_CACHE`` et al.) are fingerprinted by name
+    and type only: their contents change as tests/queries run, and a
+    fingerprint must depend on SOURCE, not on what executed first.
+    Immutable scalars and tuples (actual config constants) are
+    repr'd in full; frozensets sorted for hash-seed stability."""
+    if isinstance(obj, frozenset):
         try:
-            return "set:" + repr(sorted(obj, key=repr))
+            return "frozenset:" + repr(sorted(obj, key=repr))
         except Exception:
-            return "set:" + repr(sorted(map(repr, obj)))
-    return repr(obj)
+            return "frozenset:" + repr(sorted(map(repr, obj)))
+    if isinstance(obj, (dict, set, list)):
+        return f"<mutable {type(obj).__name__}>"
+    if isinstance(obj, (int, float, str, bytes, bool, tuple, type(None))):
+        return repr(obj)
+    return f"<{type(obj).__name__}>"
 
 
 def _source_of(obj: object) -> str:
