@@ -113,6 +113,14 @@ HEADLINE = [
     "scalar_url_canonicalize_dedup",
     "text_logprob_bins",
     "asof_backward_tolerance_1h",
+    # round-6 second batch: nearest-dup report (shingle consumer),
+    # similarity-graph density, cross-series correlation, Heaps
+    # vocabulary growth, Poisson burst scan
+    "dedup_nearest_duplicate_report",
+    "sim_graph_degree_histogram",
+    "ts_cross_correlation_matrix",
+    "text_vocab_growth_heaps",
+    "events_poisson_burst_scan",
 ]
 
 

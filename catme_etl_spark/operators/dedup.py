@@ -1701,3 +1701,123 @@ def dedup_prefix_template_clusters(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "dedup_nearest_duplicate_report",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    live AS (
+      SELECT g FROM sh GROUP BY g
+      HAVING COUNT(*) <= {_STOP_SHINGLE_DF_CAP}
+    ),
+    shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN live USING (g)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac
+      FROM inter
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.3
+    ),
+    sym AS (
+      SELECT doc_a AS d, doc_b AS p, jac FROM pairs
+      UNION ALL
+      SELECT doc_b AS d, doc_a AS p, jac FROM pairs
+    ),
+    r AS (
+      SELECT d, p, jac,
+             ROW_NUMBER() OVER (PARTITION BY d ORDER BY jac DESC, p) AS rn
+      FROM sym
+    )
+    SELECT d AS doc_id, p AS nearest_dup, ROUND(jac, 4) AS jaccard
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_nearest_duplicate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NEAREST DUPLICATE: for every doc in the ≥ 0.3
+    exact-Jaccard graph, its single most similar partner (ties broken
+    by smallest partner id) — the human-review artifact a dedup run
+    ships next to the canonical mapping: "here is the one doc to eye-
+    ball to decide whether this cluster is real". Shares the
+    `_shingle_intersections` machinery (one tokenize, one DF-capped
+    self-join); the symmetrize + keyed top-1 window adds one narrow
+    union and one partitioned sort over PAIR rows (pairs ≪ docs).
+
+    The argmax orders on the RAW jaccard double — both engines derive
+    it from identical integers, so the ordering (and the rounded
+    report value) is deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    inter = _shingle_intersections(spark, sf_dir)
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = inter.filter(jac >= 0.3).select("doc_a", "doc_b", jac.alias("jac"))
+    sym = pairs.select(
+        F.col("doc_a").alias("d"), F.col("doc_b").alias("p"), "jac"
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("p"), "jac")
+    )
+    w = Window.partitionBy("d").orderBy(F.col("jac").desc(), "p")
+    return (
+        sym.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("p").alias("nearest_dup"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+    )
+
+
+_COS_PAIR_SQL = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                / ({SQL_NORM.format(a='a.embedding')}
+                   * {SQL_NORM.format(a='b.embedding')}), 6) >= 0.4
+"""
+
+
+@query(
+    "sim_graph_degree_histogram",
+    oracle=f"""
+    WITH pairs AS ({_COS_PAIR_SQL}),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT vec_a AS v FROM pairs
+        UNION ALL
+        SELECT vec_b AS v FROM pairs
+      ) GROUP BY v
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM deg GROUP BY degree
+    """,
+)
+def sim_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the cosine ≥ 0.4 similarity graph — the
+    density diagnostic run BEFORE semantic dedup: a histogram hugging
+    degree 1-2 means clean near-dup pairs (CC will produce small
+    components); a heavy tail means hub vectors (boilerplate
+    embeddings, zero-vectors) that would chain half the corpus into
+    one component — the thing you want to know before the CC pass, for
+    a few dozen output rows regardless of corpus size.
+
+    Consumes the certified `dedup_embedding_cosine_pairs` kernel
+    (blocked BLAS `mapInPandas`, enforced broadcast budget); the
+    histogram adds one narrow union + two tiny hash-aggs.
+    """
+    p = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    deg = (
+        p.select(F.col("vec_a").alias("v"))
+        .unionAll(p.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vecs"))

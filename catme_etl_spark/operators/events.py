@@ -692,3 +692,62 @@ def events_conversion_latency_quartiles(
         (q(2, 1) / 1_000_000.0).alias("p50_s"),
         (q(4, 3) / 1_000_000.0).alias("p75_s"),
     )
+
+
+@query(
+    "events_poisson_burst_scan",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, bucket
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot,
+             MIN(bucket) AS mn, MAX(bucket) AS mx
+      FROM s GROUP BY event_type
+    )
+    SELECT s.event_type, s.bucket, s.n,
+           floor(((s.n - CAST(tot AS DOUBLE) / (mx - mn + 1))
+                  / sqrt(CAST(tot AS DOUBLE) / (mx - mn + 1)))
+                 * 10000 + 0.5) / 10000 AS z
+    FROM s JOIN t USING (event_type)
+    WHERE (s.n - CAST(tot AS DOUBLE) / (mx - mn + 1))
+          / sqrt(CAST(tot AS DOUBLE) / (mx - mn + 1)) >= 4.0
+    """,
+)
+def events_poisson_burst_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection against a Poisson null: per event type, the
+    10-minute buckets whose count exceeds the type's mean bucket rate
+    by ≥ 4 Poisson standard deviations (z = (n−λ)/√λ) — the classic
+    ops-monitor scan for traffic spikes / scraper bursts, reported as
+    the few offending buckets rather than the full series.
+
+    One hash-agg to the (type, bucket) series, one per-type roll-up
+    broadcast back. λ is a ratio of exact integers (total / span
+    buckets), so z and the threshold comparison evaluate on identical
+    doubles cross-engine; the output z gets one half-away 1e-4 round.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = s.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.min("bucket").alias("mn"),
+        F.max("bucket").alias("mx"),
+    )
+    lam = F.col("tot").cast("double") / (F.col("mx") - F.col("mn") + 1)
+    z = (F.col("n") - lam) / F.sqrt(lam)
+    return (
+        s.join(F.broadcast(t), "event_type")
+        .filter(z >= 4.0)
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z"),
+        )
+    )

@@ -1058,3 +1058,65 @@ def text_logprob_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "text_vocab_growth_heaps",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    fo AS (SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY t),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    grid AS (SELECT unnest([1, 2, 3, 4]) AS k),
+    thr AS (SELECT k, k * m // 4 AS thr FROM grid, mx),
+    docs_at AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM thr, documents WHERE doc_id <= thr GROUP BY k
+    ),
+    vocab_at AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM thr, fo WHERE fd <= thr GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_docs, vocab_size
+    FROM docs_at JOIN vocab_at USING (k)
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth audit: distinct-token count after
+    processing 25/50/75/100% of the corpus (by doc id order) — the
+    curve a corpus curator watches for saturation (vocab flattening ⇒
+    new data is rehashing old content; still steep ⇒ the corpus keeps
+    contributing novelty). The doc-level sibling of
+    `text_ngram_novelty`, reduced to FOUR rows at any corpus size.
+
+    No cumulative-distinct window: each token contributes through its
+    FIRST-occurrence doc id (one hash-agg), so "vocab at checkpoint k"
+    is a count of first-occurrences ≤ threshold — two tiny broadcast
+    grid joins, no global sort, no re-scan per checkpoint.
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    grid = spark.range(1, 5).select(F.col("id").alias("k"))
+    thr = grid.crossJoin(F.broadcast(mx)).select(
+        "k", F.expr("k * m div 4").alias("thr")
+    )
+    docs_at = (
+        d.crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_id") <= F.col("thr"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    fo = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    vocab_at = (
+        fo.crossJoin(F.broadcast(thr))
+        .filter(F.col("fd") <= F.col("thr"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return docs_at.join(vocab_at, "k").select(
+        F.col("k").cast("long").alias("k"), "n_docs", "vocab_size"
+    )

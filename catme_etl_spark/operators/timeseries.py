@@ -784,3 +784,89 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("acf1"),
     )
+
+
+@query(
+    "ts_cross_correlation_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS i,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, i
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(a.sc AS DOUBLE) AS x, CAST(b.sc AS DOUBLE) AS y
+      FROM s a JOIN s b
+        ON b.i = a.i AND a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_buckets,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN floor(((n * sxy - sx * sy)
+                            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                      * 10000 + 0.5) / 10000 + 0.0
+           END AS corr
+    FROM m
+    """,
+)
+def ts_cross_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' 10-minute
+    value-total series — the cross-series dependence matrix (in long
+    form, upper triangle) a forecaster or anomaly correlator starts
+    from: purchase totals tracking click totals bucket-for-bucket says
+    one alarm, not five, should fire when traffic moves.
+
+    The join runs on the AGGREGATED series (|types| × buckets rows),
+    never raw events — the raw table shuffles once into the bucket
+    roll-up, then the type×type pairing is a self-join on bucket id
+    whose output is ~|types|²/2 per bucket. Moments accumulate in
+    double from exact integer bucket totals with identical op order
+    cross-engine; zero-variance guard on the variance PRODUCT (the
+    round-6 degenerate-input discipline); one half-away 1e-4 round.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("i"),
+    ).agg(F.sum(cents("value")).alias("sc"))
+    a = s.select(
+        F.col("event_type").alias("type_a"), "i",
+        F.col("sc").cast("double").alias("x"),
+    )
+    b = s.select(
+        F.col("event_type").alias("type_b"), F.col("i").alias("i2"),
+        F.col("sc").cast("double").alias("y"),
+    )
+    p = a.join(
+        b, (F.col("i2") == F.col("i")) & (F.col("type_a") < F.col("type_b"))
+    )
+    m = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    prod = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_buckets"),
+        F.when(
+            prod > 0,
+            F.floor((num / F.sqrt(prod)) * 10000 + F.lit(0.5)) / 10000
+            + F.lit(0.0),
+        ).alias("corr"),
+    )
