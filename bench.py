@@ -121,6 +121,11 @@ HEADLINE = [
     "ts_cross_correlation_matrix",
     "text_vocab_growth_heaps",
     "events_poisson_burst_scan",
+    # round-6 third batch: SCD2 time-travel, k-fold assignment,
+    # SimHash threshold audit
+    "scd2_snapshot_as_of",
+    "sample_kfold_assignment",
+    "dedup_simhash_hamming_histogram",
 ]
 
 

@@ -1821,3 +1821,73 @@ def sim_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@query(
+    "dedup_simhash_hamming_histogram",
+    oracle=f"""
+    WITH {_simhash_sql_cte()},
+    bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> ({_SIMHASH_BITS} - {_SIM_BAND_BITS} * (b + 1)))
+               & {(1 << _SIM_BAND_BITS) - 1} AS bval
+      FROM sigs, (SELECT unnest(range({_N_SIM_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand GROUP BY hamming
+    """,
+)
+def dedup_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram over ALL band-matched SimHash
+    candidates (no Hamming ≤ 8 cut) — the threshold-tuning audit
+    for `dedup_simhash_pairs`: mass piling up just above the cut says
+    the verify threshold is clipping real near-dups; a clean bimodal
+    gap says the 4×15-bit banding + Hamming-8 verify is safe. Joins
+    the estimator-audit family (F37): the knob every SimHash deploy
+    hand-tunes, reported as a certified distribution instead of a
+    guess.
+
+    Same banded self-join as the pair builder; the histogram
+    aggregates the collision stream down to ≤ 61 rows, so the extra
+    cost over the pair query is one tiny hash-agg (and no distinct-
+    then-filter inversion, since every distance is kept).
+    """
+    sigs = _simhash_signatures(spark, sf_dir)
+    banded = sigs.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_N_SIM_BANDS - 1)))
+    ).withColumn(
+        "bval",
+        F.expr(
+            f"shiftright(simhash, {_SIMHASH_BITS} - {_SIM_BAND_BITS} * (b + 1))"
+            f" & {(1 << _SIM_BAND_BITS) - 1}"
+        ),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "b", "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        F.col("b").alias("b2"), F.col("bval").alias("bval2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bval") == F.col("bval2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return cand.select(hamming.alias("hamming")).groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -515,3 +515,49 @@ def join_point_in_time_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy(F.col("prio_asof").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_items")
     )
+
+
+@query(
+    "scd2_snapshot_as_of",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    ),
+    scd AS (
+      SELECT o_custkey AS custkey,
+             o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+             COALESCE(strftime(LEAD(o_orderdate) OVER v, '%Y-%m-%d'),
+                      '9999-12-31') AS valid_to
+      FROM changes
+      WINDOW v AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT custkey, priority, valid_from
+    FROM scd
+    WHERE valid_from <= '1996-07-01' AND '1996-07-01' < valid_to
+    """,
+)
+def scd2_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SNAPSHOT over the SCD2 dimension — the time-travel
+    read every slowly-changing dimension exists for: each customer's
+    priority AS OF 1996-07-01, i.e. the one interval containing the
+    snapshot date. Consumes the certified `scd2_priority_intervals`
+    table; the snapshot is a single narrow filter on the interval
+    bounds (ISO-8601 strings compare lexicographically = by date), so
+    at scale this reads the materialized SCD2 artifact — never the
+    order history — exactly like `join_point_in_time_priority` but for
+    the whole population at one instant instead of per-event instants.
+    """
+    scd = scd2_priority_intervals(spark, sf_dir)
+    d = F.lit("1996-07-01")
+    return scd.filter(
+        (F.col("valid_from") <= d) & (d < F.col("valid_to"))
+    ).select("custkey", "priority", "valid_from")

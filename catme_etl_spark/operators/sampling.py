@@ -307,3 +307,33 @@ def sample_class_balance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("n_min"))
         .select("vec_id", "label")
     )
+
+
+@query(
+    "sample_kfold_assignment",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             {sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 14, 1)} % 5 AS fold
+      FROM documents
+    )
+    SELECT source, CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY source, fold
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by content-key
+    hash, with the per-(source, fold) balance audit as output — the
+    k-fold sibling of `sample_train_val_test`: a doc's fold follows
+    from its id alone, so every re-run, cluster size, and incremental
+    corpus addition reproduces the same folds (no random() + seed
+    coupled to partitioning), and fold i's validation set never leaks
+    into fold i's training set across reruns. Narrow per-row tag; the
+    only shuffle is this audit aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", hash_bucket(F.col("doc_id"), 5).alias("fold"))
+        .groupBy("source", "fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
