@@ -126,6 +126,11 @@ HEADLINE = [
     "scd2_snapshot_as_of",
     "sample_kfold_assignment",
     "dedup_simhash_hamming_histogram",
+    # round-6 fourth batch: Zipf head fit, winsorized mean, and the
+    # inter-arrival traffic model
+    "text_zipf_fit_audit",
+    "agg_winsorized_mean_price",
+    "events_interarrival_stats",
 ]
 
 

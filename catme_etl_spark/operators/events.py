@@ -751,3 +751,59 @@ def events_poisson_burst_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z"),
         )
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           floor((CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0)
+                 * 10000 + 0.5) / 10000 AS mean_gap_s,
+           CAST(MAX(gap_us) AS BIGINT) // 1000000 AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps rolled up by the LATER event's type:
+    how long since this user's previous event (any type) when a view/
+    click/purchase fires — the traffic-model numbers (mean and worst
+    gap) behind session-timeout tuning (`events_session_30min`'s
+    30-minute gap is a claim about exactly this distribution) and
+    watermark sizing for the streaming jobs.
+
+    One keyed lag window (partitioned by user — the natural key; the
+    skew stress suite covers the hot-user shape), gaps as exact
+    integer microsecond diffs with a (ts, event_id) total order for
+    tie stability, then one hash-agg; mean is a ratio of exact ints
+    with one half-away round.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (
+            F.floor(
+                (F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1000000.0)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mean_gap_s"),
+        F.expr("max(gap_us) div 1000000").alias("max_gap_s"),
+    )

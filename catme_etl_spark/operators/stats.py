@@ -1157,3 +1157,107 @@ def agg_pareto_alpha_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("alpha_hill"),
     )
+
+
+@query(
+    "agg_winsorized_mean_price",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             COUNT(*) AS k
+      FROM lineitem GROUP BY l_returnflag, pc
+    ),
+    c AS (
+      SELECT l_returnflag, pc, k,
+             SUM(k) OVER (PARTITION BY l_returnflag ORDER BY pc
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ck,
+             SUM(k) OVER (PARTITION BY l_returnflag) AS tk
+      FROM g
+    ),
+    b AS (
+      SELECT l_returnflag,
+             CAST(MAX(tk) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN 20 * ck >= tk THEN pc END) AS BIGINT) AS lo,
+             CAST(MIN(CASE WHEN 20 * ck >= 19 * tk THEN pc END) AS BIGINT)
+               AS hi
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT g.l_returnflag, b.n,
+           b.lo / 100.0 AS p05,
+           b.hi / 100.0 AS p95,
+           floor((CAST(SUM(LEAST(GREATEST(g.pc, b.lo), b.hi) * g.k)
+                       AS DOUBLE) / b.n / 100.0) * 10000 + 0.5) / 10000
+             AS winsorized_mean
+    FROM g JOIN b ON b.l_returnflag = g.l_returnflag
+    GROUP BY g.l_returnflag, b.n, b.lo, b.hi
+    """,
+)
+def agg_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean price per return flag — the robust location
+    estimate that survives fat tails by CLIPPING (not dropping) values
+    at the exact lower p05/p95: the reporting-grade mean for
+    whale-heavy money columns, pairing with the MAD/IQR outlier audits
+    (which FLAG tails) and `agg_weighted_median_price` (which ignores
+    them entirely).
+
+    Same exact integer-cent grid walk as the weighted median (one
+    hash-agg to the price grid, keyed cumulative window, lower-
+    quantile rule 20·ck ≥ tk / 20·ck ≥ 19·tk — pure integer
+    comparisons), then one broadcast of the 3-value bounds row back
+    onto the grid for the clipped sum — the raw table shuffles once,
+    clipping arithmetic is exact int64, one half-away 1e-4 round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", cents("l_extendedprice").alias("pc")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "pc",
+        "k",
+        F.sum("k").over(cum_w).alias("ck"),
+        F.sum("k").over(tot_w).alias("tk"),
+    )
+    b = c.groupBy("l_returnflag").agg(
+        F.max("tk").cast("long").alias("n"),
+        F.min(F.when(20 * F.col("ck") >= F.col("tk"), F.col("pc")))
+        .cast("long")
+        .alias("lo"),
+        F.min(F.when(20 * F.col("ck") >= 19 * F.col("tk"), F.col("pc")))
+        .cast("long")
+        .alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("pc"), F.col("lo")), F.col("hi"))
+    return (
+        g.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag", "n", "lo", "hi")
+        .agg(
+            (
+                F.floor(
+                    (
+                        F.sum(clipped * F.col("k")).cast("double")
+                        / F.col("n")
+                        / 100.0
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("winsorized_mean")
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.col("lo") / 100.0).alias("p05"),
+            (F.col("hi") / 100.0).alias("p95"),
+            "winsorized_mean",
+        )
+    )

@@ -1120,3 +1120,83 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_at.join(vocab_at, "k").select(
         F.col("k").cast("long").alias("k"), "n_docs", "vocab_size"
     )
+
+
+@query(
+    "text_zipf_fit_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    top AS (SELECT t, c FROM c ORDER BY c DESC, t LIMIT 100),
+    r AS (
+      SELECT a.t, a.c, COUNT(*) AS rank
+      FROM top a JOIN top b
+        ON (b.c > a.c) OR (b.c = a.c AND b.t <= a.t)
+      GROUP BY a.t, a.c
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(ln(CAST(rank AS DOUBLE))) AS sx,
+             SUM(ln(CAST(c AS DOUBLE))) AS sy,
+             SUM(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+             SUM(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                      * 10000 + 0.5) / 10000 + 0.0
+           END AS zipf_slope
+    FROM m
+    """,
+)
+def text_zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the head of the token frequency table: the
+    log-log OLS slope of frequency vs rank for the top-100 tokens —
+    natural text sits near −1; templated/boilerplate corpora flatten
+    toward 0 and adversarial token spam steepens past −1.5. With
+    `text_vocab_growth_heaps` (Heaps) this closes the two classical
+    corpus-statistics audits, each a handful of output values at any
+    scale.
+
+    Rank assignment avoids any global window: the top-100 head comes
+    from a distributed TakeOrdered (orderBy + limit over the count
+    table, total (c desc, t) order so the cut is deterministic), and
+    rank(t) = |{(c',t') ≥ (c,t)}| is a 100×100 broadcast triangular
+    count. OLS runs on ln-moments of the shared integers; slope-
+    denominator guard per the round-6 degenerate-input discipline.
+    """
+    tok = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("t"))
+    c = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = c.orderBy(F.col("c").desc(), "t").limit(100)
+    a = top.select("t", "c")
+    b = top.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    r = (
+        a.join(
+            F.broadcast(b),
+            (F.col("c2") > F.col("c"))
+            | ((F.col("c2") == F.col("c")) & (F.col("t2") <= F.col("t"))),
+        )
+        .groupBy("t", "c")
+        .agg(F.count(F.lit(1)).alias("rank"))
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.when(
+            den > 0,
+            F.floor((num / den) * 10000 + F.lit(0.5)) / 10000 + F.lit(0.0),
+        ).alias("zipf_slope"),
+    )
