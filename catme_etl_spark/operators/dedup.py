@@ -1758,11 +1758,22 @@ def dedup_nearest_duplicate_report(spark: SparkSession, sf_dir: str) -> DataFram
     inter = _shingle_intersections(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     pairs = inter.filter(jac >= 0.3).select("doc_a", "doc_b", jac.alias("jac"))
+    # symmetrize by exploding a 2-element array in ONE pass — a
+    # unionAll of two selects would plan the 14-shuffle intersection
+    # subtree twice (PLANS.md showed 29 shuffles before this)
     sym = pairs.select(
-        F.col("doc_a").alias("d"), F.col("doc_b").alias("p"), "jac"
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("p"), "jac")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("d"), F.col("doc_b").alias("p")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("d"), F.col("doc_a").alias("p")
+                ),
+            )
+        ).alias("x"),
+        "jac",
+    ).select("x.d", "x.p", "jac")
     w = Window.partitionBy("d").orderBy(F.col("jac").desc(), "p")
     return (
         sym.select("*", F.row_number().over(w).alias("rn"))
@@ -1814,9 +1825,10 @@ def sim_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram adds one narrow union + two tiny hash-aggs.
     """
     p = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    # explode-symmetrize: one pass over the pair kernel instead of a
+    # union that would run the BLAS scan twice
     deg = (
-        p.select(F.col("vec_a").alias("v"))
-        .unionAll(p.select(F.col("vec_b").alias("v")))
+        p.select(F.explode(F.array("vec_a", "vec_b")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
