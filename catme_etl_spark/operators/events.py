@@ -807,3 +807,86 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_gap_s"),
         F.expr("max(gap_us) div 1000000").alias("max_gap_s"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    ),
+    cohort_n AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY cohort_week
+    ),
+    act AS (
+      SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+             COUNT(*) AS active_users
+      FROM wk w JOIN first f USING (user_id)
+      WHERE w.week - f.cohort_week BETWEEN 0 AND 7
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.week_offset, a.active_users,
+           c.cohort_size,
+           floor(a.active_users * 10000.0 / c.cohort_size + 0.5) / 100
+             AS retention_pct
+    FROM act a JOIN cohort_n c USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the epoch
+    week of their FIRST event; cell (cohort, offset) counts how many
+    of them were active `offset` weeks later, with retention as a
+    percentage of the cohort. The canonical growth-analytics rollup
+    (no reference analogue — the events table is the contract's
+    behavioral extension).
+
+    Plan: one distinct over (user, week) — the only pass over the raw
+    events — then user-keyed min + self-join, both shuffling on
+    user_id so AQE coalesces them into one exchange reuse; the final
+    rollup groups on the tiny (cohort, offset) grid. At 100 TB the
+    (user, week) distinct is the map-side-combinable heavy hitter and
+    everything after it runs on |users| rows, not |events|. Weeks are
+    integer epoch buckets (floor(unix/604800)) — `unix_timestamp`
+    truncation matches the oracle's floor(epoch(ts)) exactly.
+    """
+    e = _events(spark, sf_dir)
+    wk = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_n = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        wk.join(first, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .filter(F.col("week_offset").between(0, 7))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        act.join(cohort_n, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            (
+                F.floor(
+                    F.col("active_users") * 10000.0 / F.col("cohort_size") + 0.5
+                )
+                / 100
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

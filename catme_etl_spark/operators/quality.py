@@ -535,3 +535,117 @@ def quality_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("n_docs_at_risk"),
     )
+
+
+@query(
+    "quality_table_profile",
+    oracle="""
+    WITH l AS (
+      SELECT l_quantity AS qty, l_extendedprice AS price,
+             l_discount AS disc, l_tax AS tax,
+             CAST(floor(epoch(l_shipdate)) AS DOUBLE) AS ship_epoch,
+             l_returnflag, l_linestatus
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(qty) AS n_nulls,
+           COUNT(DISTINCT qty) AS n_distinct,
+           floor(MIN(qty) * 10000 + 0.5) / 10000 AS min_v,
+           floor(MAX(qty) * 10000 + 0.5) / 10000 AS max_v
+    FROM l
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(price),
+           COUNT(DISTINCT price),
+           floor(MIN(price) * 10000 + 0.5) / 10000,
+           floor(MAX(price) * 10000 + 0.5) / 10000
+    FROM l
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(disc),
+           COUNT(DISTINCT disc),
+           floor(MIN(disc) * 10000 + 0.5) / 10000,
+           floor(MAX(disc) * 10000 + 0.5) / 10000
+    FROM l
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(tax),
+           COUNT(DISTINCT tax),
+           floor(MIN(tax) * 10000 + 0.5) / 10000,
+           floor(MAX(tax) * 10000 + 0.5) / 10000
+    FROM l
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(ship_epoch),
+           COUNT(DISTINCT ship_epoch),
+           floor(MIN(ship_epoch) * 10000 + 0.5) / 10000,
+           floor(MAX(ship_epoch) * 10000 + 0.5) / 10000
+    FROM l
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag), NULL, NULL
+    FROM l
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+           COUNT(DISTINCT l_linestatus), NULL, NULL
+    FROM l
+    ORDER BY col_name
+    """,
+)
+def quality_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-shaped per-column profile of lineitem: row count,
+    null count, exact distinct count, and rounded min/max for every
+    numeric column (timestamps profiled on their epoch seconds;
+    varchar columns get distinct counts with NULL numeric bounds).
+    This is the first thing a data engineer runs against an unknown
+    100 TB table, and making it a certified query keeps the profiler
+    honest.
+
+    ONE scan: a single wide aggregate computes all measures (the
+    multi-COUNT(DISTINCT) expands the scan ~7× in-flight — the
+    documented cost of exactness; the at-scale variant swaps in
+    `approx_count_distinct` and drops the expand entirely), then a
+    `stack` unpivots the one result row into the per-column report.
+    Nothing after the agg exceeds 7 rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+        F.col("l_tax").alias("tax"),
+        F.unix_timestamp("l_shipdate").cast("double").alias("ship_epoch"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+    def r4(c: Column) -> Column:
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    wide = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for col in ["qty", "price", "disc", "tax", "ship_epoch"]
+            for x in (
+                (F.count(F.lit(1)) - F.count(col)).alias(f"{col}_nulls"),
+                F.countDistinct(col).alias(f"{col}_nd"),
+                r4(F.min(col)).alias(f"{col}_min"),
+                r4(F.max(col)).alias(f"{col}_max"),
+            )
+        ],
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("rf_nulls"),
+        F.countDistinct("l_returnflag").alias("rf_nd"),
+        (F.count(F.lit(1)) - F.count("l_linestatus")).alias("ls_nulls"),
+        F.countDistinct("l_linestatus").alias("ls_nd"),
+    )
+    stacked = wide.selectExpr(
+        """stack(7,
+          'l_quantity', n, qty_nulls, qty_nd, qty_min, qty_max,
+          'l_extendedprice', n, price_nulls, price_nd, price_min, price_max,
+          'l_discount', n, disc_nulls, disc_nd, disc_min, disc_max,
+          'l_tax', n, tax_nulls, tax_nd, tax_min, tax_max,
+          'l_shipdate', n, ship_epoch_nulls, ship_epoch_nd,
+                        ship_epoch_min, ship_epoch_max,
+          'l_returnflag', n, rf_nulls, rf_nd,
+                          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          'l_linestatus', n, ls_nulls, ls_nd,
+                          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        ) AS (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)"""
+    )
+    return stacked.orderBy("col_name")

@@ -166,3 +166,65 @@ def skew_salt_plan_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("share"),
     )
+
+
+@query(
+    "skew_hot_user_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot,
+                 COUNT(*) AS n_users FROM c)
+    SELECT user_id, n_events, n_types,
+           CAST(floor(n_events * 10000.0 / tot + 0.5) AS BIGINT) AS share_bp,
+           CASE WHEN n_events * n_users > 10 * tot THEN 1 ELSE 0 END AS hot
+    FROM c, t
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+)
+def skew_hot_user_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detector for the HIGH-cardinality axis: the top-10
+    users by event volume, each with its share of all traffic in
+    basis points and a `hot` flag (key carries >10× the mean per-key
+    load — the threshold at which a keyed window/groupBy partition
+    becomes a straggler and tier-2 salting in this module pays off).
+    Complements `skew_salt_plan_event_type`, which profiles the
+    low-cardinality axis; together they are the certified monitoring
+    inputs to the salting ladder.
+
+    One map-side-combinable hash-agg over user_id, one broadcast
+    one-row total, top-10 with a unique-key tie-break. At 100 TB the
+    agg output is |users| rows and the top-k is a per-partition heap
+    + tiny final sort — nothing about this plan grows with row count.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    t = c.agg(
+        F.sum("n_events").cast("long").alias("tot"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.floor(F.col("n_events") * 10000.0 / F.col("tot") + 0.5)
+            .cast("long")
+            .alias("share_bp"),
+            F.when(
+                F.col("n_events") * F.col("n_users") > 10 * F.col("tot"), 1
+            )
+            .otherwise(0)
+            .alias("hot"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )

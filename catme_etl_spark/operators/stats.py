@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, money_sum
+from ..functions.texttools import hex_prefix_long, sql_hex_long
 from ..sources.tables import load_table
 from ._shared import maybe_broadcast
 from .registry import query
@@ -1260,4 +1261,98 @@ def agg_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hi") / 100.0).alias("p95"),
             "winsorized_mean",
         )
+    )
+
+
+@query(
+    "agg_join_cardinality_audit",
+    oracle="""
+    WITH ok AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_o
+      FROM orders GROUP BY 1
+    ),
+    lk AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_l
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT ok.k, n_o * n_l AS prod,
+             {bkt} % 10 AS bkt
+      FROM ok JOIN lk USING (k)
+    ),
+    agg AS (
+      SELECT CAST(SUM(prod) AS BIGINT) AS predicted_rows,
+             CAST(SUM(prod) FILTER (bkt = 0) * 10 AS BIGINT)
+               AS sampled_est_rows
+      FROM j
+    ),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT predicted_rows, actual_rows, sampled_est_rows,
+           CAST(floor(abs(sampled_est_rows - actual_rows) * 10000.0
+                      / actual_rows + 0.5) AS BIGINT) AS sample_err_bp
+    FROM agg, act
+    """.format(bkt=sql_hex_long("md5(CAST(ok.k AS VARCHAR))", 14, 1)),
+)
+def agg_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-style join-cardinality estimation, audited against the
+    join it predicts: |orders ⋈ lineitem| is (a) computed exactly from
+    the two per-key count histograms (Σₖ n_o(k)·n_l(k) — the textbook
+    formula a cost-based optimizer evaluates), (b) estimated from a
+    deterministic 10% key sample scaled ×10 (what a planner does at
+    100 TB, where full histograms are too big), and (c) measured by
+    running the join. The output row carries all three plus the
+    sample's error in basis points — so the estimator's accuracy is
+    itself a certified, monitorable number.
+
+    The histogram route never materializes the join: two
+    map-side-combinable aggs on the join key, one co-partitioned
+    key-to-key join (|keys| rows, not |rows|), one scalar agg. The
+    actual-count leg is the real shuffle join, kept deliberately as
+    the audit target. Sampling is md5-bucket-on-key — consistent
+    (both sides keep the same keys), which is the property that makes
+    the Σ n_o·n_l estimator unbiased under key sampling.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    ok = o.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_o"))
+    lk = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    j = ok.join(lk, "k").select(
+        (F.col("n_o") * F.col("n_l")).alias("prod"),
+        (hex_prefix_long(F.md5(F.col("k").cast("string")), 14, 1) % 10).alias(
+            "bkt"
+        ),
+    )
+    agg = j.agg(
+        F.sum("prod").cast("long").alias("predicted_rows"),
+        (F.sum(F.when(F.col("bkt") == 0, F.col("prod"))) * 10)
+        .cast("long")
+        .alias("sampled_est_rows"),
+    )
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return agg.crossJoin(F.broadcast(act)).select(
+        "predicted_rows",
+        "actual_rows",
+        "sampled_est_rows",
+        F.floor(
+            F.abs(F.col("sampled_est_rows") - F.col("actual_rows"))
+            * 10000.0
+            / F.col("actual_rows")
+            + 0.5
+        )
+        .cast("long")
+        .alias("sample_err_bp"),
     )
