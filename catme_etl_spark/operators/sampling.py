@@ -337,3 +337,152 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "fold")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "sample_token_budget_apportion",
+    oracle="""
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS tok FROM documents
+    ),
+    av AS (
+      SELECT source, CAST(SUM(tok) AS BIGINT) AS avail
+      FROM d GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(avail) AS BIGINT) AS total FROM av),
+    b AS (
+      SELECT source, avail,
+             (1000000 * avail) // total AS fshare,
+             (1000000 * avail) % total AS rem
+      FROM av, t
+    ),
+    lo AS (SELECT 1000000 - CAST(SUM(fshare) AS BIGINT) AS leftover FROM b),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) - 1 AS sb
+      FROM b
+    )
+    SELECT source, avail AS avail_tokens,
+           CAST(fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM r, lo
+    ORDER BY source
+    """,
+)
+def sample_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1M-token
+    training budget across sources, proportional to each source's
+    available tokens: every source gets floor(B·avail/total), and the
+    B − Σfloor leftover tokens go one each to the largest fractional
+    remainders. Pure integer arithmetic end to end — the allocation
+    sums to EXACTLY B, the property the downstream mixture sampler
+    (`sample_temperature_mix`) needs so shard sizing never drifts.
+
+    One token-count agg over documents (map-side combinable), then
+    everything runs on |sources| rows. The remainder rank is a
+    broadcast triangular self-join (rank = |{strictly before}|), not a
+    global-orderBy window — the module-wide ban on single-partition
+    WindowExec holds even when the input is provably tiny.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).alias("tok")
+    )
+    av = d.groupBy("source").agg(F.sum("tok").cast("long").alias("avail"))
+    t = av.agg(F.sum("avail").cast("long").alias("total"))
+    b = av.crossJoin(F.broadcast(t)).select(
+        "source",
+        "avail",
+        F.expr("(1000000 * avail) div total").alias("fshare"),
+        ((1000000 * F.col("avail")) % F.col("total")).alias("rem"),
+    )
+    lo = b.agg(
+        (F.lit(1000000) - F.sum("fshare")).cast("long").alias("leftover")
+    )
+    other = b.select(
+        F.col("source").alias("source2"),
+        F.col("rem").alias("rem2"),
+    )
+    sb = (
+        b.join(
+            F.broadcast(other),
+            (F.col("rem2") > F.col("rem"))
+            | ((F.col("rem2") == F.col("rem")) & (F.col("source2") < F.col("source"))),
+            "left",
+        )
+        .groupBy("source", "avail", "fshare")
+        .agg(F.count("source2").alias("sb"))
+    )
+    return (
+        sb.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            (
+                F.col("fshare")
+                + F.when(F.col("sb") < F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pack_compaction_plan",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM documents
+    )
+    SELECT source, cum_before // 65536 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_bytes
+    FROM c
+    GROUP BY source, shard
+    ORDER BY source, shard
+    """,
+)
+def pack_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the operational sibling of
+    `pack_sequences`: documents are packed, in stable doc_id order
+    within each source, into ~64 KB output shards by cumulative-size
+    bucketing (shard = floor(bytes_before / target)). This is the
+    plan a table-maintenance job executes to rewrite a
+    many-small-files partition into evenly sized parquet files, and
+    certifying it keeps the shard arithmetic honest (every doc
+    assigned, shards contiguous, bytes conserved — Σ shard_bytes =
+    Σ n_chars by construction).
+
+    One keyed running-sum window per source (per-shard sorts, no
+    global order) and one hash-agg on the (source, shard) grid. At
+    100 TB the per-source window is the same per-shard-sort shape the
+    packing capstone uses; target size scales to 128 MB without
+    touching the plan.
+    """
+    c = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(
+            F.sum("n_chars").over(
+                Window.partitionBy("source")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cum_before"),
+    )
+    return (
+        c.groupBy("source", F.expr("cum_before div 65536").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+        )
+        .orderBy("source", "shard")
+    )

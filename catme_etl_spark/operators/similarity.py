@@ -1075,3 +1075,150 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+def _int8_topk_against(bc, k: int):
+    """mapInPandas generator: int8 symmetric scalar quantization of
+    both sides against the shared broadcast matrix, EXACT int64 dot
+    products, top-k (qdot desc, id asc) per query row. The scale is
+    derived from the broadcast corpus itself (127/max|x|), so workers
+    never need a second pass or a driver scalar."""
+    import numpy as np
+    import pandas as pd
+
+    def quant(M, max_abs):
+        return np.clip(
+            np.floor(M * 127.0 / max_abs + 0.5), -127, 127
+        ).astype(np.int64)
+
+    def gen(batches):
+        bids, bmat, _ = bc.value
+        max_abs = np.abs(bmat).max()
+        Q = quant(bmat, max_abs)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ia = pdf["vec_id"].to_numpy()
+            qa = quant(A, max_abs)
+            dot = qa @ Q.T
+            self_mask = ia[:, None] == bids[None, :]
+            dotm = np.where(self_mask, np.int64(-(1 << 62)), dot)
+            order = np.lexsort(
+                (np.broadcast_to(bids, dotm.shape), -dotm), axis=1
+            )
+            top = order[:, :k]
+            n, kk = top.shape
+            rows_idx = np.repeat(np.arange(n), kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": ia[rows_idx],
+                    "rank": np.tile(np.arange(1, kk + 1), n),
+                    "neighbor_id": bids[top].ravel(),
+                    "qdot": dotm[rows_idx, top.ravel()],
+                }
+            )
+
+    return gen
+
+
+_SQL_QDOT = (
+    "CAST(list_sum(list_transform(range(len(a.qv)), "
+    "i -> a.qv[i+1] * b.qv[i+1])) AS BIGINT)"
+)
+
+
+@query(
+    "sim_int8_quant_recall",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(list_max(list_transform(embedding,
+               v -> abs(CAST(v AS DOUBLE))))) AS max_abs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, v ->
+               CAST(GREATEST(-127.0, LEAST(127.0,
+                 floor(CAST(v AS DOUBLE) * 127.0 / max_abs + 0.5)))
+               AS BIGINT)) AS qv
+      FROM embeddings, mx
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_SQL_QDOT} AS qdot
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    qtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_AB} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT COUNT(DISTINCT query_id) FROM brute) AS n_queries,
+           (SELECT COUNT(*) FROM brute) AS n_truth,
+           (SELECT COUNT(*) FROM qtop JOIN brute
+              USING (query_id, neighbor_id)) AS n_hits,
+           floor((CAST((SELECT COUNT(*) FROM qtop JOIN brute
+                          USING (query_id, neighbor_id)) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM brute)) * 1000000 + 0.5)
+             / 1000000 AS recall_at_{TOP_K}
+    """,
+)
+def sim_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recall@{TOP_K} of int8 symmetric scalar quantization —
+    the memory-compression tier the SRP/IVF audits don't cover: store
+    4 B/vec-dim as 1 B (plus one global scale 127/max|x|), rank by
+    integer dot product, and measure exactly what the rounding costs
+    against the float brute-force truth. Because quantization is
+    floor(x·127/max+0.5) — deterministic, engine-identical IEEE
+    arithmetic — and the quantized scores are EXACT int64, the recall
+    is an oracle-checked VALUE like its SRP/IVF siblings, not a
+    bound. At 100 TB this is the tier that keeps a 25 GB shard of
+    fp32 embeddings in 6 GB of executor memory; the audit number is
+    what you check before turning it on.
+
+    Same blocked-kernel shape as `sim_topk_bruteforce` (shared
+    broadcast matrix, Arrow batches, int64 matmul per block); truth
+    side IS the certified brute-force query, so the audit adds one
+    (query, neighbor) equi-join and three counts. Sampled query panel
+    at open-ended scale, same shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    qtop = fan_out(emb, spark).mapInPandas(
+        _int8_topk_against(bc, TOP_K),
+        schema="query_id long, rank long, neighbor_id long, qdot long",
+    ).select("query_id", "neighbor_id")
+    brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = qtop.join(brute, ["query_id", "neighbor_id"])
+    return (
+        brute.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            (
+                F.floor(
+                    (F.col("n_hits").cast("double") / F.col("n_truth"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+    )
