@@ -131,6 +131,16 @@ HEADLINE = [
     "text_zipf_fit_audit",
     "agg_winsorized_mean_price",
     "events_interarrival_stats",
+    # round-6b additions
+    "events_retention_cohorts",
+    "quality_table_profile",
+    "skew_hot_user_report",
+    "agg_join_cardinality_audit",
+    "sample_token_budget_apportion",
+    "pack_compaction_plan",
+    "sim_int8_quant_recall",
+    "sim_pq_adc_recall",
+    "quality_psi_drift",
 ]
 
 
