@@ -846,30 +846,38 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no reference analogue — the events table is the contract's
     behavioral extension).
 
-    Plan: one distinct over (user, week) — the only pass over the raw
-    events — then user-keyed min + self-join, both shuffling on
-    user_id so AQE coalesces them into one exchange reuse; the final
-    rollup groups on the tiny (cohort, offset) grid. At 100 TB the
-    (user, week) distinct is the map-side-combinable heavy hitter and
-    everything after it runs on |users| rows, not |events|. Weeks are
-    integer epoch buckets (floor(unix/604800)) — `unix_timestamp`
-    truncation matches the oracle's floor(epoch(ts)) exactly.
+    Plan: the raw events shuffle ONCE — a single user-keyed
+    `collect_set(week)` (map-side partial set merge; set size is
+    bounded by the timeline's week count, not by event volume), from
+    which the cohort week is `array_min` and the offsets explode
+    per-user — then two rollups on the tiny (cohort[, offset]) grids
+    and a broadcast join. At 100 TB this is one |events|-scale
+    exchange instead of the naive distinct + min + self-join's two
+    exchanges and a join. Weeks are integer epoch buckets
+    (floor(unix/604800)) — `unix_timestamp` truncation matches the
+    oracle's floor(epoch(ts)) exactly.
     """
     e = _events(spark, sf_dir)
-    wk = (
+    per_user = (
         e.select(
             "user_id",
             F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
         )
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+        .select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
     )
-    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    cohort_n = first.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    cohort_n = per_user.filter(F.col("week") == F.col("cohort_week")).groupBy(
+        "cohort_week"
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
     act = (
-        wk.join(first, "user_id")
-        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        per_user.select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
         .filter(F.col("week_offset").between(0, 7))
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))

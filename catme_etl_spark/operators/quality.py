@@ -705,24 +705,31 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`agg_ks_drift_halves`): KS detects shape shift on the ECDF, PSI
     weights WHERE the mass moved and is additive over bins.
 
-    Two metadata aggs (global midpoint, per-type range — both tiny
-    broadcasts), then ONE pass over events into the (type, half, bin)
-    grid and two grid-sized rollups; the timeline split is integer
-    epoch arithmetic (`unix_timestamp` truncation = oracle's
-    floor(epoch)). Degenerate constant-valued types are dropped by
-    the HAVING guard on both engines.
+    One metadata agg over events (per-type value range AND epoch
+    bounds in the same map-side-combinable pass; the global timeline
+    midpoint derives from the per-type bounds on the 5-row result —
+    min-of-mins/max-of-maxes), then ONE pass into the (type, half,
+    bin) grid and two grid-sized rollups — two |events|-scale scans
+    total, both broadcast-fed. The timeline split is integer epoch
+    arithmetic (`unix_timestamp` truncation = oracle's floor(epoch)).
+    Degenerate constant-valued types are dropped by the range guard
+    on both engines.
     """
     e = load_table(spark, sf_dir, "events")
-    t = e.agg(
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.unix_timestamp(F.min("ts")).alias("min_ep"),
+        F.unix_timestamp(F.max("ts")).alias("max_ep"),
+    )
+    t = stats.agg(
         F.expr(
-            "(CAST(floor(unix_timestamp(min(ts))) AS BIGINT)"
-            " + CAST(floor(unix_timestamp(max(ts))) AS BIGINT)) div 2"
+            "(CAST(min(min_ep) AS BIGINT) + CAST(max(max_ep) AS BIGINT))"
+            " div 2"
         ).alias("mid")
     )
-    r = (
-        e.groupBy("event_type")
-        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-        .filter(F.col("vmax") > F.col("vmin"))
+    r = stats.select("event_type", "vmin", "vmax").filter(
+        F.col("vmax") > F.col("vmin")
     )
     binned = (
         e.join(F.broadcast(r), "event_type")
