@@ -196,3 +196,30 @@ def test_psi_detects_crafted_shift(spark, tmp_path):
         tuple(r) for r in quality_psi_drift(spark, str(tmp_path)).collect()
     )
     assert spark_rows == sorted(tuple(r) for r in oracle)
+
+
+def test_psi_reuses_stats_exchange(spark, sf_dir):
+    """The per-type stats subtree feeds both the midpoint rollup and
+    the range filter; at runtime AQE must REUSE that exchange so
+    events is scanned twice total (stats + binning), not three times
+    — the point of deriving the global midpoint from the per-type
+    bounds."""
+    from catme_etl_spark.operators.quality import quality_psi_drift
+    from catme_etl_spark.plans.explain import executed_plan_str
+
+    df = quality_psi_drift(spark, sf_dir)
+    df.collect()
+    assert "ReusedExchange" in executed_plan_str(df)
+
+
+def test_retention_has_no_events_scale_join(spark, sf_dir):
+    """The collect_set form must not plan a sort-merge join: the only
+    |events|-scale movement is the single user-keyed aggregation
+    exchange; everything joined afterwards is grid-sized and
+    broadcast."""
+    from catme_etl_spark.operators.events import events_retention_cohorts
+    from catme_etl_spark.plans.explain import executed_plan_str
+
+    plan = executed_plan_str(events_retention_cohorts(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
