@@ -141,6 +141,7 @@ HEADLINE = [
     "sim_int8_quant_recall",
     "sim_pq_adc_recall",
     "quality_psi_drift",
+    "pipeline_drift_gate",
 ]
 
 

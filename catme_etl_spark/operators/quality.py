@@ -780,3 +780,70 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# composed drift gate: needs both member oracles registered
+from . import stats as _stats  # noqa: E402  (registers agg_ks_drift_halves)
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+_KS_CRIT = "1.628 * sqrt((n_a + n_b) / (1.0 * n_a * n_b))"
+
+
+@query(
+    "pipeline_drift_gate",
+    oracle=f"""
+    SELECT p.event_type, p.psi_r4, k.ks_d,
+           floor({_KS_CRIT} * 1000000 + 0.5) / 1000000 AS ks_crit,
+           CASE WHEN p.psi_r4 >= 0.25 OR k.ks_d > {_KS_CRIT} THEN 'hold'
+                WHEN p.psi_r4 >= 0.1 THEN 'watch'
+                ELSE 'ship' END AS verdict
+    FROM ({{psi}}) p
+    JOIN ({{ks}}) k USING (event_type)
+    ORDER BY p.event_type
+    """.format(
+        psi=_ORACLE["quality_psi_drift"], ks=_ORACLE["agg_ks_drift_halves"]
+    ),
+)
+def pipeline_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift DECISION, not just the drift numbers: per event
+    type, the PSI (where the mass moved) and the KS statistic (how
+    far the ECDFs separate) combine into a ship / watch / hold
+    verdict — `hold` when PSI crosses the industry retrain threshold
+    (0.25) or KS-D exceeds its α=0.01 critical value
+    1.628·√((n_a+n_b)/(n_a·n_b)), `watch` in the PSI 0.1–0.25 band,
+    `ship` otherwise. This is the artifact a nightly data-quality run
+    actually publishes: both member statistics are themselves
+    certified queries, and the gate is one 5-row join + CASE on top,
+    so the whole decision lineage is oracle-checked end to end
+    (composed-pipeline pattern of `pipeline_training_export`).
+
+    The KS critical value is the same IEEE double expression on both
+    engines (sqrt of a ratio of exact counts); the verdict compares
+    the ALREADY-ROUNDED member statistics, so no new float surface is
+    introduced. Cost: the two member plans (each two |events|-scale
+    scans, broadcast-fed) plus a 5-row join — nothing new moves at
+    100 TB.
+    """
+    from .stats import agg_ks_drift_halves
+
+    p = quality_psi_drift(spark, sf_dir).select("event_type", "psi_r4")
+    k = agg_ks_drift_halves(spark, sf_dir).select(
+        "event_type", "n_a", "n_b", "ks_d"
+    )
+    crit = F.expr(_KS_CRIT)
+    return (
+        p.join(k, "event_type")
+        .select(
+            "event_type",
+            "psi_r4",
+            "ks_d",
+            (F.floor(crit * 1000000 + F.lit(0.5)) / 1000000).alias("ks_crit"),
+            F.when(
+                (F.col("psi_r4") >= 0.25) | (F.col("ks_d") > crit), "hold"
+            )
+            .when(F.col("psi_r4") >= 0.1, "watch")
+            .otherwise("ship")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
