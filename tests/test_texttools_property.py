@@ -1,0 +1,103 @@
+"""Property tests for the tokenization/shingling kernels — these feed
+every MinHash/SimHash/containment operator, so their equivalences are
+load-bearing claims, not implementation details:
+
+- ``word_shingles(text, k)`` (one lookahead-regex pass) promises
+  IDENTICAL output to ``shingles(tokens(text), k)`` (tokenize +
+  transform) in its docstring; hypothesis drives token counts, token
+  shapes, and k across the boundary cases (n < k, n == k, unicode).
+- ``hex_prefix_long`` promises a non-negative int64 for any ≤15-hex
+  prefix — the invariant the banding arithmetic silently relies on.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# printable non-space tokens (shingling is whitespace-defined; the
+# fixtures are single-space normalized, which load paths guarantee)
+_token = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=" \t\n\r\x00"
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toks=st.lists(_token, min_size=1, max_size=12), k=st.integers(1, 5))
+def test_word_shingles_equals_tokenize_then_shingle(spark, toks, k):
+    """On NON-EMPTY single-space text the two paths are identical
+    (the docstring's claim, now property-checked). Empty text is the
+    one pinned divergence — see the dedicated test below."""
+    from catme_etl_spark.functions.texttools import (
+        shingles,
+        tokens,
+        word_shingles,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        word_shingles("text", k=k).alias("a"),
+        shingles(tokens("text"), k=k).alias("b"),
+    ).collect()[0]
+    assert got.a == got.b
+    # and both agree with the obvious python reference
+    pytoks = text.split(" ")
+    expect = (
+        [" ".join(pytoks[i : i + k]) for i in range(len(pytoks) - k + 1)]
+        if len(pytoks) >= k
+        else []
+    )
+    assert got.a == expect
+
+
+def test_empty_text_shingle_divergence_is_pinned(spark):
+    """Hypothesis found this: ``F.split('', ' ')`` yields ``['']``
+    (one empty token), so ``shingles(tokens(''), 1) == ['']`` while
+    ``word_shingles('', 1) == []`` — the regex path correctly emits
+    nothing. No operator calls the tokenize-then-shingle path on raw
+    text (grep: all shingling goes through ``word_shingles``), so no
+    certified result is affected; this test pins the divergence so a
+    future caller of the slow path on possibly-empty text trips HERE
+    first. The right round-7 fix is filtering empty tokens inside
+    ``tokens()`` — a fingerprint-wide change that must lead a round,
+    not trail one."""
+    from catme_etl_spark.functions.texttools import (
+        shingles,
+        tokens,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([("",)], "text string")
+    got = df.select(
+        word_shingles("text", k=1).alias("a"),
+        shingles(tokens("text"), k=1).alias("b"),
+    ).collect()[0]
+    assert got.a == []
+    assert got.b == [""]  # the pinned wart
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(s=st.text(min_size=0, max_size=40), n_hex=st.integers(1, 15))
+def test_hex_prefix_long_nonnegative_int64(spark, s, n_hex):
+    from catme_etl_spark.functions.texttools import hex_prefix_long
+
+    df = spark.createDataFrame([(s,)], "s string")
+    v = df.select(
+        hex_prefix_long(F.md5("s"), n_hex, 1).alias("v")
+    ).collect()[0].v
+    assert v is not None and 0 <= v < (1 << (4 * n_hex))
