@@ -17,11 +17,13 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
-# printable non-space tokens (shingling is whitespace-defined; the
-# fixtures are single-space normalized, which load paths guarantee)
+# tokens free of JAVA-REGEX whitespace (\s = [ \t\n\x0B\f\r] — Spark
+# compiles \S+ with Java defaults, NOT Unicode-aware), the contract
+# the single-space-normalized fixtures guarantee; a token containing
+# e.g. \f is split-visible but regex-invisible — pinned below
 _token = st.text(
     alphabet=st.characters(
-        codec="utf-8", exclude_characters=" \t\n\r\x00"
+        codec="utf-8", exclude_characters=" \t\n\x0b\x0c\r\x00"
     ),
     min_size=1,
     max_size=8,
@@ -85,6 +87,17 @@ def test_empty_text_shingle_divergence_is_pinned(spark):
     ).collect()[0]
     assert got.a == []
     assert got.b == [""]  # the pinned wart
+
+    # second pinned class (also hypothesis-found): ASCII control
+    # whitespace INSIDE a token — literal-space split keeps '\f' as a
+    # token, Java-regex \S+ skips it
+    df2 = spark.createDataFrame([("\x0c",)], "text string")
+    got2 = df2.select(
+        word_shingles("text", k=1).alias("a"),
+        shingles(tokens("text"), k=1).alias("b"),
+    ).collect()[0]
+    assert got2.a == []
+    assert got2.b == ["\x0c"]
 
 
 @settings(
