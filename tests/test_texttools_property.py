@@ -114,3 +114,27 @@ def test_hex_prefix_long_nonnegative_int64(spark, s, n_hex):
         hex_prefix_long(F.md5("s"), n_hex, 1).alias("v")
     ).collect()[0].v
     assert v is not None and 0 <= v < (1 << (4 * n_hex))
+
+
+def test_minhash_family_constants_invariants():
+    """The Carter-Wegman constants' load-bearing properties (the
+    estimator audit caught the correlated-family bug this family
+    replaced — these assertions keep it dead): a_s never 0 mod p
+    (h would collapse to a constant), all (a, b) pairs distinct
+    (pairwise independence needs distinct seeds), and the a·x product
+    bound that keeps the Spark/DuckDB arithmetic int64-exact."""
+    from catme_etl_spark.functions.texttools import (
+        MINHASH_P,
+        minhash_constants,
+    )
+
+    consts = minhash_constants(64)
+    assert len(set(consts)) == 64
+    for a, b in consts:
+        assert 1 <= a <= MINHASH_P - 1
+        assert 0 <= b <= MINHASH_P - 1
+        # max product a*x with x < p stays under 2^62 (int64-exact)
+        assert a * (MINHASH_P - 1) < (1 << 62)
+    # determinism: same constants on every call (they embed as plan
+    # literals AND oracle literals — drift would split the engines)
+    assert consts == minhash_constants(64)
