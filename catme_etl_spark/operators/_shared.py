@@ -143,10 +143,22 @@ def _table_bytes(sf_dir: str, table: str) -> int:
     """On-disk bytes of a table — a single parquet file or a
     (possibly partitioned) directory. Pure filesystem metadata: the
     probe costs zero Spark jobs, which is what lets every gated query
-    check its build side on every run."""
+    check its build side on every run.
+
+    An UNPROBEABLE path raises instead of returning 0: os.walk on a
+    nonexistent path yields nothing, so returning 0 would make
+    ``maybe_broadcast`` fail OPEN — a layout change or table-name typo
+    would silently re-pin the unconditional broadcast hint, the exact
+    OOM failure mode the gate exists to prevent. The caller catches
+    and falls back to the unhinted plan (fail CLOSED)."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isfile(path):
         return os.path.getsize(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"broadcast size probe: {path!r} is neither a parquet file "
+            "nor a directory — cannot measure the build side"
+        )
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -187,7 +199,12 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, table: str,
                 "CATME_BROADCAST_BUDGET_BYTES", str(BROADCAST_BUDGET_DEFAULT)
             )
         )
-    if _table_bytes(sf_dir, table) <= budget_bytes:
+    try:
+        probed = _table_bytes(sf_dir, table)
+    except FileNotFoundError:
+        # unprobeable table → fail CLOSED: no hint, let AQE decide
+        return df
+    if probed <= budget_bytes:
         return F.broadcast(df)
     return df
 

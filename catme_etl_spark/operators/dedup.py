@@ -662,7 +662,7 @@ def _simhash_sql_cte() -> str:
     )
     return f"""
   tok AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents
   ),
   hashed AS (SELECT doc_id, {h} AS h FROM tok),
   weights AS (
@@ -1212,8 +1212,8 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH comp AS ({_CC_ORACLE}),
     q AS (
       SELECT doc_id,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS ratio
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), t -> t <> '')) AS ratio
       FROM documents
     ),
     j AS (
@@ -1279,8 +1279,8 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH comp AS ({_CC_ORACLE}),
     q AS (
       SELECT doc_id,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS ratio
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), t -> t <> '')) AS ratio
       FROM documents
     ),
     j AS (
@@ -1356,9 +1356,9 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH comp AS ({_CC_ORACLE}),
     q AS (
       SELECT doc_id,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS ratio,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), t -> t <> '')) AS ratio,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     r AS (

@@ -663,9 +663,12 @@ def events_conversion_latency_quartiles(
         100_000,
         what="latency minute-bucket grid",
         hint=(
-            "the view→purchase latency range exceeds ~190 years of "
-            "minutes — the events table has corrupt timestamps; clean "
-            "them rather than raising the bound"
+            "the view→purchase latency range spans more than 100,000 "
+            "distinct minutes (~69 days) — a latency-range sanity cap: "
+            "either the events table has corrupt timestamps (clean them) "
+            "or latencies genuinely span months, in which case raise the "
+            "cap AND widen the bucket unit past minutes so the bucket "
+            "grid stays small"
         ),
     )
     off = (

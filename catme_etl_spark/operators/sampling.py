@@ -225,7 +225,7 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     packed AS (
@@ -343,7 +343,7 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_token_budget_apportion",
     oracle="""
     WITH d AS (
-      SELECT source, len(string_split(text, ' ')) AS tok FROM documents
+      SELECT source, len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok FROM documents
     ),
     av AS (
       SELECT source, CAST(SUM(tok) AS BIGINT) AS avail

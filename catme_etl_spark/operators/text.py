@@ -26,10 +26,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            LENGTH(text)                                   AS n_chars_actual,
-           CAST(len(string_split(text, ' ')) AS BIGINT)   AS n_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)   AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
            ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                 / len(string_split(text, ' ')), 4)       AS avg_token_len
+                 / len(list_filter(string_split(text, ' '), t -> t <> '')), 4)       AS avg_token_len
     FROM documents
     """,
 )
@@ -55,9 +55,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-             CAST(len(list_filter(string_split(text, ' '),
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
                   x -> x IN ('the', 'a'))) AS BIGINT)     AS n_stop,
              LENGTH(text)                                 AS n_chars
       FROM documents
@@ -115,9 +115,9 @@ _LANG_MARKERS = {
 def _lang_scores_sql() -> str:
     parts = [
         (
-            f"ROUND(CAST(len(list_filter(string_split(text,' '), x -> x IN "
+            f"ROUND(CAST(len(list_filter(list_filter(string_split(text,' '), t -> t <> ''), x -> x IN "
             f"({', '.join(repr(w) for w in ws)}))) AS DOUBLE)"
-            f" / len(string_split(text,' ')), 6) AS score_{lang}"
+            f" / len(list_filter(string_split(text,' '), t -> t <> '')), 6) AS score_{lang}"
         )
         for lang, ws in _LANG_MARKERS.items()
     ]
@@ -200,7 +200,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_top_tokens",
     oracle="""
     SELECT t AS token, COUNT(*) AS n
-    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents)
     GROUP BY t
     ORDER BY n DESC, token
     LIMIT 20
@@ -249,8 +249,8 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT doc_id, lang, source, text,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct
       FROM documents
     ),
     passed AS (
@@ -302,7 +302,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count_bpe_ish",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT)            AS ws_tokens,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)            AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
                AS bpe_ish_tokens
     FROM documents
@@ -360,7 +360,7 @@ def text_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_terms",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents
     ),
     tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
     df AS (
@@ -477,7 +477,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_stats",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents
     ),
     cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
     tops AS (
@@ -639,7 +639,7 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(32, len(toks) - i) AS BIGINT)        AS n_tok,
            md5(array_to_string(list_slice(toks, i + 1,
                least(i + 32, len(toks))), ' '))            AS chunk_hash
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) x,
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents) x,
          UNNEST(range(0, len(toks), 24)) AS t(i)
     WHERE doc_id < 200
     """,
@@ -680,7 +680,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.source,
              md5(array_to_string(list_slice(toks, i + 1,
                  least(i + 32, len(toks))), ' ')) AS h
-      FROM (SELECT source, string_split(text, ' ') AS toks
+      FROM (SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
             FROM documents) d,
            UNNEST(range(0, len(toks), 32)) AS t(i)
     ),
@@ -738,7 +738,7 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents
     ),
     vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
     n AS (SELECT COUNT(*) AS n FROM tok)
@@ -793,7 +793,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bigram_logprob",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents
     ),
     uni AS (
       SELECT doc_id, unnest(tk) AS t FROM toks
@@ -999,7 +999,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_logprob_bins",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents
     ),
     vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
     n AS (SELECT COUNT(*) AS n FROM tok),
@@ -1064,7 +1064,7 @@ def text_logprob_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_vocab_growth_heaps",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents
     ),
     fo AS (SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY t),
     mx AS (SELECT MAX(doc_id) AS m FROM documents),
@@ -1126,7 +1126,7 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_zipf_fit_audit",
     oracle="""
     WITH tok AS (
-      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents
     ),
     c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
     top AS (SELECT t, c FROM c ORDER BY c DESC, t LIMIT 100),

@@ -566,7 +566,8 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q2_min_price_supplier",
     oracle="""
     WITH offers AS (
-      SELECT p_partkey, s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal,
+      SELECT p_partkey, s_suppkey, s_name,
+             floor(s_acctbal * 100 + 0.5) / 100 AS s_acctbal,
              n_name, l_extendedprice / l_quantity AS unit_price
       FROM lineitem
       JOIN part     ON l_partkey = p_partkey
@@ -576,7 +577,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
     )
     SELECT DISTINCT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
-           ROUND(unit_price, 4) AS min_unit_price
+           floor(unit_price * 10000 + 0.5) / 10000 AS min_unit_price
     FROM (
       SELECT *, MIN(unit_price) OVER (PARTITION BY p_partkey) AS min_p
       FROM offers
@@ -590,7 +591,11 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     'offers'): for each STANDARD size-15 part, the European supplier(s)
     that shipped it cheapest per unit. The correlated MIN decorrelates
     into a window over p_partkey; equality compares the identical IEEE
-    division both engines computed, so no float flake."""
+    division both engines computed, so no float flake. Display rounding
+    uses the repo's half-away ``floor(x·10^k + 0.5)/10^k`` written
+    identically on both engines — Spark ``F.round`` vs DuckDB ``ROUND``
+    disagree on binary ties (a real 4th-decimal tie at sf0.001 caught
+    this in round 7)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
@@ -615,7 +620,9 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "s_suppkey",
             "s_name",
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            (F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)) / 100).alias(
+                "s_acctbal"
+            ),
             "n_name",
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         )
@@ -630,7 +637,9 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "s_acctbal",
             "n_name",
-            F.round("unit_price", 4).alias("min_unit_price"),
+            (
+                F.floor(F.col("unit_price") * 10000 + F.lit(0.5)) / 10000
+            ).alias("min_unit_price"),
         )
         .distinct()
         .orderBy(

@@ -63,34 +63,36 @@ def test_word_shingles_equals_tokenize_then_shingle(spark, toks, k):
     assert got.a == expect
 
 
-def test_empty_text_shingle_divergence_is_pinned(spark):
-    """Hypothesis found this: ``F.split('', ' ')`` yields ``['']``
-    (one empty token), so ``shingles(tokens(''), 1) == ['']`` while
-    ``word_shingles('', 1) == []`` — the regex path correctly emits
-    nothing. No operator calls the tokenize-then-shingle path on raw
-    text (grep: all shingling goes through ``word_shingles``), so no
-    certified result is affected; this test pins the divergence so a
-    future caller of the slow path on possibly-empty text trips HERE
-    first. The right round-7 fix is filtering empty tokens inside
-    ``tokens()`` — a fingerprint-wide change that must lead a round,
-    not trail one."""
+def test_empty_text_shingle_divergence_fixed_r7(spark):
+    """Round-6 hypothesis run found ``F.split('', ' ') == ['']`` (one
+    phantom empty token), making ``shingles(tokens(''), 1) == ['']``
+    while ``word_shingles('', 1) == []``. Round 7 closed it the pinned
+    way: ``tokens()`` now ``array_remove``s empty tokens, so empty
+    text (and doubled/leading/trailing spaces) tokenize to what the
+    regex path sees. This test asserts the FIX holds on the empty,
+    all-space, and doubled-space shapes."""
     from catme_etl_spark.functions.texttools import (
         shingles,
         tokens,
         word_shingles,
     )
 
-    df = spark.createDataFrame([("",)], "text string")
-    got = df.select(
-        word_shingles("text", k=1).alias("a"),
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("a  b",)], "text string"
+    )
+    for row in df.select(
+        "text",
+        tokens("text").alias("t"),
         shingles(tokens("text"), k=1).alias("b"),
-    ).collect()[0]
-    assert got.a == []
-    assert got.b == [""]  # the pinned wart
+    ).collect():
+        assert "" not in row.t, row
+        assert row.b == [x for x in row.text.split(" ") if x], row
 
-    # second pinned class (also hypothesis-found): ASCII control
-    # whitespace INSIDE a token — literal-space split keeps '\f' as a
-    # token, Java-regex \S+ skips it
+    # still-pinned divergence class (hypothesis-found, out of the
+    # single-space-normalized corpus domain): ASCII control whitespace
+    # INSIDE a token — literal-space split keeps '\f' as a token,
+    # Java-regex \S+ skips it. tokens() only removes EMPTY tokens, so
+    # '\f' survives the split path.
     df2 = spark.createDataFrame([("\x0c",)], "text string")
     got2 = df2.select(
         word_shingles("text", k=1).alias("a"),

@@ -215,8 +215,13 @@ harness canaries. Untouched names spill over in their prior order, so
 certified history stays meaningful. ``tests/test_ordering.py`` asserts
 this list equals the tool's output.
 
-Forced into the round-6 window ({nforced} changed/new names): see
-``python tools/rotation.py window``.
+This header intentionally carries NO live forced-name count: the count
+at emit time reflects only the diff vs the last committed snapshot (a
+late-round incremental emit can read "1 changed" after a blast-radius
+of ~50), which would misrepresent the round's blast radius in the
+audit trail. The authoritative per-round forced set is ``python
+tools/rotation.py window`` run against the round-START committed
+``tools/rotation_state.json``.
 """
 
 SWEEP_ORDER = [
@@ -225,7 +230,7 @@ SWEEP_ORDER = [
 
 def emit(write: bool) -> str:
     order, forced = compute_sweep_order()
-    lines = [HEADER.format(slots=WINDOW_SLOTS, nforced=len(forced))]
+    lines = [HEADER.format(slots=WINDOW_SLOTS)]
     for i, n in enumerate(order):
         if i == WINDOW_SLOTS:
             lines.append(
