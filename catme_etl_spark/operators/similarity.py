@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import make_cosine_pandas_udf, sql_cosine
 from ..sources.tables import load_table
-from ._shared import fan_out, shared_broadcast, shared_matrix_broadcast
+from ._shared import (
+    fan_out,
+    require_bounded,
+    shared_broadcast,
+    shared_matrix_broadcast,
+)
 from .registry import query
 
 TOP_K = 5
@@ -903,6 +908,174 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nr").alias("survivor_norm"),
         )
         .filter(F.col("n_members") >= 2)
+    )
+
+
+def _srp_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED SRP band index: ``(vec_id, b, bval)`` for every
+    corpus vector — the embedding-tier analog of the MinHash band
+    index `dedup_minhash_incremental` probes. Session-shared: built
+    once (one narrow scan computing the 16-bit signature in codegen),
+    then every nightly ingest probes it without re-banding — and
+    crucially without ever self-joining — the corpus. Kept separate
+    from :func:`_srp_candidates` (which feeds the corpus×corpus
+    dedup path): the index is the durable artifact, the candidate
+    self-join is one of its consumers' strategies; both derive their
+    planes from the same ``_srp_weight`` md5 grid, so signatures are
+    identical by construction (asserted in
+    ``tests/test_round7_ops.py``)."""
+
+    def build() -> DataFrame:
+        from ..functions.vector import dim_of
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        dim = dim_of(emb)
+        key_sql = " + ".join(
+            "(CASE WHEN ("
+            + " + ".join(
+                f"CAST(element_at(embedding, {d + 1}) AS DOUBLE) * "
+                f"({_srp_weight(p, d)})"
+                for d in range(dim)
+            )
+            + f") >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(_SRP_PLANES)
+        )
+        sig = fan_out(emb, spark).select(
+            "vec_id", F.expr(key_sql).alias("key")
+        )
+        return sig.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SRP_BANDS - 1))).alias("b"),
+            F.expr(
+                f"shiftright(key, {_SRP_BAND_BITS} * b)"
+                f" & {(1 << _SRP_BAND_BITS) - 1}"
+            ).alias("bval"),
+        )
+
+    from ._shared import shared_df
+
+    return shared_df("srp_bands", sf_dir, spark, build)
+
+
+@query(
+    "pipeline_semantic_ingest",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {_SRP_KEY_SQL} AS key
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b,
+             (key >> ({_SRP_BAND_BITS} * b)) & {(1 << _SRP_BAND_BITS) - 1} AS bval
+      FROM proj, (SELECT unnest(range({_SRP_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(a.vec_id, n.vec_id) AS vec_a,
+             GREATEST(a.vec_id, n.vec_id) AS vec_b
+      FROM bands a JOIN bands n
+        ON a.b = n.b AND a.bval = n.bval AND a.vec_id <> n.vec_id
+      WHERE n.vec_id % 10 = 9
+    ),
+    dup AS (
+      SELECT vec_a, vec_b FROM cand
+      JOIN embeddings ea ON ea.vec_id = vec_a
+      JOIN embeddings eb ON eb.vec_id = vec_b
+      WHERE ROUND({sql_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    ),
+    rej AS (
+      SELECT DISTINCT CASE
+               WHEN vec_a % 10 = 9 AND vec_b % 10 <> 9 THEN vec_a
+               ELSE vec_b
+             END AS vec_id
+      FROM dup
+    )
+    SELECT e.vec_id, e.label,
+           CAST(len(e.embedding) AS BIGINT) AS n_dims
+    FROM embeddings e
+    WHERE e.vec_id % 10 = 9
+      AND e.vec_id NOT IN (SELECT vec_id FROM rej)
+    """,
+)
+def pipeline_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup NIGHTLY-INGEST composition — the embedding-tier
+    sibling of `pipeline_dedup_ingest`: a new batch of vectors
+    (``vec_id % 10 == 9``, the repo's ingest stand-in) is admitted
+    only if it survives semantic near-dup screening against the
+    corpus, by probing the PERSISTED SRP band index
+    (:func:`_srp_bands`) with the batch's band keys — the corpus is
+    never re-banded and never self-joins, so per-ingest cost is
+    O(batch), independent of corpus size.
+
+    Rules mirror the lexical ingest exactly: a new vector whose
+    exact cosine to ANY existing corpus vector is ≥ 0.4 is rejected
+    unconditionally; within the batch, first-wins (lower vec_id
+    admitted, higher rejected). The probe side is budget-enforced
+    and BROADCAST (an over-sized batch fails fast with the
+    partitioned-probe fallback named); candidates verify by the same
+    Arrow-batched exact cosine the SRP pairs query certifies. The
+    admitted rows are what a real pipeline appends to the vector
+    store and hands to the index updater (their band rows append to
+    the same index — proven durable/equal in
+    ``tests/test_round7_ops.py``)."""
+    bands = _srp_bands(spark, sf_dir)
+    new = bands.filter(F.col("vec_id") % 10 == 9).select(
+        F.col("vec_id").alias("vec_n"),
+        F.col("b").alias("b_n"),
+        F.col("bval").alias("bval_n"),
+    )
+    require_bounded(
+        new,
+        what="pipeline_semantic_ingest new-batch band keys",
+        hint=(
+            "The broadcast probe assumes an ingest-sized batch; for a "
+            "batch this large drop the F.broadcast hint and run the same "
+            "(b, bval) equi-join as a partitioned shuffle join against "
+            "the persisted SRP index — identical semantics, only the "
+            "probe strategy changes."
+        ),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(new),
+            (F.col("b") == F.col("b_n"))
+            & (F.col("bval") == F.col("bval_n"))
+            & (F.col("vec_id") != F.col("vec_n")),
+        )
+        .select(
+            F.least("vec_id", "vec_n").alias("vec_a"),
+            F.greatest("vec_id", "vec_n").alias("vec_b"),
+        )
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    cos_udf = make_cosine_pandas_udf()
+    dup = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_raw", cos_udf("emb_a", "emb_b"))
+        .filter(F.round("cos_raw", 6) >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+    new_a = F.col("vec_a") % 10 == 9
+    new_b = F.col("vec_b") % 10 == 9
+    rejected = dup.select(
+        F.when(new_a & ~new_b, F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+        .alias("vec_id")
+    ).distinct()
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+    return batch.join(rejected, "vec_id", "left_anti").select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
     )
 
 

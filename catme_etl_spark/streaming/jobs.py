@@ -642,3 +642,259 @@ def stream_histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("long").alias("bin"),
         F.col("n_str").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift gate (round-7 item #4): the PSI verdict per micro-batch.
+# ---------------------------------------------------------------------------
+
+
+def drift_current_histogram(binned: DataFrame) -> DataFrame:
+    """The mergeable-state core of the streaming drift gate: per
+    ``event_type``, a dense 10-bin histogram of the CURRENT window
+    maintained across micro-batches via ``applyInPandasWithState``
+    (the `stream_histogram_value_bins` state shape, reference-edge
+    bins instead of fixed $5 bins). Input is any stream exposing
+    ``(event_type string, bin long)`` with bin already clamped to
+    [0, 9] — binning happens BEFORE the stateful operator (a
+    stream-static join against the reference profile), so the state
+    fn never sees raw values and state stays a constant 10 longs +
+    1 count per key. Emits the running (n_total, bins_csv) snapshot
+    per key per trigger — each micro-batch yields a fresh drift
+    verdict downstream, which is the thing a 100 TB ingest actually
+    pages on. Kill-and-restart safe: state lives in the checkpoint
+    (proven for this exact state shape in
+    ``tests/test_round7_ops.py``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def hist(key, pdfs, state):
+        (bins_list, n_total) = (
+            state.get if state.exists else ([0] * 10, 0)
+        )
+        bins = np.array(bins_list, dtype="int64")
+        for pdf in pdfs:
+            b = pdf["bin"].to_numpy().astype("int64")
+            bins += np.bincount(b, minlength=10).astype("int64")
+            n_total += len(pdf)
+        state.update((bins.tolist(), n_total))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_total": [n_total],
+                "bins_csv": [",".join(str(int(x)) for x in bins)],
+            }
+        )
+
+    return binned.groupBy("event_type").applyInPandasWithState(
+        hist,
+        outputStructType="event_type string, n_total long, bins_csv string",
+        stateStructType="bins array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_PSI_BIN_SQL = (
+    "CAST(LEAST(9, GREATEST(0, floor((ev.value - vmin) * 10 / (vmax - vmin))))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "stream_drift_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT (CAST(floor(MIN(epoch(ts))) AS BIGINT)
+              + CAST(floor(MAX(epoch(ts))) AS BIGINT)) // 2 AS mid
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax,
+             CAST(COUNT(*) AS BIGINT) AS ta
+      FROM events, t
+      WHERE floor(epoch(ts)) < mid AND value IS NOT NULL
+      GROUP BY event_type
+      HAVING MAX(value) > MIN(value)
+    ),
+    refb AS (
+      SELECT ev.event_type, {_PSI_BIN_SQL} AS bin, COUNT(*) AS n
+      FROM events ev JOIN r USING (event_type), t
+      WHERE floor(epoch(ev.ts)) < mid AND ev.value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    curb AS (
+      SELECT ev.event_type, {_PSI_BIN_SQL} AS bin, COUNT(*) AS n
+      FROM events ev JOIN r USING (event_type), t
+      WHERE floor(epoch(ev.ts)) >= mid AND ev.value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT g.event_type, g.ta, g.bin,
+             COALESCE(rb.n, 0) AS na, COALESCE(cb.n, 0) AS nb
+      FROM (SELECT event_type, ta, gb.bin
+            FROM r, (SELECT unnest(range(10)) AS bin) gb) g
+      LEFT JOIN refb rb ON rb.event_type = g.event_type AND rb.bin = g.bin
+      LEFT JOIN curb cb ON cb.event_type = g.event_type AND cb.bin = g.bin
+    ),
+    tt AS (
+      SELECT event_type, CAST(SUM(nb) AS BIGINT) AS tb
+      FROM dense GROUP BY 1
+    ),
+    p AS (
+      SELECT d.event_type, d.ta AS n_ref, tt.tb AS n_cur,
+             floor(SUM(((na + 1.0) / (d.ta + 10.0) - (nb + 1.0) / (tb + 10.0))
+                       * ln(((na + 1.0) / (d.ta + 10.0))
+                            / ((nb + 1.0) / (tb + 10.0))))
+                   * 10000 + 0.5) / 10000 AS psi_r4
+      FROM dense d JOIN tt USING (event_type)
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, n_ref, n_cur, psi_r4,
+           CASE WHEN psi_r4 >= 0.25 THEN 'hold'
+                WHEN psi_r4 >= 0.1 THEN 'watch'
+                ELSE 'ship' END AS verdict
+    FROM p ORDER BY event_type
+    """,
+)
+def stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING drift gate — `pipeline_drift_gate`'s batch
+    verdict, recomputed per micro-batch as a 100 TB ingest actually
+    runs it. A batch pass fixes the REFERENCE: the first half of the
+    event timeline, profiled per type into 10 equal-width bins whose
+    edges come from the REFERENCE data only (production PSI pins the
+    bin edges at profile time — the current window must be binned on
+    the same grid or drift scores are incomparable; out-of-range
+    current values clamp into the edge bins). The CURRENT window
+    (second half) then arrives as a file stream: a stream-static join
+    attaches the reference edges, the mergeable 10-bin state
+    (:func:`drift_current_histogram`) accumulates across
+    micro-batches, and each trigger's snapshot yields a fresh
+    Laplace-smoothed PSI + ship/watch/hold verdict per type (same
+    thresholds as the batch gate). The certified output is the FINAL
+    snapshot, which must equal the batch computation exactly — the
+    `stream_session_sealed`-style batch-equivalence certification; the
+    DuckDB oracle is that batch computation.
+
+    KS is deliberately absent from the streaming tier: KS-D needs the
+    full joint ECDF (not mergeable in constant state), so the
+    streaming gate carries the PSI half of the batch verdict and a
+    nightly batch `pipeline_drift_gate` re-adjudicates with KS.
+
+    Scale shape: reference profile is one metadata agg + one binned
+    agg over the reference window (both map-side combinable); the
+    stream shuffles only (type, bin) pairs into per-key constant
+    state; the verdict math runs on a |types|×10 grid. NULL values
+    are out of the histogram domain on both engines (filtered before
+    the stateful op; the oracle's WHERE mirrors)."""
+    from ..operators._shared import bounded_collect
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = bounded_collect(
+        ev.agg(
+            F.expr(
+                "(CAST(min(unix_timestamp(ts)) AS BIGINT)"
+                " + CAST(max(unix_timestamp(ts)) AS BIGINT)) div 2"
+            ).alias("mid")
+        ),
+        max_rows=1,
+        what="stream_drift_gate timeline midpoint",
+    )[0].mid
+    val_ok = F.col("value").isNotNull()
+    ref_rows = ev.filter((F.unix_timestamp("ts") < mid) & val_ok)
+    r = (
+        ref_rows.groupBy("event_type")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count(F.lit(1)).alias("ta"),
+        )
+        .filter(F.col("vmax") > F.col("vmin"))
+    )
+    bin_col = (
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 10
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+            ),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    refb = (
+        ref_rows.join(F.broadcast(r), "event_type")
+        .select("event_type", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    grid = r.select("event_type", "ta").crossJoin(
+        spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    )
+    refd = grid.join(refb, ["event_type", "bin"], "left").select(
+        "event_type",
+        "ta",
+        "bin",
+        F.coalesce("na", F.lit(0)).alias("na"),
+    )
+
+    cur = (
+        _stream_events(spark, sf_dir)
+        .filter((F.unix_timestamp("ts") >= F.lit(mid)) & val_ok)
+        .join(F.broadcast(r.select("event_type", "vmin", "vmax")), "event_type")
+        .select("event_type", bin_col)
+    )
+    sunk = _run_to_memory(drift_current_histogram(cur), "update")
+    final = (
+        sunk.groupBy("event_type")
+        .agg(F.max(F.struct("n_total", "bins_csv")).alias("s"))
+        .select("event_type", F.col("s.bins_csv").alias("bins_csv"))
+    )
+    curb = final.select(
+        "event_type",
+        F.posexplode(F.split("bins_csv", ",")).alias("bin", "n_str"),
+    ).select(
+        "event_type",
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_str").cast("long").alias("nb"),
+    )
+    dense = refd.join(curb, ["event_type", "bin"], "left").select(
+        "event_type",
+        "ta",
+        "bin",
+        "na",
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    tt = dense.groupBy("event_type").agg(F.sum("nb").cast("long").alias("tb"))
+    pa = (F.col("na") + 1.0) / (F.col("ta") + 10.0)
+    pb = (F.col("nb") + 1.0) / (F.col("tb") + 10.0)
+    p = (
+        dense.join(F.broadcast(tt), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("ta").cast("long").alias("n_ref"),
+            F.col("tb").alias("n_cur"),
+        )
+        .agg(
+            (
+                F.floor(F.sum((pa - pb) * F.log(pa / pb)) * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("psi_r4")
+        )
+    )
+    return p.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "psi_r4",
+        F.when(F.col("psi_r4") >= 0.25, "hold")
+        .when(F.col("psi_r4") >= 0.1, "watch")
+        .otherwise("ship")
+        .alias("verdict"),
+    ).orderBy("event_type")
