@@ -38,10 +38,12 @@ names, not modules).
 from __future__ import annotations
 
 import argparse
+import glob
 import hashlib
 import inspect
 import json
 import os
+import re
 import sys
 import types
 
@@ -164,7 +166,62 @@ def load_state() -> dict[str, str]:
     if not os.path.exists(STATE_PATH):
         return {}
     with open(STATE_PATH) as f:
-        return json.load(f)
+        data = json.load(f)
+    # round-7: state grew a staleness sidecar — {"fingerprints": {...},
+    # "staleness": {...}}; accept the old flat {name: fp} form too.
+    if "fingerprints" in data and isinstance(data["fingerprints"], dict):
+        return data["fingerprints"]
+    return data
+
+
+def last_certified() -> tuple[dict[str, int], int]:
+    """(name -> last round with a green CORRECTNESS row, latest round
+    number seen). Green = hash_match (or the weaker rows_match for
+    rows-only entries). The staleness currency of the registry."""
+    rounds: dict[str, int] = {}
+    latest = 0
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        latest = max(latest, n)
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or (
+                row.get("hash_match") is None and row.get("rows_match")
+            ):
+                rounds[name] = max(rounds.get(name, 0), n)
+    return rounds, latest
+
+
+def staleness_report(order: list[str]) -> dict:
+    """Max-staleness bound across the registry AFTER the upcoming
+    round certifies ``order``'s first WINDOW_SLOTS names (round-7 item
+    #7): for every name outside the window, how many rounds since its
+    last green row? Spillover is staleness-weighted (stalest first),
+    so this bound is what the weighting actually buys."""
+    certified, latest = last_certified()
+    upcoming = latest + 1
+    window = set(order[:WINDOW_SLOTS])
+    outside = [
+        (upcoming - certified.get(n, 0), n)
+        for n in order[WINDOW_SLOTS:]
+    ]
+    worst = max(outside, default=(0, None))
+    return {
+        "upcoming_round": upcoming,
+        "max_rounds_stale_outside_window": worst[0],
+        "stalest_outside_window": worst[1],
+        "n_outside_window": len(outside),
+        "n_window": len(window),
+    }
 
 
 def changed_names(
@@ -180,7 +237,12 @@ def changed_names(
 def compute_sweep_order() -> tuple[list[str], list[str]]:
     """Return (new SWEEP_ORDER, forced names). Canaries first, then
     every changed/new name (current-order-preserving, new names in
-    registry order), then untouched spillover in current order."""
+    registry order), then untouched spillover ordered STALEST-FIRST
+    (rounds since last green CORRECTNESS row, ties by current
+    position) — so whatever window slack remains after the forced set
+    re-certifies the names that have gone longest unchecked, and the
+    registry-wide max-staleness bound (``staleness_report``) actually
+    shrinks instead of depending on historical list order."""
     from catme_etl_spark.operators.ordering import SWEEP_ORDER
     from catme_etl_spark.operators.registry import QUERIES
 
@@ -193,7 +255,11 @@ def compute_sweep_order() -> tuple[list[str], list[str]]:
         + sorted(in_current, key=current_pos.__getitem__)
         + brand_new
     )
-    tail = [n for n in SWEEP_ORDER if n not in head]
+    certified, _latest = last_certified()
+    tail = sorted(
+        (n for n in SWEEP_ORDER if n not in head),
+        key=lambda n: (certified.get(n, 0), current_pos.get(n, 1 << 30)),
+    )
     # registered names missing from SWEEP_ORDER entirely (shouldn't
     # happen — test_ordering enforces sync — but never drop a name)
     rest = [n for n in QUERIES if n not in head and n not in tail]
@@ -211,9 +277,11 @@ query (its callable source + the transitive source of every in-package
 helper it references + its oracle SQL) and forces every name whose
 fingerprint changed since the committed ``tools/rotation_state.json``
 — plus every brand-new name — into the window, directly after the two
-harness canaries. Untouched names spill over in their prior order, so
-certified history stays meaningful. ``tests/test_ordering.py`` asserts
-this list equals the tool's output.
+harness canaries. Untouched names spill over STALEST-FIRST (rounds
+since their last green CORRECTNESS row, ties by prior position), so
+remaining window slack re-certifies whatever has gone longest
+unchecked and the registry's max-staleness bound shrinks every round.
+``tests/test_ordering.py`` asserts this list equals the tool's output.
 
 This header intentionally carries NO live forced-name count: the count
 at emit time reflects only the diff vs the last committed snapshot (a
@@ -254,8 +322,17 @@ def main() -> int:
 
     if args.cmd == "snapshot":
         fps = compute_fingerprints()
+        order, _forced = compute_sweep_order()
         with open(STATE_PATH, "w") as f:
-            json.dump(fps, f, indent=1, sort_keys=True)
+            json.dump(
+                {
+                    "fingerprints": fps,
+                    "staleness": staleness_report(order),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
             f.write("\n")
         print(f"wrote {len(fps)} fingerprints to {STATE_PATH}")
         return 0
@@ -265,6 +342,14 @@ def main() -> int:
         print(f"{len(forced)} changed/new names vs committed state:")
         for n in forced:
             print(f"  {n}")
+        order, _f = compute_sweep_order()
+        rep = staleness_report(order)
+        print(
+            f"staleness: {rep['n_outside_window']} names outside the "
+            f"window; max {rep['max_rounds_stale_outside_window']} rounds "
+            f"since last green row ({rep['stalest_outside_window']}) "
+            f"going into round {rep['upcoming_round']}"
+        )
         capacity = WINDOW_SLOTS - len(CANARIES)
         if len([n for n in forced if n not in CANARIES]) > capacity:
             print(
