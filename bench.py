@@ -142,11 +142,44 @@ HEADLINE = [
     "sim_pq_adc_recall",
     "quality_psi_drift",
     "pipeline_drift_gate",
+    # round-7 additions: the Expand-free profiler default, the trained
+    # PQ rung, the streaming PSI verdict, and the SRP-index ingest
+    "quality_table_profile_approx",
+    "sim_pq_trained_recall",
+    "stream_drift_gate",
+    "pipeline_semantic_ingest",
 ]
+
+# Canary families (round-7 item #2). The single join+agg canary
+# under-corrected host contention on shuffle/Arrow-heavy queries: the
+# r6 driver run printed 2.5x phantom normalized readings on exactly the
+# python-worker-heavy queries (containment 4.60s vs a true ~1.8s)
+# because the light JVM-only canary doesn't touch python workers, Arrow
+# transfer, or large shuffles. Each headline query is now preceded by
+# the canary whose RESOURCE PROFILE matches its own, and normalized by
+# that family's ratio. Classification is by name prefix: the listed
+# prefixes are the Arrow/python-worker/explode-shuffle families
+# (pandas UDF kernels, shingle/band builders, streaming micro-batches);
+# everything else is JVM join/agg/window/scan work the flagship canary
+# tracks well.
+HEAVY_PREFIXES = (
+    "dedup_",
+    "sim_",
+    "pipeline_",
+    "stream_",
+    "udf_",
+    "grouped_map_",
+    "text_",
+)
+
+
+def _family(name: str) -> str:
+    return "heavy" if name.startswith(HEAVY_PREFIXES) else "join"
 
 
 def main() -> None:
     import __spark_entry__ as e
+    from pyspark.sql import functions as F
     from catme_etl_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -191,30 +224,75 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
-    # Host-drift correction (round-6 item #2): a fixed micro-canary
-    # (the flagship join+agg — untouched since r01) runs COLD
-    # immediately before every headline query. canary_ratio[q] =
-    # canary-time-before-q / best-canary-of-this-run measures how
-    # contended the host was at the moment q ran; queries_normalized
-    # divides the wall time by that ratio. Cross-round, compare
-    # queries_normalized (plus canary_ref_sec for absolute drift)
-    # instead of re-running queries by hand to adjudicate phantom
-    # regressions — the two r05 4x outliers were exactly this.
+    def timed_query(name: str) -> float:
+        # min of two cold runs; if the two samples disagree >1.5x the
+        # host was visibly unstable during one of them — take a third
+        # and use the MEDIAN (round-7 item #2's second defense: a
+        # lucky-fast or contended-slow outlier can't be the reading).
+        a, b = cold_run(name), cold_run(name)
+        if max(a, b) / max(min(a, b), 1e-9) > 1.5:
+            c = cold_run(name)
+            return round(sorted((a, b, c))[1], 3)
+        return round(min(a, b), 3)
+
+    # Host-drift correction (round-6 item #2, family-shaped in round
+    # 7): a micro-canary runs COLD immediately before every headline
+    # query — the JOIN family uses the flagship join+agg (untouched
+    # since r01); the HEAVY family uses a fixed synthetic probe that
+    # exercises exactly the resources the light canary missed (md5 +
+    # explode fan-out, a real shuffle, and an Arrow-batched pandas UDF
+    # round-trip through the python workers). canary_ratio[q] =
+    # family-canary-before-q / best-family-canary-of-this-run;
+    # queries_normalized divides wall time by that ratio. Cross-round,
+    # compare queries_normalized (plus canary_ref_sec for absolute
+    # drift) instead of re-running queries by hand.
     CANARY = "flagship_revenue_by_nation"
-    # prime the canary's cold cost: best of two before the sweep
-    c_samples = [cold_run(CANARY), cold_run(CANARY)]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _canary_pudf(s):
+        return s.astype("float64") * 1.0000001
+
+    def heavy_canary() -> float:
+        t0 = time.time()
+        df = spark.range(60_000).select(
+            F.md5(F.col("id").cast("string")).alias("h"),
+            (F.col("id") % 97).alias("k"),
+        )
+        ex = df.select(
+            "k",
+            F.explode(
+                F.array(*[F.substring("h", i + 1, 8) for i in range(6)])
+            ).alias("g"),
+        )
+        agg = ex.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        agg.select(_canary_pudf(F.col("n").cast("double")).alias("v")).agg(
+            F.sum("v")
+        ).write.format("noop").mode("overwrite").save()
+        elapsed = time.time() - t0
+        clear_shared()
+        spark.catalog.clearCache()
+        return elapsed
+
+    canary_fn = {"join": lambda: cold_run(CANARY), "heavy": heavy_canary}
+    # prime each family's cold cost: best of two before the sweep
+    c_samples = {fam: [fn(), fn()] for fam, fn in canary_fn.items()}
 
     times: dict[str, float] = {}
     canary: dict[str, float] = {}
+    fams: dict[str, str] = {}
     for name in names:
-        c = cold_run(CANARY)
-        c_samples.append(c)
+        fam = _family(name)
+        fams[name] = fam
+        c = canary_fn[fam]()
+        c_samples[fam].append(c)
         canary[name] = round(c, 3)
-        times[name] = round(min(cold_run(name), cold_run(name)), 3)
+        times[name] = timed_query(name)
 
-    c_ref = min(c_samples)
+    c_ref = {fam: min(v) for fam, v in c_samples.items()}
     ratios = {
-        n: round(max(canary[n] / c_ref, 1.0), 3) for n in names
+        n: round(max(canary[n] / c_ref[fams[n]], 1.0), 3) for n in names
     }
     normalized = {n: round(times[n] / ratios[n], 3) for n in names}
 
@@ -227,7 +305,10 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "canary_ref_sec": round(c_ref, 3),
+                "canary_ref_sec": {
+                    fam: round(v, 3) for fam, v in c_ref.items()
+                },
+                "canary_family": fams,
                 "canary_ratio": ratios,
                 "queries_normalized": normalized,
                 "normalized_total": round(sum(normalized.values()), 3),
