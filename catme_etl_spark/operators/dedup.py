@@ -53,7 +53,7 @@ from ._shared import (
     shared_df,
     shared_matrix_broadcast,
 )
-from .registry import query
+from .registry import pending_query, query
 
 # ---------------------------------------------------------------------------
 # Exact dedup (F8).
@@ -1902,4 +1902,102 @@ def dedup_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return cand.select(hamming.alias("hamming")).groupBy("hamming").agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def _cos_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cosine ≥ 0.4 edge set (vec_a < vec_b) behind the graph
+    audits, shared + localCheckpointed once per session: a handful of
+    id-pair rows behind an expensive BLAS scan — exactly the
+    `shared_df(materialize=True)` case, and the triangle audit below
+    references it three times in one plan."""
+    return shared_df(
+        "cos_pair_edges",
+        sf_dir,
+        spark,
+        lambda: dedup_embedding_cosine_pairs(spark, sf_dir).select(
+            "vec_a", "vec_b"
+        ),
+        materialize=True,
+    )
+
+
+@pending_query(
+    "sim_graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_COS_PAIR_SQL}),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT vec_a AS v FROM pairs
+        UNION ALL
+        SELECT vec_b AS v FROM pairs
+      ) GROUP BY v
+    ),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+    wc AS (
+      SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg
+    ),
+    tc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.vec_a = e1.vec_b
+      JOIN pairs e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE ROUND(3.0 * n_triangles / n_wedges, 6)
+           END AS clustering_coeff
+    FROM ec, wc, tc
+    """,
+)
+def sim_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the cosine
+    similarity graph — the companion to `sim_graph_degree_histogram`
+    that says whether near-dup edges form CLIQUES (high coefficient →
+    components are genuine duplicate groups, safe to collapse to one
+    representative) or CHAINS (low coefficient → transitive-closure
+    dedup is gluing unrelated docs through hub vectors; tighten the
+    threshold before running CC). One summary row at any corpus size.
+
+    Scale shape: consumes the shared checkpointed edge snapshot (the
+    certified BLAS pair kernel runs ONCE), so the three edge-table
+    references are scans of a materialized id-pair table. Triangles
+    enumerate each once via the vec_a < vec_b orientation (e1=(a,b),
+    e2=(b,c), closure (a,c) ⇒ a<b<c): two hash joins whose fanout is
+    Σdeg² — the wedge count this query itself reports, the number to
+    watch before re-running at a lower threshold. Wedges are exact
+    integer Σ d·(d−1)/2; the coefficient is one final division."""
+    e = _cos_pair_edges(spark, sf_dir)
+    deg = (
+        e.select(F.explode(F.array("vec_a", "vec_b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ec = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wc = deg.agg(
+        F.expr("CAST(sum(d * (d - 1)) div 2 AS BIGINT)").alias("n_wedges")
+    )
+    e1 = e.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = e.select(F.col("vec_a").alias("b2"), F.col("vec_b").alias("c"))
+    e3 = e.select(F.col("vec_a").alias("a3"), F.col("vec_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+    )
+    tc = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        ec.crossJoin(wc)
+        .crossJoin(tc)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .alias("clustering_coeff"),
+        )
     )

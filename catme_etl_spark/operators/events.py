@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.money import money_sum
 from ..sources.tables import load_table
 from ._shared import require_bounded
-from .registry import query
+from .registry import pending_query, query
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,4 +900,66 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_pct"),
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@pending_query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ),
+    wk_dau AS (
+      SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
+             ROUND(AVG(dau), 4) AS avg_dau
+      FROM dau GROUP BY 1
+    ),
+    wau AS (
+      SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM du GROUP BY 1
+    )
+    SELECT w.wk, d.avg_dau, w.wau,
+           ROUND(d.avg_dau / w.wau, 4) AS stickiness
+    FROM wau w JOIN wk_dau d USING (wk)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week — the engagement ratio every
+    product-analytics pipeline reports: average daily active users in
+    a week divided by that week's weekly actives (1.0 = everyone
+    active every day, ~1/7 = one-visit users). Both engines truncate
+    weeks to Monday (``date_trunc('week')``), so week identity crosses
+    engines as a plain DATE.
+
+    Scale shape: ONE distinct over (user, day) — a hash-agg with
+    map-side partials that shrinks 100 TB of raw events to at most
+    |users|×|days| rows — and everything after runs on that reduced
+    table (two tiny re-aggs into |weeks| rows joined at the end, both
+    reusing the same exchange under AQE). No window functions, no
+    per-event shuffle. avg_dau is an average of integer day-counts
+    rounded to 4 (exact cross-engine); the counts are BIGINT on both
+    sides."""
+    du = (
+        _events(spark, sf_dir)
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wk_dau = (
+        dau.groupBy(F.to_date(F.date_trunc("week", "d")).alias("wk"))
+        .agg(F.round(F.avg("dau"), 4).alias("avg_dau"))
+    )
+    wau = (
+        du.groupBy(F.to_date(F.date_trunc("week", "d")).alias("wk"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return wau.join(wk_dau, "wk").select(
+        "wk",
+        "avg_dau",
+        "wau",
+        F.round(F.col("avg_dau") / F.col("wau"), 4).alias("stickiness"),
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import cents
+from ..functions.money import cents, pct100
 from ..functions.texttools import sql_hex_long
 from ..sources.tables import load_table
 from .registry import query
@@ -1029,4 +1029,77 @@ def pipeline_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "quality_order_total_consistency",
+    oracle="""
+    WITH re AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS sc
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             re.sc,
+             re.sc - CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000
+               AS diff_units
+      FROM orders o LEFT JOIN re ON o.o_orderkey = re.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)                       AS n_orders,
+           CAST(COUNT(sc) AS BIGINT)                      AS n_with_lineitems,
+           CAST(SUM(CASE WHEN ABS(diff_units) > 10000
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_mismatch,
+           ROUND(MAX(ABS(diff_units)) / 1000000.0, 2)     AS max_abs_diff
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def quality_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table invariant audit: does ``o_totalprice`` equal the
+    total recomputed from its lineitems as Σ extendedprice·(1−discount)
+    ·(1+tax)? The denormalized-column drift check every warehouse runs
+    after ingest — per order status it reports order counts, how many
+    orders have lineitems at all, how many disagree beyond a cent, and
+    the worst absolute drift in dollars. (The synthetic tables are
+    deliberately NOT consistent — the audit's job is to measure that,
+    deterministically.)
+
+    Scale shape: one map-side-combinable hash-agg over lineitem into
+    |orders| rows, one shuffle join to orders on the key, then a
+    |status|-sized conditional agg. No window, no driver collect.
+
+    Float discipline: all arithmetic is EXACT INTEGER in
+    cents×pct×pct units (scale 1e6; the ``functions.money`` grid
+    argument) — per-order sums, the diff, the >1-cent predicate, and
+    the max are int64 ops on both engines; only the final max divides
+    back to dollars, an identical IEEE op either side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    re = li.groupBy("l_orderkey").agg(
+        F.sum(
+            cents("l_extendedprice")
+            * (100 - pct100("l_discount"))
+            * (100 + pct100("l_tax"))
+        ).alias("sc")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (cents("o_totalprice") * 10_000).alias("osc"),
+    )
+    diff = F.col("sc") - F.col("osc")
+    return (
+        o.join(re, o["o_orderkey"] == re["l_orderkey"], "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("sc").alias("n_with_lineitems"),
+            F.sum(
+                F.when(F.abs(diff) > 10_000, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_mismatch"),
+            F.round(F.max(F.abs(diff)) / 1_000_000.0, 2).alias("max_abs_diff"),
+        )
     )

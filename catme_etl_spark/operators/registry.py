@@ -37,3 +37,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+# ---------------------------------------------------------------------------
+# Deferred registrations (certification-window budget, tools/rotation.py).
+#
+# The driver certifies only the FIRST 50 names of SWEEP_ORDER per round,
+# and every changed/new name MUST occupy one of those slots (48 after the
+# two canaries). A round whose change set already fills the window cannot
+# debut more queries without leaving some registered-but-never-certified —
+# breaking the registry's "every name has a green CORRECTNESS row"
+# invariant. `pending_query` holds such operators OUT of QUERIES/ORACLE
+# (so the driver, bench, and rotation tool never see them) while keeping
+# the implementation + oracle live for tests. The NEXT round flips the
+# decorator to `@query`, which forces the name into that round's window
+# as brand-new — certification deferred, never skipped.
+# ---------------------------------------------------------------------------
+
+PENDING: dict[str, QueryFn] = {}
+PENDING_ORACLE: dict[str, str] = {}
+
+
+def pending_query(
+    name: str, oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query into the round-(N+1) debut
+    queue instead of the live registry (window-budget deferral)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES or name in PENDING:
+            raise ValueError(f"duplicate query name {name!r}")
+        PENDING[name] = fn
+        if oracle is not None:
+            PENDING_ORACLE[name] = oracle
+        return fn
+
+    return deco

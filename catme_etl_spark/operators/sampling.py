@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.texttools import hex_prefix_long, sql_hex_long, tokens
 from ..sources.tables import load_table
-from .registry import query
+from .registry import pending_query, query
 
 _STRATUM_K = 5
 
@@ -485,4 +485,87 @@ def pack_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("shard_bytes"),
         )
         .orderBy("source", "shard")
+    )
+
+
+@pending_query(
+    "sample_epoch_mix_plan",
+    oracle="""
+    WITH d AS (
+      SELECT source, len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    av AS (
+      SELECT source, CAST(SUM(tok) AS BIGINT) AS avail FROM d GROUP BY source
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM av),
+    r AS (
+      SELECT source, avail, n_src,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS rk
+      FROM av, n
+    ),
+    t AS (
+      SELECT source, avail,
+             (500000 // n_src)
+               + CASE WHEN rk < 500000 % n_src THEN 1 ELSE 0 END AS target
+      FROM r
+    )
+    SELECT source,
+           avail                                         AS avail_tokens,
+           CAST(target AS BIGINT)                        AS target_tokens,
+           ROUND(CAST(target AS DOUBLE) / avail, 4)      AS repeat_factor,
+           CAST((target + avail - 1) // avail AS BIGINT) AS n_epochs,
+           CAST(LEAST(target, 4 * avail) AS BIGINT)      AS capped_tokens
+    FROM t
+    """,
+)
+def sample_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repeat plan for a UNIFORM target mix — the complement of
+    `sample_token_budget_apportion` (which allocates proportionally to
+    availability): here every source owes an equal share of a 500k
+    training-token budget, and the plan says how to get there —
+    repeat_factor > 1 means upsample (multiple epochs over a rare
+    source), < 1 means subsample; n_epochs is the integer ceiling a
+    dataloader actually runs; capped_tokens applies the standard
+    "never more than 4 epochs" guard against memorizing tiny sources,
+    making the shortfall explicit (capped < target = deficit to
+    re-apportion). Uniform share uses integer floor + first-(B mod n)
+    remainder by source name, so Σ target == B exactly.
+
+    Scale shape: one map-side-combinable token-count agg over the
+    corpus; everything after is |sources| rows. The name rank is the
+    broadcast triangular self-join (module-wide single-partition
+    WindowExec ban); epoch ceiling is pure integer
+    ((target+avail−1) div avail) — no float boundary anywhere except
+    the reported repeat_factor, rounded identically both sides."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).alias("tok")
+    )
+    av = d.groupBy("source").agg(F.sum("tok").cast("long").alias("avail"))
+    n = av.agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    other = av.select(F.col("source").alias("source2"))
+    rk = (
+        av.join(F.broadcast(other), F.col("source2") < F.col("source"), "left")
+        .groupBy("source", "avail")
+        .agg(F.count("source2").alias("rk"))
+    )
+    t = rk.crossJoin(F.broadcast(n)).select(
+        "source",
+        "avail",
+        (
+            F.expr("500000 div n_src")
+            + F.when(F.col("rk") < F.lit(500000) % F.col("n_src"), 1).otherwise(0)
+        ).alias("target"),
+    )
+    return t.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("target").cast("long").alias("target_tokens"),
+        F.round(F.col("target").cast("double") / F.col("avail"), 4).alias(
+            "repeat_factor"
+        ),
+        F.expr("(target + avail - 1) div avail").cast("long").alias("n_epochs"),
+        F.least(F.col("target"), 4 * F.col("avail"))
+        .cast("long")
+        .alias("capped_tokens"),
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import make_cosine_pandas_udf, sql_cosine
+from ..functions.vector import SQL_NORM, make_cosine_pandas_udf, sql_cosine
 from ..sources.tables import load_table
 from ._shared import (
     fan_out,
@@ -36,7 +36,7 @@ from ._shared import (
     shared_broadcast,
     shared_matrix_broadcast,
 )
-from .registry import query
+from .registry import pending_query, query
 
 TOP_K = 5
 NPROBE = 2
@@ -1837,5 +1837,158 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 1000000
             ).alias(f"recall_at_{TOP_K}"),
+        )
+    )
+
+
+@pending_query(
+    "emb_dimension_profile",
+    oracle="""
+    SELECT dim,
+           ROUND(AVG(v), 5) + 0.0        AS mean_v,
+           ROUND(stddev_pop(v), 5) + 0.0 AS std_v,
+           ROUND(MIN(v), 5) + 0.0        AS min_v,
+           ROUND(MAX(v), 5) + 0.0        AS max_v
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY dim
+    """,
+)
+def emb_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding corpus —
+    the vector-store health check run before building any index: a
+    dimension with collapsed variance contributes nothing to distances
+    (dead dimension → PQ subspaces waste bits on it), a mean far from
+    zero says the corpus isn't centered (hurts SRP hyperplane balance),
+    and out-of-family min/max flags corrupt vectors. One row per
+    dimension regardless of corpus size.
+
+    Scale shape: posexplode to (dim, value) rows, then ONE map-side-
+    combinable hash-agg into |dims| rows — the same shuffle shape as
+    `embeddings_centroid_by_label` (partial (sum, sumsq, count, min,
+    max) per task per dim, never raw vectors). Float32 inputs widen to
+    double exactly; population stddev on both engines; ROUND(5)+0.0
+    pins accumulation-order noise and signed zero."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            (F.round(F.avg(v), 5) + 0.0).alias("mean_v"),
+            (F.round(F.stddev_pop(v), 5) + 0.0).alias("std_v"),
+            (F.round(F.min(v), 5) + 0.0).alias("min_v"),
+            (F.round(F.max(v), 5) + 0.0).alias("max_v"),
+        )
+    )
+
+
+@pending_query(
+    "sim_norm_audit",
+    oracle=f"""
+    WITH n AS (
+      SELECT ROUND({SQL_NORM.format(a='embedding')}, 6) AS nr
+      FROM embeddings
+    )
+    SELECT CAST(FLOOR(nr / 0.25) AS BIGINT) AS norm_bin,
+           CAST(COUNT(*) AS BIGINT)         AS n_vecs,
+           ROUND(AVG(nr), 4)                AS avg_norm
+    FROM n GROUP BY 1
+    """,
+)
+def sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram of the embedding corpus (0.25-wide bins) —
+    the degenerate-vector sweep run before any cosine-based stage:
+    bin 0 holds zero/near-zero vectors (cosine undefined — the
+    division-by-zero inputs the quantization kernels guard against),
+    and a multi-modal histogram means mixed encoder versions in one
+    corpus, which silently breaks dot-product comparability.
+
+    Scale shape: one narrow scan — the norm is a JVM-side sequential
+    fold per row (`functions.vector.norm`, same left-to-right order as
+    the DuckDB oracle, so the doubles agree to the last ulp BEFORE
+    rounding) — then a map-side-combinable agg into a constant-size
+    bin grid. Nothing but the histogram crosses the driver."""
+    from ..functions.vector import norm
+
+    n = load_table(spark, sf_dir, "embeddings").select(
+        F.round(norm(F.col("embedding")), 6).alias("nr")
+    )
+    return n.groupBy(
+        F.floor(F.col("nr") / 0.25).cast("long").alias("norm_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nr"), 4).alias("avg_norm"),
+    )
+
+
+@pending_query(
+    "sim_centroid_distance_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT label, dim, ROUND(AVG(v), 5) + 0.0 AS cv
+      FROM (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+      )
+      GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SQRT(SUM((a.cv - b.cv) * (a.cv - b.cv))), 4) AS l2_dist,
+           ROUND(SUM(a.cv * b.cv)
+                 / (SQRT(SUM(a.cv * a.cv)) * SQRT(SUM(b.cv * b.cv))), 4)
+             AS cosine
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-centroid distance matrix (L2 + cosine per label pair) —
+    the cluster-separation audit on labeled embeddings: two label
+    centroids at cosine ≈ 1 are duplicate classes (merge candidates /
+    label bleed — cross-check the off-diagonal mass
+    `sim_centroid_assign_audit` reports for the same pair), and the
+    matrix is the K² summary a curator reads instead of n² vector
+    pairs.
+
+    Scale shape: consumes the `embeddings_centroid_by_label` hash-agg
+    (the ONLY data-sized pass — partial per (label, dim), never raw
+    vectors), then self-joins K×dims rows on dim: K²×dims intermediate
+    rows, kilobytes at any corpus size. Centroids are rounded to 5 ON
+    BOTH ENGINES before any pair math (the `sim_centroid_assign_audit`
+    float discipline), so distances derive from identical inputs; the
+    64-term pair sums are order-stable well past the final ROUND(4)."""
+    c = embeddings_centroid_by_label(spark, sf_dir)
+    a = c.select(
+        F.col("label").alias("label_a"), "dim", F.col("centroid_v").alias("va")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("centroid_v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))),
+                4,
+            ).alias("l2_dist"),
+            F.round(
+                F.sum(F.col("va") * F.col("vb"))
+                / (
+                    F.sqrt(F.sum(F.col("va") * F.col("va")))
+                    * F.sqrt(F.sum(F.col("vb") * F.col("vb")))
+                ),
+                4,
+            ).alias("cosine"),
         )
     )

@@ -12,9 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texttools import tokens, word_shingles
+from ..functions.texttools import sql_hex_long, tokens, word_shingles
 from ..sources.tables import load_table
-from .registry import query
+from .registry import pending_query, query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,4 +1199,150 @@ def text_zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             den > 0,
             F.floor((num / den) * 10000 + F.lit(0.5)) / 10000 + F.lit(0.0),
         ).alias("zipf_slope"),
+    )
+
+
+@pending_query(
+    "text_vocab_overlap_sources",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vsz FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.vsz + sb.vsz - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    """,
+)
+def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic that says which sources are lexically redundant (high
+    overlap → near-duplicate registers, candidates for tighter dedup
+    or down-weighting in the mix) and which add genuinely new
+    vocabulary. Output is |sources|² pairs at most — a review artifact,
+    not a per-token table.
+
+    Scale shape: the heavy step is ONE distinct over (source, token) —
+    map-side combinable, shrinking the corpus to Σ per-source vocab
+    rows; the pairwise intersection then self-joins that REDUCED table
+    on the token key (per-token fanout = #sources containing it, worst
+    case |sources| — bounded by construction, not corpus size), and
+    per-source sizes join back broadcast-small. At 100 TB the vocab
+    table is the only shuffle that grows with data, and it grows with
+    VOCABULARY (Heaps-sublinear, see `text_vocab_growth_heaps`), not
+    rows. Jaccard via inclusion-exclusion — no union pass."""
+    v = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("vsz"))
+    a = v.alias("a")
+    b = v.select(F.col("source").alias("src_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("source") < F.col("src_b")))
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("vsz").alias("vsz_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("vsz").alias("vsz_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vsz_a") + F.col("vsz_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@pending_query(
+    "text_oov_rate_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE
+               WHEN {sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 14, 1)} % 100 < 80
+                 THEN 'train'
+               WHEN {sql_hex_long("md5(CAST(doc_id AS VARCHAR))", 14, 1)} % 100 < 90
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT DISTINCT tok FROM tagged WHERE split = 'train')
+    SELECT t.split,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tagged t LEFT JOIN vocab v ON v.tok = t.tok
+    WHERE t.split <> 'train'
+    GROUP BY t.split
+    """,
+)
+def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of the val/test splits against the TRAIN
+    vocabulary — the tokenizer-coverage check run before committing a
+    vocab: a val/test token the train split never produced is exactly
+    what an embedding table trained on this corpus cannot represent.
+    Splits are the SAME deterministic 80/10/10 content-hash assignment
+    as `sample_train_val_test` (md5 of doc_id), so this audit certifies
+    the split convention's lexical coverage, not a parallel one.
+
+    Scale shape: one tokenize scan tags each token occurrence with its
+    doc's split (narrow); the train vocabulary is a distinct on token
+    (map-side combinable, Heaps-sublinear rows); the held-out 20% of
+    token occurrences then LEFT-join that vocab on the token key — the
+    one data-sized shuffle — and collapse straight into 2 output rows.
+    Occurrence-weighted on purpose: rate = share of tokens a model
+    would see as <unk>, not share of distinct types."""
+    from .sampling import hash_bucket
+
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise(F.lit("test"))
+    )
+    tagged = _docs(spark, sf_dir).select(
+        split.alias("split"), F.explode(tokens("text")).alias("tok")
+    )
+    vocab = (
+        tagged.filter(F.col("split") == "train")
+        .select("tok")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    held = tagged.filter(F.col("split") != "train")
+    return (
+        held.join(vocab, "tok", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
     )

@@ -55,3 +55,29 @@ def test_window_equals_rotation_tool_output():
     assert overflow == [], (
         f"changed/new names fell OUTSIDE the certification window: {overflow}"
     )
+
+
+def test_pending_queue_discipline():
+    """Window-budget deferrals (registry.pending_query) must stay
+    invisible to the driver — absent from SWEEP_ORDER — while every
+    queued name keeps a runnable callable AND an oracle, so the next
+    round's flip to @query is a one-line change with certification
+    evidence already staged."""
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    from catme_etl_spark.operators.ordering import SWEEP_ORDER
+    from catme_etl_spark.operators.registry import (
+        ORACLE,
+        PENDING,
+        PENDING_ORACLE,
+        QUERIES,
+    )
+
+    assert set(PENDING) & set(QUERIES) == set()
+    assert set(PENDING) & set(SWEEP_ORDER) == set()
+    assert set(PENDING_ORACLE) == set(PENDING), (
+        "every deferred query must carry its oracle into the queue"
+    )
+    assert set(PENDING_ORACLE) & set(ORACLE) == set()
+    for name, fn in PENDING.items():
+        assert callable(fn), name

@@ -256,8 +256,12 @@ def compute_sweep_order() -> tuple[list[str], list[str]]:
         + brand_new
     )
     certified, _latest = last_certified()
+    # filter to live registrations: a name deferred back out of the
+    # registry (registry.pending_query) must not linger in the emitted
+    # order — it has no green row, so it would pin the staleness bound
+    # at "never certified" while being invisible to the driver.
     tail = sorted(
-        (n for n in SWEEP_ORDER if n not in head),
+        (n for n in SWEEP_ORDER if n not in head and n in QUERIES),
         key=lambda n: (certified.get(n, 0), current_pos.get(n, 1 << 30)),
     )
     # registered names missing from SWEEP_ORDER entirely (shouldn't
