@@ -54,6 +54,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--pending",
+        action="store_true",
+        help="check the registry.pending_query round-(N+1) debut queue "
+        "instead of the live registry — the pre-deferral evidence that "
+        "flipping a queued name to @query next round will certify",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -66,8 +73,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    qs = e.queries()
-    oracles = e.oracle_sql()
+    if args.pending:
+        from catme_etl_spark.operators.registry import PENDING, PENDING_ORACLE
+
+        qs, oracles = dict(PENDING), dict(PENDING_ORACLE)
+    else:
+        qs = e.queries()
+        oracles = e.oracle_sql()
     names = list(qs) if not args.only else args.only.split(",")
 
     failures, rows_only = [], []
