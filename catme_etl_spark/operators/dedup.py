@@ -2001,3 +2001,75 @@ def sim_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+@pending_query(
+    "pipeline_dedup_impact_report",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id, md5(text) AS h,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h),
+    marked AS (
+      SELECT d.source, d.tok,
+             CASE WHEN d.doc_id = k.keeper THEN 0 ELSE 1 END AS removed
+      FROM d JOIN keep k ON k.h = d.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(tok) AS BIGINT)                          AS n_tokens,
+           CAST(SUM(removed) AS BIGINT)                      AS docs_removed,
+           CAST(SUM(removed * tok) AS BIGINT)                AS tokens_removed,
+           (10000 * CAST(SUM(removed) AS BIGINT)) // COUNT(*)
+             AS docs_removed_bp,
+           CASE WHEN SUM(tok) = 0 THEN 0
+                ELSE (10000 * CAST(SUM(removed * tok) AS BIGINT))
+                     // CAST(SUM(tok) AS BIGINT)
+           END AS tokens_removed_bp
+    FROM marked GROUP BY source
+    """,
+)
+def pipeline_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does exact dedup COST each source's share of the training
+    mixture? Per source: document and token totals, documents/tokens
+    that the certified exact-dedup policy (keep the min-doc_id copy
+    per md5(text), `dedup_exact_by_hash`) would remove, and both
+    removal rates in basis points. Duplicate groups spanning sources
+    attribute each removal to the removed doc's OWN source, so the
+    report answers the curator's real question — "which source
+    shrinks, and by how many tokens?" — BEFORE committing the rewrite.
+
+    Scale shape: text never shuffles — one pass computes the 16-byte
+    digest and the token count per doc, the keeper table is a hash-agg
+    on the digest, and the verdict is one join on the digest followed
+    by a |sources|-row conditional agg. Identical to the certified
+    dedup plan plus one rollup.
+
+    Float discipline: none — counts, token sums, and floor
+    basis-point rates are exact int64 end to end."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(tokens("text")).alias("tok"),
+    )
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    marked = d.join(keep, "h").select(
+        "source",
+        "tok",
+        F.when(F.col("doc_id") == F.col("keeper"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("removed"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.sum("removed").cast("long").alias("docs_removed"),
+        F.sum(F.col("removed") * F.col("tok")).cast("long").alias("tokens_removed"),
+        F.expr("(10000 * sum(removed)) div count(1)").alias("docs_removed_bp"),
+        F.when(F.sum("tok") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("(10000 * sum(removed * tok)) div sum(tok)"))
+        .alias("tokens_removed_bp"),
+    )

@@ -963,3 +963,92 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("avg_dau") / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+@pending_query(
+    "events_assoc_lift",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM du),
+    ct AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM du GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, ca.n_t AS n_a, cb.n_t AS n_b, p.n_ab,
+           (10000 * p.n_ab) // n.n_users AS support_bp,
+           (10000 * p.n_ab) // ca.n_t    AS conf_a_to_b_bp,
+           (10000 * p.n_ab) // cb.n_t    AS conf_b_to_a_bp,
+           floor(CAST(p.n_ab AS DOUBLE) * n.n_users / ca.n_t / cb.n_t
+                 * 10000 + 0.5) / 10000 AS lift
+    FROM pairs p
+    JOIN ct ca ON ca.event_type = p.type_a
+    JOIN ct cb ON cb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def events_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user behavior baskets: for every
+    unordered event-type pair, support (share of users doing both),
+    both directional confidences, and lift (observed co-occurrence
+    over the independence expectation) — lift > 1 flags behaviors
+    that travel together (the cross-sell / next-action signal), < 1
+    flags substitutes. Basket = the set of event types a user ever
+    fired.
+
+    Scale shape: ONE distinct collapses the event stream to at most
+    |users|×|types| rows; the pair table is a self-join on user_id
+    whose per-user fanout is bounded by |types|² (a constant — 5
+    types → ≤10 pairs per user), so it scales linearly in users, not
+    events. Everything after is |types|²-sized joined against the
+    |types|-row count table. No window functions.
+
+    Float discipline: support/confidence are exact floor basis points
+    (integer ``div``); lift is the single division chain
+    n_ab·N / n_a / n_b written in the identical order both engines,
+    half-away-floored to 4 decimals."""
+    du = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    n = du.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    ct = du.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = du.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    b = du.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ca = ct.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    cb = ct.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    lift = (
+        F.floor(
+            F.col("n_ab").cast("double")
+            * F.col("n_users")
+            / F.col("n_a")
+            / F.col("n_b")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.expr("(10000 * n_ab) div n_users").alias("support_bp"),
+            F.expr("(10000 * n_ab) div n_a").alias("conf_a_to_b_bp"),
+            F.expr("(10000 * n_ab) div n_b").alias("conf_b_to_a_bp"),
+            lift.alias("lift"),
+        )
+    )

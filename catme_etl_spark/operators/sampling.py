@@ -569,3 +569,118 @@ def sample_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("capped_tokens"),
     )
+
+
+@pending_query(
+    "pack_padding_waste_audit",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    r AS (
+      SELECT source, tok,
+             (ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY tok DESC, doc_id) - 1) // 32
+               AS b_sorted,
+             (ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY doc_id) - 1) // 32
+               AS b_naive
+      FROM d
+    ),
+    ws AS (
+      SELECT source,
+             CAST(SUM(mx * n - s) AS BIGINT) AS pad
+      FROM (SELECT source, b_sorted, MAX(tok) AS mx, COUNT(*) AS n,
+                   SUM(tok) AS s
+            FROM r GROUP BY source, b_sorted)
+      GROUP BY source
+    ),
+    wn AS (
+      SELECT source,
+             CAST(SUM(mx * n - s) AS BIGINT) AS pad
+      FROM (SELECT source, b_naive, MAX(tok) AS mx, COUNT(*) AS n,
+                   SUM(tok) AS s
+            FROM r GROUP BY source, b_naive)
+      GROUP BY source
+    ),
+    t AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS total_tokens
+      FROM d GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.total_tokens,
+           ws.pad AS sorted_padding,
+           wn.pad AS naive_padding,
+           CASE WHEN wn.pad = 0 THEN 0
+                ELSE (10000 * (wn.pad - ws.pad)) // wn.pad
+           END AS saving_bp
+    FROM t JOIN ws USING (source) JOIN wn USING (source)
+    """,
+)
+def pack_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for fixed-size training batches (32 docs):
+    how many pad tokens does arrival-order batching burn versus
+    length-sorted batching? Each batch pads every member to the batch
+    max, so waste per batch = max·n − Σtok; sorting by length packs
+    similar lengths together and collapses the waste — this audit
+    reports BOTH plans per source and the saving in basis points,
+    which is the measured justification for the sort-before-batch
+    stage every dataloader pipeline carries.
+
+    Scale shape: one tokenize pass collapses documents to (source,
+    doc, tok) ints; the two ROW_NUMBER plans are keyed windows over
+    the same source partition (one exchange, two sorts — the sort IS
+    the thing being measured); batch rollups are map-side-combinable
+    hash-aggs; output is |sources| rows. 100 TB: identical plan per
+    source partition, no global ordering anywhere.
+
+    Float discipline: none — token counts, paddings, and the saving
+    (floor basis points, ``div``) are exact int64 end to end."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).alias("tok")
+    )
+    w_sorted = Window.partitionBy("source").orderBy(
+        F.col("tok").desc(), F.col("doc_id")
+    )
+    w_naive = Window.partitionBy("source").orderBy("doc_id")
+    r = d.select(
+        "source",
+        "tok",
+        ((F.row_number().over(w_sorted) - 1) / 32).cast("long").alias("b_sorted"),
+        ((F.row_number().over(w_naive) - 1) / 32).cast("long").alias("b_naive"),
+    )
+
+    def _pad(bucket_col: str) -> DataFrame:
+        per_batch = r.groupBy("source", bucket_col).agg(
+            (F.max("tok") * F.count(F.lit(1)) - F.sum("tok")).alias("w")
+        )
+        return per_batch.groupBy("source").agg(
+            F.sum("w").cast("long").alias("pad")
+        )
+
+    ws = _pad("b_sorted").withColumnRenamed("pad", "sorted_padding")
+    wn = _pad("b_naive").withColumnRenamed("pad", "naive_padding")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+    )
+    return (
+        t.join(ws, "source")
+        .join(wn, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "sorted_padding",
+            "naive_padding",
+            F.when(F.col("naive_padding") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(10000 * (naive_padding - sorted_padding)) div naive_padding")
+            )
+            .alias("saving_bp"),
+        )
+    )

@@ -26,7 +26,7 @@ from ..functions.money import cents, money_sum
 from ..functions.texttools import hex_prefix_long, sql_hex_long
 from ..sources.tables import load_table
 from ._shared import maybe_broadcast
-from .registry import query
+from .registry import pending_query, query
 
 
 @query(
@@ -1355,4 +1355,268 @@ def agg_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("sample_err_bp"),
+    )
+
+
+@pending_query(
+    "stats_kaplan_meier_churn",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MAX(floor(epoch(ts) * 1000000)) AS BIGINT) AS end_us
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(MIN(floor(epoch(ts) * 1000000)) AS BIGINT) AS first_us,
+             CAST(MAX(floor(epoch(ts) * 1000000)) AS BIGINT) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    life AS (
+      SELECT (last_us - first_us) // 86400000000 AS t_days,
+             CASE WHEN last_us <= end_us - 7 * 86400000000
+                  THEN 1 ELSE 0 END AS died
+      FROM u CROSS JOIN bounds
+    ),
+    g AS (
+      SELECT t_days,
+             CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(died) AS BIGINT) AS censored,
+             CAST(COUNT(*) AS BIGINT) AS n_at_t
+      FROM life GROUP BY t_days
+    ),
+    k AS (
+      SELECT t_days, d, censored,
+             CAST((SELECT COUNT(*) FROM life) AS BIGINT)
+               - CAST(COALESCE(SUM(n_at_t) OVER (
+                   ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+      FROM g
+    )
+    SELECT t_days, n_risk, d, censored,
+           CASE WHEN SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_days) > 0
+                THEN 0.0
+                ELSE floor(exp(SUM(ln(CASE WHEN d >= n_risk THEN 1.0
+                       ELSE CAST(n_risk - d AS DOUBLE) / n_risk END))
+                       OVER (ORDER BY t_days)) * 10000 + 0.5) / 10000
+           END AS survival
+    FROM k
+    """,
+)
+def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between a
+    user's first and last event), with the last 7 days of the timeline
+    treated as the censoring horizon: a user still active inside that
+    window hasn't churned — their lifetime is censored, which the
+    naive "average lifetime" metric silently miscounts and the KM
+    estimator handles correctly (censored users leave the risk set
+    without contributing a death). S(t) = Π_{s≤t} (1 − d_s/n_s) over
+    the observed day grid; the curve is the retention analyst's
+    time-to-churn artifact.
+
+    Scale shape: one per-user min/max hash-agg collapses the event
+    stream to |users| rows; lifetimes collapse again to the day grid
+    (bounded by the timeline span — require_bounded guards it), and
+    the cumulative windows walk that tiny grid only. The scalar
+    timeline end attaches as a 1-row broadcast.
+
+    Float discipline: lifetimes, deaths, and risk counts are exact
+    integers off the microsecond epoch grid (``floor(epoch)`` both
+    engines); S(t) folds ln factors in the same ascending-t window
+    order on both engines and rounds half-away at 4 decimals; the
+    d == n terminal point short-circuits to exactly 0.0 before ln."""
+    from pyspark.sql import Window
+
+    from ._shared import require_bounded
+
+    us = F.unix_micros("ts")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(us).alias("end_us"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    day_us = 86_400_000_000
+    life = u.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"(last_us - first_us) div {day_us}").alias("t_days"),
+        F.when(
+            F.col("last_us") <= F.col("end_us") - 7 * day_us, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("died"),
+    )
+    g = life.groupBy("t_days").agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("died")).cast("long").alias("censored"),
+        F.count(F.lit(1)).cast("long").alias("n_at_t"),
+    )
+    require_bounded(
+        g,
+        100_000,
+        what="Kaplan-Meier day grid",
+        hint=(
+            "lifetimes span more than 100,000 distinct days (~274 "
+            "years) — the events timeline has corrupt timestamps; "
+            "clean them or coarsen the lifetime unit"
+        ),
+    )
+    total = life.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wk = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = g.crossJoin(F.broadcast(total)).select(
+        "t_days",
+        "d",
+        "censored",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at_t").over(wc), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    factor = F.when(F.col("d") >= F.col("n_risk"), F.lit(1.0)).otherwise(
+        (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+    )
+    hit_zero = (
+        F.sum(
+            F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+        ).over(wk)
+        > 0
+    )
+    survival = F.when(hit_zero, F.lit(0.0)).otherwise(
+        F.floor(F.exp(F.sum(F.log(factor)).over(wk)) * 10000 + F.lit(0.5))
+        / 10000
+    )
+    return k.select(
+        "t_days", "n_risk", "d", "censored", survival.alias("survival")
+    )
+
+
+@pending_query(
+    "agg_jackknife_mean_se",
+    oracle=f"""
+    WITH b AS (
+      SELECT {sql_hex_long("md5(CAST(o_orderkey AS VARCHAR))", 14, 1)} % 10
+               AS bkt,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    per AS (
+      SELECT bkt, CAST(SUM(c) AS BIGINT) AS s_b,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM b GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(SUM(s_b) AS BIGINT) AS s,
+             CAST(SUM(n_b) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM per
+    ),
+    rep AS (
+      SELECT ((tot.s - per.s_b) * 10) // (tot.n - per.n_b) AS r
+      FROM per CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS sr,
+             CAST(SUM(r * r) AS BIGINT) AS ssq
+      FROM rep
+    ),
+    raw AS (
+      SELECT tot.n AS n_orders,
+             floor(CAST(tot.s AS DOUBLE) / tot.n / 100 * 10000 + 0.5)
+               / 10000 AS mean_total,
+             floor(sqrt(CAST((tot.nb - 1) * (tot.nb * agg.ssq - agg.sr * agg.sr)
+                             AS DOUBLE))
+                   / tot.nb / 10 / 100 * 10000 + 0.5) / 10000 AS jk_se
+      FROM tot CROSS JOIN agg
+    )
+    SELECT n_orders, mean_total, jk_se,
+           floor((mean_total - 1.96 * jk_se) * 10000 + 0.5) / 10000 AS ci95_lo,
+           floor((mean_total + 1.96 * jk_se) * 10000 + 0.5) / 10000 AS ci95_hi
+    FROM raw
+    """,
+)
+def agg_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of the mean order
+    total — the error bar every fleet-scale mean should ship with,
+    computed WITHOUT resampling the data: orders are hashed into 10
+    deterministic buckets, each replicate mean leaves one bucket out,
+    and the jackknife variance (B−1)/B·Σ(r_i−r̄)² prices the estimate's
+    stability. One pass, mergeable, no RNG — the distributed answer to
+    "how sure are we of that average?".
+
+    Scale shape: one hash-agg collapses orders to 10 (bucket, sum,
+    count) rows; everything after is 10-row math against a broadcast
+    1-row total. At 100 TB the bucket partials fold map-side; nothing
+    but 11 rows ever reaches the final stage.
+
+    Float discipline: bucket sums are exact integer cents; replicate
+    means land on an exact tenth-of-a-cent integer grid (``div``), and
+    the variance numerator (B−1)·(B·Σr²−(Σr)²) is EXACT int64 algebra
+    (headroom to ~sf1: r≈1.5e8 ⇒ B·Σr²≈2e18 < 2⁶³) — order-insensitive
+    where a float Σ(dev²) would hash-flake on agg order. The only
+    floats are one final sqrt/division chain and the ±1.96·se CI, both
+    computed from already-rounded terms in the identical op order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (
+            hex_prefix_long(F.md5(F.col("o_orderkey").cast("string")), 14, 1)
+            % 10
+        ).alias("bkt"),
+        cents("o_totalprice").alias("c"),
+    )
+    per = o.groupBy("bkt").agg(
+        F.sum("c").cast("long").alias("s_b"),
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+    )
+    tot = per.agg(
+        F.sum("s_b").cast("long").alias("s"),
+        F.sum("n_b").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    rep = per.crossJoin(F.broadcast(tot)).select(
+        F.expr("((s - s_b) * 10) div (n - n_b)").alias("r")
+    )
+    agg = rep.agg(
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("ssq"),
+    )
+    raw = tot.crossJoin(F.broadcast(agg)).select(
+        F.col("n").alias("n_orders"),
+        (
+            F.floor(F.col("s").cast("double") / F.col("n") / 100 * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("mean_total"),
+        (
+            F.floor(
+                F.sqrt(
+                    (
+                        (F.col("nb") - 1)
+                        * (F.col("nb") * F.col("ssq") - F.col("sr") * F.col("sr"))
+                    ).cast("double")
+                )
+                / F.col("nb")
+                / 10
+                / 100
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("jk_se"),
+    )
+    return raw.select(
+        "n_orders",
+        "mean_total",
+        "jk_se",
+        (
+            F.floor((F.col("mean_total") - 1.96 * F.col("jk_se")) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("ci95_lo"),
+        (
+            F.floor((F.col("mean_total") + 1.96 * F.col("jk_se")) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("ci95_hi"),
     )

@@ -1346,3 +1346,90 @@ def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@pending_query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    big AS (
+      SELECT tk[j + 1] AS prev, tk[j + 2] AS t
+      FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS j FROM toks) x
+    ),
+    c2 AS (
+      SELECT prev, t, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM big GROUP BY prev, t HAVING COUNT(*) >= 5
+    ),
+    cx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_x FROM big GROUP BY prev),
+    cy AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_y FROM big GROUP BY t),
+    n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM big)
+    SELECT c2.prev, c2.t, c2.n_xy, cx.n_x, cy.n_y,
+           floor(ln(CAST(c2.n_xy AS DOUBLE) * n2.n_big / cx.n_x / cy.n_y)
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM c2 JOIN cx USING (prev) JOIN cy USING (t) CROSS JOIN n2
+    ORDER BY pmi DESC, c2.prev, c2.t
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over
+    adjacent token pairs — the vocabulary-merge signal a tokenizer
+    trainer (BPE/WordPiece) reads: pmi = ln(p(x,y)/(p(x)·p(y))) with
+    all probabilities taken over BIGRAM SLOTS (p(x) = first-slot share,
+    p(y) = second-slot share), so the three counts come from one
+    bigram table and the measure is self-consistent. A min-support of
+    5 removes the noise tail where PMI explodes on hapax pairs.
+
+    Scale shape: the bigram stream never shuffles text twice — one
+    posexplode + keyed lag window per doc, then three hash-aggs over
+    (prev,t)/(prev)/(t) with map-side partials; the support filter
+    shrinks the scored table before the joins; top-20 is a
+    TakeOrdered, not a global sort. At open-vocab corpus scale the
+    count tables join by hash; at fixture scale AQE broadcasts them.
+
+    Float discipline: counts are exact integers; the only float is one
+    ln of a ratio built with the identical division order both
+    engines, half-away-floored to 4 decimals (the module's pinned
+    rounding trick), with ties under the LIMIT broken by (prev, t)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select("doc_id", F.lag("t").over(w).alias("prev"), "t")
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "t")
+    )
+    c2 = (
+        big.groupBy("prev", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    cx = big.groupBy("prev").agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    cy = big.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_y"))
+    n2 = big.agg(F.count(F.lit(1)).cast("long").alias("n_big"))
+    pmi = (
+        F.floor(
+            F.log(
+                F.col("n_xy").cast("double")
+                * F.col("n_big")
+                / F.col("n_x")
+                / F.col("n_y")
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return (
+        c2.join(cx, "prev")
+        .join(cy, "t")
+        .crossJoin(F.broadcast(n2))
+        .select("prev", "t", "n_xy", "n_x", "n_y", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "prev", "t")
+        .limit(20)
+    )

@@ -1,0 +1,208 @@
+"""Crafted-table invariants for the second round-7 pending batch
+(round-8 debuts), pinned cross-engine: Kaplan-Meier censoring
+arithmetic on a hand-computed curve, the jackknife's exact-integer
+variance algebra against a numpy mirror, PMI min-support exclusion,
+padding-waste batching on a known interleave, association lift on a
+4-user basket grid, and cross-source duplicate attribution in the
+dedup impact report."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import duckdb
+
+import __spark_entry__ as entry
+
+
+def _oracle(con, name):
+    from catme_etl_spark.operators.registry import PENDING_ORACLE
+
+    sql = entry.oracle_sql().get(name) or PENDING_ORACLE[name]
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def _spark_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _con(tmp_path, **tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def test_kaplan_meier_hand_curve(spark, tmp_path):
+    """5 users, horizon = last 7 days of a 20-day timeline: deaths at
+    t=0,1,2 and censorings at t=0 (the timeline-end user) and t=15
+    produce the hand-multiplied curve 0.8, 0.5333, 0.2667, 0.2667 —
+    censored users leave the risk set WITHOUT a survival step."""
+    from catme_etl_spark.operators.stats import stats_kaplan_meier_churn
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, days):
+        return (i, t0 + dt.timedelta(days=days), user, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 1),          # u1: lifetime 1d, died
+        ev(3, 2, 0), ev(4, 2, 2),          # u2: lifetime 2d, died
+        ev(5, 3, 0), ev(6, 3, 15),         # u3: 15d, last > day13 → censored
+        ev(7, 4, 1),                        # u4: 0d, died
+        ev(8, 9, 20),                       # u9: 0d at timeline end → censored
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = _spark_rows(stats_kaplan_meier_churn(spark, str(tmp_path)))
+    con = _con(tmp_path, events=True)
+    assert got == _oracle(con, "stats_kaplan_meier_churn")
+    assert got == [
+        (0, 5, 1, 1, 0.8),
+        (1, 3, 1, 0, 0.5333),
+        (2, 2, 1, 0, 0.2667),
+        (15, 1, 0, 1, 0.2667),
+    ]
+
+
+def test_jackknife_matches_numpy_mirror(spark, tmp_path):
+    """The exact-int64 variance algebra (B−1)(B·Σr²−(Σr)²)/B² equals a
+    straightforward numpy delete-one jackknife on the same grid."""
+    from catme_etl_spark.operators.stats import agg_jackknife_mean_se
+
+    rows = [(i, float(100 + 7 * i) + 0.25) for i in range(1, 41)]
+    _write(spark, tmp_path, "orders", rows, "o_orderkey long, o_totalprice double")
+
+    got = _spark_rows(agg_jackknife_mean_se(spark, str(tmp_path)))
+    con = _con(tmp_path, orders=True)
+    assert got == _oracle(con, "agg_jackknife_mean_se")
+
+    # python mirror: same buckets, same tenth-of-a-cent replicate grid
+    def bkt(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:14], 16) % 10
+
+    per = {}
+    for k, p in rows:
+        c = round(p * 100)
+        s, n = per.get(bkt(k), (0, 0))
+        per[bkt(k)] = (s + c, n + 1)
+    S = sum(s for s, _ in per.values())
+    N = sum(n for _, n in per.values())
+    B = len(per)
+    r = [((S - s) * 10) // (N - n) for s, n in per.values()]
+    sr, ssq = sum(r), sum(x * x for x in r)
+    se = math.sqrt((B - 1) * (B * ssq - sr * sr)) / B / 10 / 100
+    (n_orders, mean_total, jk_se, lo, hi) = got[0]
+    assert n_orders == N
+    assert mean_total == math.floor(S / N / 100 * 10000 + 0.5) / 10000
+    assert jk_se == math.floor(se * 10000 + 0.5) / 10000
+    assert lo <= mean_total <= hi
+
+
+def test_pmi_min_support_and_value(spark, tmp_path):
+    """A 6× bigram survives the min-support of 5 with pmi =
+    ln(n_xy·N/(n_x·n_y)); a 4× bigram is excluded."""
+    from catme_etl_spark.operators.text import text_pmi_collocations
+
+    docs = [(i, "a b", "en", "s", 3) for i in range(6)] + [
+        (10 + i, "c d", "en", "s", 3) for i in range(4)
+    ]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = _spark_rows(text_pmi_collocations(spark, str(tmp_path)))
+    con = _con(tmp_path, documents=True)
+    assert got == _oracle(con, "text_pmi_collocations")
+    assert len(got) == 1  # "c d" (4 < 5) excluded
+    (prev, t, n_xy, n_x, n_y, pmi) = got[0]
+    assert (prev, t, n_xy, n_x, n_y) == ("a", "b", 6, 6, 6)
+    assert pmi == math.floor(math.log(6 * 10 / 36) * 10000 + 0.5) / 10000
+
+
+def test_padding_waste_interleaved(spark, tmp_path):
+    """Alternating long/short docs: arrival-order batches mix lengths
+    (waste 144 per batch of 32), length-sorted batches are uniform
+    (waste 0) → saving 10000 bp; a single partial batch saves 0."""
+    from catme_etl_spark.operators.sampling import pack_padding_waste_audit
+
+    docs = []
+    for i in range(64):  # X: even ids 10 tokens, odd ids 1 token
+        n = 10 if i % 2 == 0 else 1
+        docs.append((i, " ".join(["w"] * n), "en", "X", n))
+    for j, n in enumerate([5, 4, 3, 2, 1]):  # Y: one partial batch
+        docs.append((100 + j, " ".join(["w"] * n), "en", "Y", n))
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = _spark_rows(pack_padding_waste_audit(spark, str(tmp_path)))
+    con = _con(tmp_path, documents=True)
+    assert got == _oracle(con, "pack_padding_waste_audit")
+    by = {r[0]: r for r in got}
+    assert by["X"] == ("X", 64, 352, 0, 288, 10000)
+    assert by["Y"] == ("Y", 5, 15, 10, 10, 0)
+
+
+def test_assoc_lift_basket_grid(spark, tmp_path):
+    """4 users: {A,B},{A},{B},{A,B} → n_A=n_B=3, n_AB=2, support
+    5000 bp, both confidences 6666 bp, lift = 2·4/9 = 0.8889."""
+    from catme_etl_spark.operators.events import events_assoc_lift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+    for user, types in [(1, "AB"), (2, "A"), (3, "B"), (4, "AB")]:
+        for ch in types:
+            ty = "click" if ch == "A" else "view"
+            # duplicate events: the distinct must collapse them
+            for _ in range(2):
+                i += 1
+                rows.append((i, t0 + dt.timedelta(minutes=i), user, ty, 1.0, "{}"))
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = _spark_rows(events_assoc_lift(spark, str(tmp_path)))
+    con = _con(tmp_path, events=True)
+    assert got == _oracle(con, "events_assoc_lift")
+    assert got == [("click", "view", 3, 3, 2, 5000, 6666, 6666, 0.8889)]
+
+
+def test_dedup_impact_cross_source_attribution(spark, tmp_path):
+    """A duplicate group spanning sources keeps the global min doc_id
+    and charges the removal to the REMOVED doc's own source."""
+    from catme_etl_spark.operators.dedup import pipeline_dedup_impact_report
+
+    docs = [
+        (1, "same same text", "en", "S1", 14),   # keeper (min doc_id)
+        (2, "same same text", "en", "S1", 14),   # removed → S1
+        (3, "unique one", "en", "S1", 10),
+        (4, "same same text", "en", "S2", 14),   # removed → S2
+        (5, "unique two", "en", "S2", 10),
+    ]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = _spark_rows(pipeline_dedup_impact_report(spark, str(tmp_path)))
+    con = _con(tmp_path, documents=True)
+    assert got == _oracle(con, "pipeline_dedup_impact_report")
+    by = {r[0]: r for r in got}
+    # S1: 3 docs, 3+3+2=8 tokens, 1 removed (3 tokens)
+    assert by["S1"] == ("S1", 3, 8, 1, 3, 3333, 3750)
+    # S2: 2 docs, 3+2=5 tokens, 1 removed (3 tokens)
+    assert by["S2"] == ("S2", 2, 5, 1, 3, 5000, 6000)
