@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.money import cents, pct100
 from ..functions.texttools import sql_hex_long
 from ..sources.tables import load_table
-from .registry import query
+from .registry import pending_query, query
 from .sampling import hash_bucket
 
 # the deterministic 80/10/10 split bucket of sample_train_val_test,
@@ -1102,4 +1102,127 @@ def quality_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("n_mismatch"),
             F.round(F.max(F.abs(diff)) / 1_000_000.0, 2).alias("max_abs_diff"),
         )
+    )
+
+
+@pending_query(
+    "quality_referential_integrity_audit",
+    oracle="""
+    WITH fk AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_name, l_orderkey AS k
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', l_suppkey FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', o_custkey FROM orders
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation', c_nationkey FROM customer
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation', s_nationkey FROM supplier
+    ),
+    pk AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_name, o_orderkey AS k
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', p_partkey FROM part
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', s_suppkey FROM supplier
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', c_custkey FROM customer
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation', n_nationkey FROM nation
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation', n_nationkey FROM nation
+    ),
+    ck AS (
+      SELECT fk_name, k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fk GROUP BY fk_name, k
+    ),
+    o AS (
+      SELECT ck.fk_name,
+             CAST(SUM(ck.n) AS BIGINT)  AS n_rows,
+             CAST(COUNT(*) AS BIGINT)   AS n_keys,
+             CAST(SUM(CASE WHEN pk.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS orphan_keys,
+             CAST(SUM(CASE WHEN pk.k IS NULL THEN ck.n ELSE 0 END) AS BIGINT)
+               AS orphan_rows
+      FROM ck LEFT JOIN pk ON pk.fk_name = ck.fk_name AND pk.k = ck.k
+      GROUP BY ck.fk_name
+    )
+    SELECT fk_name, n_rows, n_keys, orphan_keys, orphan_rows,
+           (10000 * orphan_rows) // n_rows AS orphan_rows_bp
+    FROM o
+    """,
+)
+def quality_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign-key orphan audit across every FK edge of the star
+    schema in ONE report: per edge, child rows, distinct child keys,
+    keys/rows with no matching parent, and the orphan rate in basis
+    points. The first query a warehouse runs after any ingest — a
+    nonzero row here means downstream inner joins are silently
+    DROPPING facts (the classic revenue-undercount bug).
+
+    Scale shape: each child collapses to its distinct-key histogram
+    first (map-side combinable; orphan ROWS are recovered from the
+    per-key counts, so the wide fact table never reaches the join),
+    then one hash left-join per edge against the parent's key column
+    and a 6-row conditional agg. Constant output. At 100 TB each edge
+    is an independent branch — Spark schedules them in parallel.
+
+    Float discipline: none — counts and floor basis points, exact
+    int64 end to end."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out = None
+    for fk_name, child, ckey, parent, pkey in edges:
+        ck = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        pk = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("k"), F.lit(1).alias("present")
+        )
+        branch = (
+            ck.join(pk, "k", "left")
+            .agg(
+                F.lit(fk_name).alias("fk_name"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(
+                    F.when(F.col("present").isNull(), F.lit(1)).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("orphan_keys"),
+                F.sum(
+                    F.when(F.col("present").isNull(), F.col("n")).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("orphan_rows"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.select(
+        "fk_name",
+        "n_rows",
+        "n_keys",
+        "orphan_keys",
+        "orphan_rows",
+        F.expr("(10000 * orphan_rows) div n_rows").alias("orphan_rows_bp"),
     )

@@ -1992,3 +1992,187 @@ def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@pending_query(
+    "sim_ivf_nprobe_curve",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    vc AS (
+      SELECT v.vec_id, c.cid, {_COS_VC} AS vcos,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {_COS_VC} DESC, c.cid) AS rn
+      FROM embeddings v, cent c
+    ),
+    assign AS (SELECT vec_id, cid FROM vc WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid, rn AS probe_rn FROM vc WHERE rn <= 4
+    ),
+    icand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.probe_rn
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    iscored AS (
+      SELECT c.query_id, c.neighbor_id, c.probe_rn,
+             {sql_cosine('qa.embedding', 'qb.embedding')} AS cos_raw
+      FROM icand c
+      JOIN embeddings qa ON qa.vec_id = c.query_id
+      JOIN embeddings qb ON qb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, probe_rn,
+             SUM(CASE WHEN probe_rn <= 1 THEN 1 ELSE 0 END)
+               OVER w AS rank1,
+             SUM(CASE WHEN probe_rn <= 2 THEN 1 ELSE 0 END)
+               OVER w AS rank2,
+             SUM(CASE WHEN probe_rn <= 4 THEN 1 ELSE 0 END)
+               OVER w AS rank4
+      FROM iscored
+      WINDOW w AS (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_AB} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+      SELECT CAST(SUM(CASE WHEN r.probe_rn <= 1 AND r.rank1 <= {TOP_K}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN r.probe_rn <= 2 AND r.rank2 <= {TOP_K}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+             CAST(SUM(CASE WHEN r.probe_rn <= 4 AND r.rank4 <= {TOP_K}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS h4
+      FROM ranked r JOIN brute b
+        ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+    ),
+    t AS (
+      SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM brute
+    )
+    SELECT nprobe, t.n_queries, t.n_truth, n_hits,
+           floor(CAST(n_hits AS DOUBLE) / t.n_truth * 1000000 + 0.5)
+             / 1000000 AS recall_at_{TOP_K}
+    FROM (
+      SELECT 1 AS nprobe, h1 AS n_hits FROM hits
+      UNION ALL SELECT 2, h2 FROM hits
+      UNION ALL SELECT 4, h4 FROM hits
+    ) CROSS JOIN t
+    """,
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} at nprobe = 1, 2, 4 from ONE candidate pass —
+    the measured knob curve behind the IVF tier: `sim_ivf_recall_audit`
+    certifies the operating point (NPROBE={NPROBE}); this curve
+    certifies the TRADE, showing exactly what each extra probed list
+    buys before anyone re-tunes a 100 TB vector store. Because probe
+    sets nest (tier k ⊂ tier 4), candidates are scored once at
+    nprobe=4 and each tier's top-{TOP_K} is recovered with a
+    CONDITIONAL cumulative rank (count of tier-k candidates at or
+    above each row in cosine order) — one sort serves all three tiers;
+    no per-tier rescan, no per-tier shuffle.
+
+    Scale shape: identical to the certified IVF plan (broadcast
+    centroid matmul per Arrow batch, inverted-list equi-join on cid)
+    with probe_rn carried through; the window is keyed by query; the
+    brute-force truth is the bounded certified baseline (sampled query
+    panel at open scale). Output is 3 rows.
+
+    Float discipline: ranks, hit counts, and truth sizes are exact
+    integers; both engines order candidates by the identically-
+    computed float64 cosine (the certified audit discipline); recall
+    is one division, half-away-floored at 6."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+    bc = shared_matrix_broadcast("ivf_centroids", sf_dir, spark, cent)
+    near = fan_out(emb, spark).mapInPandas(
+        _topk_against(bc, 4, exclude_self=False),
+        schema="query_id long, rank long, neighbor_id long, cos_raw double",
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("rank").alias("rn"),
+        F.col("neighbor_id").alias("cid"),
+    )
+    assign = near.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = near.select(
+        F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("probe_rn")
+    )
+    lists = assign.join(emb, "vec_id").select(
+        "cid", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(qv, "query_id")
+    )
+    cos_udf = make_cosine_pandas_udf()
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "probe_rn",
+        cos_udf(F.col("ea"), F.col("eb")).alias("cos_raw"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def tier_rank(k: int):
+        return F.sum(
+            F.when(F.col("probe_rn") <= k, F.lit(1)).otherwise(F.lit(0))
+        ).over(w)
+
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "probe_rn",
+        tier_rank(1).alias("rank1"),
+        tier_rank(2).alias("rank2"),
+        tier_rank(4).alias("rank4"),
+    )
+    brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = ranked.join(brute, ["query_id", "neighbor_id"]).agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("probe_rn") <= k) & (F.col(f"rank{k}") <= TOP_K),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"h{k}")
+            for k in (1, 2, 4)
+        ]
+    )
+    t = brute.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+    )
+    curve = hits.selectExpr(
+        "stack(3, 1, h1, 2, h2, 4, h4) AS (nprobe, n_hits)"
+    )
+    return curve.crossJoin(F.broadcast(t)).select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        (
+            F.floor(
+                F.col("n_hits").cast("double") / F.col("n_truth") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias(f"recall_at_{TOP_K}"),
+    )

@@ -1433,3 +1433,72 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "prev", "t")
         .limit(20)
     )
+
+
+@pending_query(
+    "text_length_percentiles_by_lang",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok,
+             doc_id
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tok, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM d
+    )
+    SELECT lang,
+           MAX(n)                                              AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n + 9)  // 10 THEN tok END) AS BIGINT)
+             AS p10_tokens,
+           CAST(MAX(CASE WHEN rn = (n + 1)  // 2  THEN tok END) AS BIGINT)
+             AS p50_tokens,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN tok END) AS BIGINT)
+             AS p90_tokens,
+           CAST(MAX(CASE WHEN rn = n THEN tok END) AS BIGINT)  AS max_tokens
+    FROM r GROUP BY lang
+    """,
+)
+def text_length_percentiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete token-length percentiles (p10/p50/p90/max) per
+    language — the context-window budgeting table: a training run
+    sizes its sequence length and its truncation loss off exactly
+    these numbers, per language because length distributions differ
+    wildly across scripts. DISCRETE percentiles (the value at row
+    ceil(p·n), never interpolated) so every reported number is a real
+    document length and the cross-engine comparison is pure integers
+    — the interpolated variant is where engines disagree at the ULP.
+
+    Scale shape: one tokenize pass collapses documents to (lang, tok)
+    ints; the ranking window is keyed by language (no single-partition
+    window); the percentile picks are conditional aggregates over the
+    ranked rows — one exchange, one sort, |langs| output rows.
+
+    Float discipline: none — ranks via exact integer ceilings
+    ((n+9) div 10, (n+1) div 2, (9n+9) div 10), values are int64."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "lang", F.size(tokens("text")).alias("tok"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("tok", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "tok",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("tok"))).cast("long")  # noqa: E731
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        pick(F.col("rn") == F.expr("(n + 9) div 10")).alias("p10_tokens"),
+        pick(F.col("rn") == F.expr("(n + 1) div 2")).alias("p50_tokens"),
+        pick(F.col("rn") == F.expr("(9 * n + 9) div 10")).alias("p90_tokens"),
+        pick(F.col("rn") == F.col("n")).alias("max_tokens"),
+    )

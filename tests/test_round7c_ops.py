@@ -206,3 +206,89 @@ def test_dedup_impact_cross_source_attribution(spark, tmp_path):
     assert by["S1"] == ("S1", 3, 8, 1, 3, 3333, 3750)
     # S2: 2 docs, 3+2=5 tokens, 1 removed (3 tokens)
     assert by["S2"] == ("S2", 2, 5, 1, 3, 5000, 6000)
+
+
+def test_referential_integrity_orphans(spark, tmp_path):
+    """Crafted orphans: one lineitem row points at a missing order,
+    one customer at a missing nation — each edge reports its own
+    orphan keys/rows; clean edges report zeros."""
+    from catme_etl_spark.operators.quality import (
+        quality_referential_integrity_audit,
+    )
+
+    _write(spark, tmp_path, "orders", [(1, 101), (2, 102)],
+           "o_orderkey long, o_custkey long")
+    _write(spark, tmp_path, "lineitem",
+           [(1, 11, 21), (1, 12, 21), (99, 11, 22)],  # orderkey 99 orphan
+           "l_orderkey long, l_partkey long, l_suppkey long")
+    _write(spark, tmp_path, "part", [(11,), (12,)], "p_partkey long")
+    _write(spark, tmp_path, "supplier", [(21, 1), (22, 1)],
+           "s_suppkey long, s_nationkey long")
+    _write(spark, tmp_path, "customer", [(101, 1), (102, 7)],  # nation 7 missing
+           "c_custkey long, c_nationkey long")
+    _write(spark, tmp_path, "nation", [(1,)], "n_nationkey long")
+
+    got = _spark_rows(quality_referential_integrity_audit(spark, str(tmp_path)))
+    con = _con(tmp_path, orders=True, lineitem=True, part=True,
+               supplier=True, customer=True, nation=True)
+    assert got == _oracle(con, "quality_referential_integrity_audit")
+    by = {r[0]: r for r in got}
+    assert by["lineitem.l_orderkey->orders"] == (
+        "lineitem.l_orderkey->orders", 3, 2, 1, 1, 3333)
+    assert by["customer.c_nationkey->nation"] == (
+        "customer.c_nationkey->nation", 2, 2, 1, 1, 5000)
+    assert by["lineitem.l_partkey->part"][3:] == (0, 0, 0)
+    assert by["supplier.s_nationkey->nation"][3:] == (0, 0, 0)
+
+
+def test_length_percentiles_disc_picks(spark, tmp_path):
+    """Discrete ceilings on a known ladder: 10 docs of lengths 1..10
+    → p10 = value at row 1, p50 at row 5, p90 at row 9; a 1-doc lang
+    reports the same doc everywhere."""
+    from catme_etl_spark.operators.text import text_length_percentiles_by_lang
+
+    docs = [(i, " ".join(["w"] * i), "en", "s", i) for i in range(1, 11)]
+    docs.append((100, "w w w", "de", "s", 3))
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = _spark_rows(text_length_percentiles_by_lang(spark, str(tmp_path)))
+    con = _con(tmp_path, documents=True)
+    assert got == _oracle(con, "text_length_percentiles_by_lang")
+    by = {r[0]: r for r in got}
+    assert by["en"] == ("en", 10, 1, 5, 9, 10)
+    assert by["de"] == ("de", 1, 3, 3, 3, 3)
+
+
+def test_nprobe_curve_cross_list_miss(spark, tmp_path):
+    """Two stride centroids (vec 0 and vec 50): vec 1's true nearest
+    neighbor 51 lives in the OTHER inverted list, so nprobe=1 must
+    miss it and nprobe=2 must reach full recall — the monotone trade
+    the curve certifies."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import sim_ivf_nprobe_curve
+
+    # 8 vectors so every query has >= TOP_K real neighbors (the brute
+    # baseline emits k rows per query by construction)
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # centroid A
+        (1, [0.9, 0.44, 0.0, 0.0]),    # A's list; true NNs include 51/52
+        (2, [0.95, 0.1, 0.0, 0.0]),    # A's list
+        (3, [1.0, -0.9, 0.0, 0.0]),    # A's list, far from everyone
+        (4, [0.7, -0.7, 0.0, 0.0]),    # A's list, far from everyone
+        (50, [0.0, 1.0, 0.0, 0.0]),    # centroid B
+        (51, [0.6, 0.8, 0.0, 0.0]),    # B's list, close to vec 1
+        (52, [0.1, 0.99, 0.0, 0.0]),   # B's list
+    ]
+    _write(spark, tmp_path, "embeddings", vecs,
+           "vec_id long, embedding array<float>")
+    clear_shared()
+    got = sorted(tuple(r) for r in sim_ivf_nprobe_curve(spark, str(tmp_path)).collect())
+    clear_shared()
+    con = _con(tmp_path, embeddings=True)
+    assert got == _oracle(con, "sim_ivf_nprobe_curve")
+    by = {r[0]: r for r in got}
+    assert by[1][2] == 40  # 8 queries x top-5 truth rows
+    assert by[2][4] == 1.0 and by[4][4] == 1.0  # both lists probed -> exact
+    assert by[1][4] < by[2][4]  # the cross-list miss at nprobe=1
