@@ -148,6 +148,9 @@ HEADLINE = [
     "sim_pq_trained_recall",
     "stream_drift_gate",
     "pipeline_semantic_ingest",
+    # round-7b: the one new live debut (the other round-7b ops are
+    # window-budget deferred to round 8 — registry.pending_query)
+    "quality_order_total_consistency",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary
