@@ -248,6 +248,15 @@ def compute_sweep_order() -> tuple[list[str], list[str]]:
 
     forced = [n for n in changed_names() if n not in CANARIES]
     current_pos = {n: i for i, n in enumerate(SWEEP_ORDER)}
+    if not forced:
+        # no-change fixed point: with nothing to force, the committed
+        # order IS the window the driver is about to certify — do not
+        # re-sort spillover by staleness here, or the round-end
+        # `snapshot` (fingerprints == live) would shuffle never-
+        # certified debuts to the window head and break the
+        # test_ordering sync on a diff the round never reviewed.
+        # Staleness weighting applies when a real emit forms a window.
+        return list(SWEEP_ORDER), forced
     in_current = [n for n in forced if n in current_pos]
     brand_new = [n for n in QUERIES if n in forced and n not in current_pos]
     head = (
