@@ -81,3 +81,17 @@ def test_pending_queue_discipline():
     assert set(PENDING_ORACLE) & set(ORACLE) == set()
     for name, fn in PENDING.items():
         assert callable(fn), name
+
+
+def test_flip_tool_finds_every_pending_site():
+    """The round-8 flip tool's source scan must agree with the live
+    PENDING registry — a pending registration the rewriter can't see
+    (formatting drift, a new module outside its globs) would survive
+    the flip and silently miss its debut window."""
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    import tools.flip_pending as flip
+    from catme_etl_spark.operators.registry import PENDING
+
+    found = {n for names in flip.flip_sites().values() for n in names}
+    assert found == set(PENDING)
