@@ -1052,3 +1052,133 @@ def events_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.alias("lift"),
         )
     )
+
+
+@pending_query(
+    "events_bot_signature_scan",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) * 1000000) AS BIGINT)
+               - CAST(floor(epoch(LAG(ts) OVER w) * 1000000) AS BIGINT)
+               AS gap_us,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    gg AS (
+      SELECT user_id, n_events, gap_us,
+             CASE WHEN gap_us = LAG(gap_us) OVER
+                    (PARTITION BY user_id ORDER BY rn)
+                  THEN 0 ELSE 1 END AS chg,
+             rn
+      FROM (SELECT user_id, n_events, gap_us,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY gap_us) AS rn
+            FROM g WHERE gap_us IS NOT NULL) x
+    ),
+    runs AS (
+      SELECT user_id, n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fast_gaps,
+             CAST(MAX(run_len) AS BIGINT) AS max_same_gap_run
+      FROM (
+        SELECT user_id, n_events, gap_us,
+               COUNT(*) OVER (PARTITION BY user_id, island) AS run_len
+        FROM (SELECT user_id, n_events, gap_us,
+                     SUM(chg) OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM gg) i
+      ) r
+      GROUP BY user_id, n_events
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           n_gaps,
+           (10000 * fast_gaps) // n_gaps AS fast_bp,
+           max_same_gap_run,
+           CASE WHEN (10000 * fast_gaps) // n_gaps > 5000
+                  OR max_same_gap_run >= 5
+                THEN 1 ELSE 0 END AS bot_flag
+    FROM runs
+    WHERE n_gaps >= 5
+    """,
+)
+def events_bot_signature_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic signature per user — the abuse filter a
+    training-data pipeline runs before events feed any model: the
+    share of sub-second inter-event gaps (machine-speed bursts) and
+    the longest run of IDENTICAL consecutive gaps when gaps are laid
+    out in sorted order (a metronomic scheduler produces many equal
+    gaps; humans don't). Users with ≥ 5 gaps are scored; the flag
+    fires on > 50% fast gaps or a same-gap run ≥ 5. Both signals are
+    pure integers off the microsecond grid, so the verdict is exact
+    and engine-independent — no learned model, no threshold drift.
+
+    Scale shape: one keyed sort per user computes gaps (the lag
+    window); the run-length pass is the certified gaps-islands idiom
+    over the per-user gap multiset (keyed windows only — sorting by
+    gap value groups equal gaps so the longest run IS the modal-gap
+    multiplicity); output is |users| rows max. At 100 TB this is the
+    sessionization shuffle shape, nothing more.
+
+    Float discipline: none — gap microseconds are exact ints
+    (``floor(epoch)`` both engines), shares are floor basis points."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros("ts")
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    g = e.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.count(F.lit(1)).over(wn).alias("n_events"),
+    ).filter(F.col("gap_us").isNotNull())
+    wg = Window.partitionBy("user_id").orderBy("gap_us")
+    gg = g.select(
+        "user_id",
+        "n_events",
+        "gap_us",
+        F.row_number().over(wg).alias("rn"),
+        F.when(
+            F.col("gap_us") == F.lag("gap_us").over(wg), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = gg.select(
+        "user_id", "n_events", "gap_us", "rn", F.sum("chg").over(wi).alias("island")
+    )
+    run = isl.select(
+        "user_id",
+        "n_events",
+        "gap_us",
+        F.count(F.lit(1)).over(Window.partitionBy("user_id", "island")).alias(
+            "run_len"
+        ),
+    )
+    runs = run.groupBy("user_id", "n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.when(F.col("gap_us") < 1_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("fast_gaps"),
+        F.max("run_len").cast("long").alias("max_same_gap_run"),
+    )
+    fast_bp = F.expr("(10000 * fast_gaps) div n_gaps")
+    return runs.filter(F.col("n_gaps") >= 5).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "n_gaps",
+        fast_bp.alias("fast_bp"),
+        "max_same_gap_run",
+        F.when((fast_bp > 5000) | (F.col("max_same_gap_run") >= 5), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bot_flag"),
+    )

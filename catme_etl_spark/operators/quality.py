@@ -1226,3 +1226,77 @@ def quality_referential_integrity_audit(
         "orphan_rows",
         F.expr("(10000 * orphan_rows) div n_rows").alias("orphan_rows_bp"),
     )
+
+
+# PII patterns shared verbatim by both engines (Java regex and RE2
+# agree on this conservative subset: explicit classes, bounded braces,
+# \b word boundaries — no lookaround, no backrefs).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+@pending_query(
+    "quality_pii_scan",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_PII_EMAIL}'))  AS n_email,
+             len(regexp_extract_all(text, '{_PII_PHONE}'))  AS n_phone
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(n_email) AS BIGINT)                      AS emails_total,
+           CAST(SUM(n_phone) AS BIGINT)                      AS phones_total,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_email,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_phone,
+           (10000 * CAST(SUM(CASE WHEN n_email > 0 OR n_phone > 0
+                                  THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
+             AS pii_docs_bp
+    FROM d GROUP BY source
+    """,
+)
+def quality_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure scan per source — the redaction-gate input every
+    training-data pipeline runs before release: email-address and
+    NANP-style phone-number match counts, documents containing each,
+    and the share of documents carrying ANY hit in basis points. The
+    patterns are deliberately a conservative, engine-portable regex
+    subset (explicit classes, bounded quantifiers, word boundaries;
+    no lookaround) so the SAME pattern string runs on Java regex and
+    RE2 with identical matches — a scrubber whose detector disagrees
+    with its auditor redacts the wrong documents.
+
+    Scale shape: one regexp pass per document inside whole-stage
+    codegen (``regexp_count`` — no Python, no explode of match
+    arrays), collapsing immediately to per-doc ints, then one
+    |sources|-row hash-agg. The redaction pass itself would be the
+    same scan shape with ``regexp_replace``.
+
+    Float discipline: none — counts and floor basis points."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            f"regexp_count(text, '{_PII_EMAIL}')".replace("\\", "\\\\")
+        ).alias("n_email"),
+        F.expr(
+            f"regexp_count(text, '{_PII_PHONE}')".replace("\\", "\\\\")
+        ).alias("n_phone"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_total"),
+        F.sum("n_phone").cast("long").alias("phones_total"),
+        F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("n_phone") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_phone"),
+        F.expr(
+            "(10000 * sum(CASE WHEN n_email > 0 OR n_phone > 0 "
+            "THEN 1 ELSE 0 END)) div count(1)"
+        ).alias("pii_docs_bp"),
+    )

@@ -292,3 +292,65 @@ def test_nprobe_curve_cross_list_miss(spark, tmp_path):
     assert by[1][2] == 40  # 8 queries x top-5 truth rows
     assert by[2][4] == 1.0 and by[4][4] == 1.0  # both lists probed -> exact
     assert by[1][4] < by[2][4]  # the cross-list miss at nprobe=1
+
+
+def test_pii_scan_counts_and_share(spark, tmp_path):
+    """Known emails/phones per source: match counts, per-doc booleans,
+    and the any-PII share pin identically on both engines."""
+    from catme_etl_spark.operators.quality import quality_pii_scan
+
+    docs = [
+        (1, "contact bob@example.com now", "en", "A", 27),
+        (2, "call 555-123-4567 or 555.987.6543", "en", "A", 33),
+        (3, "clean text here", "en", "A", 15),
+        (4, "x@y.io and 111-222-3333 both", "en", "A", 28),
+        (5, "nothing to see", "en", "B", 14),
+        (6, "still nothing", "en", "B", 13),
+    ]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = _spark_rows(quality_pii_scan(spark, str(tmp_path)))
+    con = _con(tmp_path, documents=True)
+    assert got == _oracle(con, "quality_pii_scan")
+    by = {r[0]: r for r in got}
+    assert by["A"] == ("A", 4, 2, 3, 2, 2, 7500)
+    assert by["B"] == ("B", 2, 0, 0, 0, 0, 0)
+
+
+def test_bot_signature_metronome_burst_human(spark, tmp_path):
+    """Three behavior profiles: a metronomic user (6 identical 10s
+    gaps → run 6), a bursty user (4 of 6 gaps sub-second → 6666 bp),
+    and a human profile (varied slow gaps) — flags 1, 1, 0; a user
+    under 5 gaps is excluded."""
+    from catme_etl_spark.operators.events import events_bot_signature_scan
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+
+    def emit(user, offsets_s):
+        nonlocal eid
+        for off in offsets_s:
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(seconds=off), user, "click", 1.0, "{}")
+            )
+
+    emit(1, [0, 10, 20, 30, 40, 50, 60])                    # metronome
+    emit(2, [0, 0.5, 0.9, 1.2, 1.7, 21.7, 51.7])            # burst
+    emit(3, [0, 7, 20, 65, 185, 218])                        # human
+    emit(4, [0, 5, 11])                                      # too few gaps
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = _spark_rows(events_bot_signature_scan(spark, str(tmp_path)))
+    con = _con(tmp_path, events=True)
+    assert got == _oracle(con, "events_bot_signature_scan")
+    assert got == [
+        (1, 7, 6, 0, 6, 1),
+        (2, 7, 6, 6666, 2, 1),
+        (3, 6, 5, 0, 1, 0),
+    ]
