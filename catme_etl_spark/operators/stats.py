@@ -1560,7 +1560,11 @@ def agg_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     (headroom to ~sf1: r≈1.5e8 ⇒ B·Σr²≈2e18 < 2⁶³) — order-insensitive
     where a float Σ(dev²) would hash-flake on agg order. The only
     floats are one final sqrt/division chain and the ±1.96·se CI, both
-    computed from already-rounded terms in the identical op order."""
+    computed from already-rounded terms in the identical op order.
+    Degenerate edge: a corpus so small that every key hashes to ONE
+    bucket leaves N - n_b = 0 and both engines fail loudly on the
+    integer division — the jackknife is undefined at B = 1, and a
+    silent 0 would be a lie about the error bar."""
     o = load_table(spark, sf_dir, "orders").select(
         (
             hex_prefix_long(F.md5(F.col("o_orderkey").cast("string")), 14, 1)
