@@ -354,3 +354,66 @@ def test_bot_signature_metronome_burst_human(spark, tmp_path):
         (2, 7, 6, 6666, 2, 1),
         (3, 6, 5, 0, 1, 0),
     ]
+
+
+def test_dimension_profile_hand_moments(spark, tmp_path):
+    """Two dims, three vectors: per-dim mean/std_pop/min/max equal the
+    hand-computed moments after the shared ROUND(5)+0.0 pin."""
+    from catme_etl_spark.operators.similarity import emb_dimension_profile
+
+    vecs = [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 0.0], 0),
+        (3, [5.0, 4.0], 1),
+    ]
+    _write(spark, tmp_path, "embeddings", vecs,
+           "vec_id long, embedding array<float>, label int")
+    got = _spark_rows(emb_dimension_profile(spark, str(tmp_path)))
+    con = _con(tmp_path, embeddings=True)
+    assert got == _oracle(con, "emb_dimension_profile")
+    import math as m
+
+    assert got == [
+        (1, 3.0, round(m.sqrt(8 / 3), 5), 1.0, 5.0),
+        (2, round(4 / 3, 5), round(m.sqrt(96 / 27), 5), 0.0, 4.0),
+    ]
+
+
+def test_centroid_distance_matrix_two_labels(spark, tmp_path):
+    """Label 0 centroid (2,0) vs label 1 centroid (0,4): L2 = sqrt(20),
+    cosine = 0 — orthogonal clusters report zero similarity."""
+    from catme_etl_spark.operators.similarity import sim_centroid_distance_matrix
+
+    vecs = [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 0.0], 0),
+        (3, [0.0, 4.0], 1),
+    ]
+    _write(spark, tmp_path, "embeddings", vecs,
+           "vec_id long, embedding array<float>, label int")
+    got = _spark_rows(sim_centroid_distance_matrix(spark, str(tmp_path)))
+    con = _con(tmp_path, embeddings=True)
+    assert got == _oracle(con, "sim_centroid_distance_matrix")
+    import math as m
+
+    assert got == [(0, 1, round(m.sqrt(20), 4), 0.0)]
+
+
+def test_vocab_overlap_known_jaccard(spark, tmp_path):
+    """Vocab {a,b,c} vs {b,c,d}: intersection 2, union 4 → 0.5; a
+    repeated token within a source must not inflate its vocab."""
+    from catme_etl_spark.operators.text import text_vocab_overlap_sources
+
+    docs = [
+        (1, "a b c", "en", "A", 5),
+        (2, "c c c", "en", "A", 5),   # repeats: vocab stays {a,b,c}
+        (3, "b c d", "en", "B", 5),
+    ]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = _spark_rows(text_vocab_overlap_sources(spark, str(tmp_path)))
+    con = _con(tmp_path, documents=True)
+    assert got == _oracle(con, "text_vocab_overlap_sources")
+    assert got == [("A", "B", 2, 0.5)]
