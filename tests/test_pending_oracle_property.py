@@ -209,3 +209,155 @@ def test_assoc_lift_oracle_equals_python_mirror(rows):
     )
     got = _oracle_rows("events_assoc_lift", events=df)
     assert got == _lift_mirror(rows)
+
+
+# --- padding-waste audit ---------------------------------------------------
+
+docs_tok_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(min_value=0, max_value=200),   # token count
+    ),
+    min_size=1,
+    max_size=150,
+)
+
+
+def _padding_mirror(rows):
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for i, (src, tok) in enumerate(rows):
+        by_src.setdefault(src, []).append((i, tok))
+
+    def pad(items):
+        total = 0
+        for i in range(0, len(items), 32):
+            chunk = [t for _, t in items[i : i + 32]]
+            total += max(chunk) * len(chunk) - sum(chunk)
+        return total
+
+    out = []
+    for src, items in by_src.items():
+        naive = pad(sorted(items))                       # doc_id order
+        by_len = pad(sorted(items, key=lambda p: (-p[1], p[0])))
+        toks = sum(t for _, t in items)
+        saving = 0 if naive == 0 else (10000 * (naive - by_len)) // naive
+        out.append((src, len(items), toks, by_len, naive, saving))
+    return sorted(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(docs_tok_strategy)
+def test_padding_oracle_equals_python_mirror(rows):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [" ".join(["w"] * t) for _, t in rows],
+            "lang": "en",
+            "source": [s for s, _ in rows],
+            "n_chars": [t for _, t in rows],
+        }
+    )
+    got = _oracle_rows("pack_padding_waste_audit", documents=df)
+    assert got == _padding_mirror(rows)
+
+
+# --- dedup impact report ---------------------------------------------------
+
+dup_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(min_value=0, max_value=4),   # text id from a tiny pool
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_TEXT_POOL = ["", "x", "x y", "x y z", "w w"]
+
+
+def _impact_mirror(rows):
+    keeper: dict[int, int] = {}
+    for doc_id, (_, tix) in enumerate(rows):
+        keeper.setdefault(tix, doc_id)
+    agg: dict[str, list[int]] = {}
+    for doc_id, (src, tix) in enumerate(rows):
+        tok = len([t for t in _TEXT_POOL[tix].split(" ") if t])
+        removed = 0 if keeper[tix] == doc_id else 1
+        g = agg.setdefault(src, [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += tok
+        g[2] += removed
+        g[3] += removed * tok
+    out = []
+    for src, (n, toks, rem, remtok) in agg.items():
+        out.append(
+            (src, n, toks, rem, remtok,
+             (10000 * rem) // n,
+             0 if toks == 0 else (10000 * remtok) // toks)
+        )
+    return sorted(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(dup_docs_strategy)
+def test_dedup_impact_oracle_equals_python_mirror(rows):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [_TEXT_POOL[t] for _, t in rows],
+            "lang": "en",
+            "source": [s for s, _ in rows],
+            "n_chars": [len(_TEXT_POOL[t]) for _, t in rows],
+        }
+    )
+    got = _oracle_rows("pipeline_dedup_impact_report", documents=df)
+    assert got == _impact_mirror(rows)
+
+
+# --- PII scan: Python `re` as a THIRD regex engine -------------------------
+
+pii_text_strategy = st.lists(
+    st.text(
+        alphabet="ab @.-_0123456789",
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _pii_mirror(texts):
+    import re
+
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\b\d{3}[-.]\d{3}[-.]\d{4}\b")
+    n = len(texts)
+    ne = [len(email.findall(t)) for t in texts]
+    np_ = [len(phone.findall(t)) for t in texts]
+    any_pii = sum(1 for e, p in zip(ne, np_) if e or p)
+    return [
+        ("S", n, sum(ne), sum(np_),
+         sum(1 for e in ne if e), sum(1 for p in np_ if p),
+         (10000 * any_pii) // n)
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(pii_text_strategy)
+def test_pii_oracle_matches_python_re(texts):
+    """The 'engine-portable regex subset' claim, adversarially probed:
+    RE2 (DuckDB) and Python `re` must produce identical match COUNTS
+    on noisy @/digit/dash/dot soup — leftmost-earliest scan semantics
+    agree for this pattern family even though the engines differ on
+    backtracking generally."""
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "S",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    got = _oracle_rows("quality_pii_scan", documents=df)
+    assert got == _pii_mirror(texts)
