@@ -1945,7 +1945,8 @@ def _cos_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_edges, n_wedges, n_triangles,
            CASE WHEN n_wedges = 0 THEN 0.0
-                ELSE ROUND(3.0 * n_triangles / n_wedges, 6)
+                ELSE floor(3.0 * n_triangles / n_wedges * 1000000 + 0.5)
+                     / 1000000
            END AS clustering_coeff
     FROM ec, wc, tc
     """,
@@ -1966,7 +1967,9 @@ def sim_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2=(b,c), closure (a,c) ⇒ a<b<c): two hash joins whose fanout is
     Σdeg² — the wedge count this query itself reports, the number to
     watch before re-running at a lower threshold. Wedges are exact
-    integer Σ d·(d−1)/2; the coefficient is one final division."""
+    integer Σ d·(d−1)/2; the coefficient is one final division of exact
+    integers, rounded via the pinned half-away idiom
+    floor(x*1e6+0.5)/1e6 identical on both engines."""
     e = _cos_pair_edges(spark, sf_dir)
     deg = (
         e.select(F.explode(F.array("vec_a", "vec_b")).alias("v"))
@@ -1997,7 +2000,13 @@ def sim_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_wedges",
             "n_triangles",
             F.when(F.col("n_wedges") == 0, F.lit(0.0))
-            .otherwise(F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .otherwise(
+                F.floor(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            )
             .alias("clustering_coeff"),
         )
     )

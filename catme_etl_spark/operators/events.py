@@ -914,7 +914,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wk_dau AS (
       SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
-             ROUND(AVG(dau), 4) AS avg_dau
+             floor(AVG(dau) * 10000 + 0.5) / 10000 AS avg_dau
       FROM dau GROUP BY 1
     ),
     wau AS (
@@ -923,7 +923,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM du GROUP BY 1
     )
     SELECT w.wk, d.avg_dau, w.wau,
-           ROUND(d.avg_dau / w.wau, 4) AS stickiness
+           floor(d.avg_dau / w.wau * 10000 + 0.5) / 10000 AS stickiness
     FROM wau w JOIN wk_dau d USING (wk)
     """,
 )
@@ -940,9 +940,11 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     |users|×|days| rows — and everything after runs on that reduced
     table (two tiny re-aggs into |weeks| rows joined at the end, both
     reusing the same exchange under AQE). No window functions, no
-    per-event shuffle. avg_dau is an average of integer day-counts
-    rounded to 4 (exact cross-engine); the counts are BIGINT on both
-    sides."""
+    per-event shuffle. avg_dau is an average of integer day-counts and
+    stickiness a ratio of such averages — both pinned with the module's
+    half-away idiom floor(x*1e4+0.5)/1e4 written identically on both
+    engines (Spark F.round vs DuckDB ROUND disagree on binary ties);
+    the counts are BIGINT on both sides."""
     du = (
         _events(spark, sf_dir)
         .select(F.to_date("ts").alias("d"), "user_id")
@@ -951,7 +953,9 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     wk_dau = (
         dau.groupBy(F.to_date(F.date_trunc("week", "d")).alias("wk"))
-        .agg(F.round(F.avg("dau"), 4).alias("avg_dau"))
+        .agg(
+            (F.floor(F.avg("dau") * 10000 + F.lit(0.5)) / 10000).alias("avg_dau")
+        )
     )
     wau = (
         du.groupBy(F.to_date(F.date_trunc("week", "d")).alias("wk"))
@@ -961,7 +965,9 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk",
         "avg_dau",
         "wau",
-        F.round(F.col("avg_dau") / F.col("wau"), 4).alias("stickiness"),
+        (
+            F.floor(F.col("avg_dau") / F.col("wau") * 10000 + F.lit(0.5)) / 10000
+        ).alias("stickiness"),
     )
 
 

@@ -513,8 +513,17 @@ def pack_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            avail                                         AS avail_tokens,
            CAST(target AS BIGINT)                        AS target_tokens,
-           ROUND(CAST(target AS DOUBLE) / avail, 4)      AS repeat_factor,
-           CAST((target + avail - 1) // avail AS BIGINT) AS n_epochs,
+           CASE WHEN avail = 0
+                THEN CAST(error('epoch mix undefined: source has 0 available tokens')
+                          AS DOUBLE)
+                ELSE floor(CAST(target AS DOUBLE) / avail * 10000 + 0.5)
+                     / 10000
+           END                                           AS repeat_factor,
+           CASE WHEN avail = 0
+                THEN CAST(error('epoch mix undefined: source has 0 available tokens')
+                          AS BIGINT)
+                ELSE CAST((target + avail - 1) // avail AS BIGINT)
+           END                                           AS n_epochs,
            CAST(LEAST(target, 4 * avail) AS BIGINT)      AS capped_tokens
     FROM t
     """,
@@ -537,7 +546,16 @@ def sample_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast triangular self-join (module-wide single-partition
     WindowExec ban); epoch ceiling is pure integer
     ((target+avail−1) div avail) — no float boundary anywhere except
-    the reported repeat_factor, rounded identically both sides."""
+    the reported repeat_factor, rounded via the pinned half-away idiom
+    floor(x*1e4+0.5)/1e4 identically on both engines.
+
+    Degenerate edge, guarded LOUDLY on both engines: a source whose
+    every document tokenizes to 0 tokens (reachable since ``tokens()``
+    drops empty tokens) has avail = 0, where repeat_factor/n_epochs are
+    undefined. DuckDB's division by zero is a silent NULL and Spark's
+    depends on the ANSI flag, so both sides raise explicitly
+    (``raise_error`` / ``error()``) instead of emitting a NULL plan
+    row a dataloader would misread."""
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.size(tokens("text")).alias("tok")
     )
@@ -557,14 +575,27 @@ def sample_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") < F.lit(500000) % F.col("n_src"), 1).otherwise(0)
         ).alias("target"),
     )
+    guard_msg = "epoch mix undefined: source has 0 available tokens"
     return t.select(
         "source",
         F.col("avail").alias("avail_tokens"),
         F.col("target").cast("long").alias("target_tokens"),
-        F.round(F.col("target").cast("double") / F.col("avail"), 4).alias(
-            "repeat_factor"
-        ),
-        F.expr("(target + avail - 1) div avail").cast("long").alias("n_epochs"),
+        F.when(
+            F.col("avail") > 0,
+            F.floor(
+                F.col("target").cast("double") / F.col("avail") * 10000
+                + F.lit(0.5)
+            )
+            / 10000,
+        )
+        .otherwise(F.expr(f"raise_error('{guard_msg}')"))
+        .alias("repeat_factor"),
+        F.when(
+            F.col("avail") > 0,
+            F.expr("(target + avail - 1) div avail").cast("long"),
+        )
+        .otherwise(F.expr(f"raise_error('{guard_msg}')"))
+        .alias("n_epochs"),
         F.least(F.col("target"), 4 * F.col("avail"))
         .cast("long")
         .alias("capped_tokens"),

@@ -1845,10 +1845,10 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_dimension_profile",
     oracle="""
     SELECT dim,
-           ROUND(AVG(v), 5) + 0.0        AS mean_v,
-           ROUND(stddev_pop(v), 5) + 0.0 AS std_v,
-           ROUND(MIN(v), 5) + 0.0        AS min_v,
-           ROUND(MAX(v), 5) + 0.0        AS max_v
+           floor(AVG(v) * 100000 + 0.5) / 100000        AS mean_v,
+           floor(stddev_pop(v) * 100000 + 0.5) / 100000 AS std_v,
+           floor(MIN(v) * 100000 + 0.5) / 100000        AS min_v,
+           floor(MAX(v) * 100000 + 0.5) / 100000        AS max_v
     FROM (
       SELECT generate_subscripts(embedding, 1) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS v
@@ -1870,18 +1870,25 @@ def emb_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable hash-agg into |dims| rows — the same shuffle shape as
     `embeddings_centroid_by_label` (partial (sum, sumsq, count, min,
     max) per task per dim, never raw vectors). Float32 inputs widen to
-    double exactly; population stddev on both engines; ROUND(5)+0.0
-    pins accumulation-order noise and signed zero."""
+    double exactly; population stddev on both engines; the module's
+    half-away idiom floor(x*1e5+0.5)/1e5 — written identically on both
+    engines, deterministic for either sign, and never producing -0.0 —
+    pins accumulation-order noise (F.round vs DuckDB ROUND disagree on
+    binary ties)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("v").cast("double")
+
+    def _r5(c):
+        return F.floor(c * 100000 + F.lit(0.5)) / 100000
+
     return (
         emb.select(F.posexplode("embedding").alias("pos", "v"))
         .groupBy((F.col("pos") + 1).alias("dim"))
         .agg(
-            (F.round(F.avg(v), 5) + 0.0).alias("mean_v"),
-            (F.round(F.stddev_pop(v), 5) + 0.0).alias("std_v"),
-            (F.round(F.min(v), 5) + 0.0).alias("min_v"),
-            (F.round(F.max(v), 5) + 0.0).alias("max_v"),
+            _r5(F.avg(v)).alias("mean_v"),
+            _r5(F.stddev_pop(v)).alias("std_v"),
+            _r5(F.min(v)).alias("min_v"),
+            _r5(F.max(v)).alias("max_v"),
         )
     )
 
@@ -1890,12 +1897,13 @@ def emb_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_norm_audit",
     oracle=f"""
     WITH n AS (
-      SELECT ROUND({SQL_NORM.format(a='embedding')}, 6) AS nr
+      SELECT floor({SQL_NORM.format(a='embedding')} * 1000000 + 0.5)
+               / 1000000 AS nr
       FROM embeddings
     )
-    SELECT CAST(FLOOR(nr / 0.25) AS BIGINT) AS norm_bin,
-           CAST(COUNT(*) AS BIGINT)         AS n_vecs,
-           ROUND(AVG(nr), 4)                AS avg_norm
+    SELECT CAST(FLOOR(nr / 0.25) AS BIGINT)        AS norm_bin,
+           CAST(COUNT(*) AS BIGINT)                AS n_vecs,
+           floor(AVG(nr) * 10000 + 0.5) / 10000    AS avg_norm
     FROM n GROUP BY 1
     """,
 )
@@ -1911,17 +1919,21 @@ def sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per row (`functions.vector.norm`, same left-to-right order as
     the DuckDB oracle, so the doubles agree to the last ulp BEFORE
     rounding) — then a map-side-combinable agg into a constant-size
-    bin grid. Nothing but the histogram crosses the driver."""
+    bin grid. Nothing but the histogram crosses the driver. Both
+    roundings use the module's half-away idiom floor(x*10^k+0.5)/10^k
+    written identically on both engines (F.round vs DuckDB ROUND
+    disagree on binary ties)."""
     from ..functions.vector import norm
 
     n = load_table(spark, sf_dir, "embeddings").select(
-        F.round(norm(F.col("embedding")), 6).alias("nr")
+        (F.floor(norm(F.col("embedding")) * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("nr")
     )
     return n.groupBy(
         F.floor(F.col("nr") / 0.25).cast("long").alias("norm_bin")
     ).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("nr"), 4).alias("avg_norm"),
+        (F.floor(F.avg("nr") * 10000 + F.lit(0.5)) / 10000).alias("avg_norm"),
     )
 
 
@@ -1938,10 +1950,11 @@ def sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY label, dim
     )
     SELECT a.label AS label_a, b.label AS label_b,
-           ROUND(SQRT(SUM((a.cv - b.cv) * (a.cv - b.cv))), 4) AS l2_dist,
-           ROUND(SUM(a.cv * b.cv)
-                 / (SQRT(SUM(a.cv * a.cv)) * SQRT(SUM(b.cv * b.cv))), 4)
-             AS cosine
+           floor(SQRT(SUM((a.cv - b.cv) * (a.cv - b.cv)))
+                 * 10000 + 0.5) / 10000 AS l2_dist,
+           floor(SUM(a.cv * b.cv)
+                 / (SQRT(SUM(a.cv * a.cv)) * SQRT(SUM(b.cv * b.cv)))
+                 * 10000 + 0.5) / 10000 AS cosine
     FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
     GROUP BY a.label, b.label
     """,
@@ -1961,7 +1974,10 @@ def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, kilobytes at any corpus size. Centroids are rounded to 5 ON
     BOTH ENGINES before any pair math (the `sim_centroid_assign_audit`
     float discipline), so distances derive from identical inputs; the
-    64-term pair sums are order-stable well past the final ROUND(4)."""
+    64-term pair sums are order-stable well past the final half-away
+    floor-round at 4 decimals (the module's pinned idiom — F.round vs
+    DuckDB ROUND disagree on binary ties, and cosine can be negative,
+    where floor(x*1e4+0.5)/1e4 stays engine-identical)."""
     c = embeddings_centroid_by_label(spark, sf_dir)
     a = c.select(
         F.col("label").alias("label_a"), "dim", F.col("centroid_v").alias("va")
@@ -1978,17 +1994,30 @@ def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label_a", "label_b")
         .agg(
-            F.round(
-                F.sqrt(F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))),
-                4,
+            (
+                F.floor(
+                    F.sqrt(
+                        F.sum(
+                            (F.col("va") - F.col("vb"))
+                            * (F.col("va") - F.col("vb"))
+                        )
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("l2_dist"),
-            F.round(
-                F.sum(F.col("va") * F.col("vb"))
-                / (
-                    F.sqrt(F.sum(F.col("va") * F.col("va")))
-                    * F.sqrt(F.sum(F.col("vb") * F.col("vb")))
-                ),
-                4,
+            (
+                F.floor(
+                    F.sum(F.col("va") * F.col("vb"))
+                    / (
+                        F.sqrt(F.sum(F.col("va") * F.col("va")))
+                        * F.sqrt(F.sum(F.col("vb") * F.col("vb")))
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("cosine"),
         )
     )

@@ -1517,7 +1517,11 @@ def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per
     ),
     rep AS (
-      SELECT ((tot.s - per.s_b) * 10) // (tot.n - per.n_b) AS r
+      SELECT CASE WHEN tot.n > per.n_b
+                  THEN ((tot.s - per.s_b) * 10) // (tot.n - per.n_b)
+                  ELSE CAST(error('jackknife undefined at B=1: all rows hash to one bucket')
+                            AS BIGINT)
+             END AS r
       FROM per CROSS JOIN tot
     ),
     agg AS (
@@ -1561,10 +1565,14 @@ def agg_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a float Σ(dev²) would hash-flake on agg order. The only
     floats are one final sqrt/division chain and the ±1.96·se CI, both
     computed from already-rounded terms in the identical op order.
-    Degenerate edge: a corpus so small that every key hashes to ONE
-    bucket leaves N - n_b = 0 and both engines fail loudly on the
-    integer division — the jackknife is undefined at B = 1, and a
-    silent 0 would be a lie about the error bar."""
+    Degenerate edge, guarded EXPLICITLY on both engines: a corpus so
+    small that every key hashes to ONE bucket leaves N - n_b = 0,
+    where the jackknife is undefined (B = 1). Neither engine fails
+    loudly on its own here — DuckDB integer division by zero is a
+    silent NULL, and Spark's behavior depends on the ANSI flag — so
+    the replicate expression raises explicitly (``raise_error`` /
+    ``error()``) rather than let a NULL flow into the variance and
+    emit a silent lie about the error bar."""
     o = load_table(spark, sf_dir, "orders").select(
         (
             hex_prefix_long(F.md5(F.col("o_orderkey").cast("string")), 14, 1)
@@ -1582,7 +1590,17 @@ def agg_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("nb"),
     )
     rep = per.crossJoin(F.broadcast(tot)).select(
-        F.expr("((s - s_b) * 10) div (n - n_b)").alias("r")
+        F.when(
+            F.col("n") > F.col("n_b"),
+            F.expr("((s - s_b) * 10) div (n - n_b)"),
+        )
+        .otherwise(
+            F.expr(
+                "raise_error('jackknife undefined at B=1:"
+                " all rows hash to one bucket')"
+            )
+        )
+        .alias("r")
     )
     agg = rep.agg(
         F.sum("r").cast("long").alias("sr"),

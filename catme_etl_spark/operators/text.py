@@ -1218,8 +1218,9 @@ def text_zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT i.src_a, i.src_b, i.n_common,
-           ROUND(CAST(i.n_common AS DOUBLE)
-                 / (sa.vsz + sb.vsz - i.n_common), 4) AS jaccard
+           floor(CAST(i.n_common AS DOUBLE)
+                 / (sa.vsz + sb.vsz - i.n_common) * 10000 + 0.5)
+             / 10000 AS jaccard
     FROM inter i
     JOIN sz sa ON sa.source = i.src_a
     JOIN sz sb ON sb.source = i.src_b
@@ -1241,7 +1242,9 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source sizes join back broadcast-small. At 100 TB the vocab
     table is the only shuffle that grows with data, and it grows with
     VOCABULARY (Heaps-sublinear, see `text_vocab_growth_heaps`), not
-    rows. Jaccard via inclusion-exclusion — no union pass."""
+    rows. Jaccard via inclusion-exclusion — no union pass; the ratio
+    of exact integers rounds once via the module's pinned half-away
+    idiom floor(x*1e4+0.5)/1e4, identical on both engines."""
     v = (
         _docs(spark, sf_dir)
         .select("source", F.explode(tokens("text")).alias("tok"))
@@ -1264,10 +1267,14 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             "n_common",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("vsz_a") + F.col("vsz_b") - F.col("n_common")),
-                4,
+            (
+                F.floor(
+                    F.col("n_common").cast("double")
+                    / (F.col("vsz_a") + F.col("vsz_b") - F.col("n_common"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("jaccard"),
         )
     )
@@ -1292,8 +1299,9 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_oov,
-           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+           floor(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS oov_rate
     FROM tagged t LEFT JOIN vocab v ON v.tok = t.tok
     WHERE t.split <> 'train'
     GROUP BY t.split
@@ -1314,7 +1322,9 @@ def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     token occurrences then LEFT-join that vocab on the token key — the
     one data-sized shuffle — and collapse straight into 2 output rows.
     Occurrence-weighted on purpose: rate = share of tokens a model
-    would see as <unk>, not share of distinct types."""
+    would see as <unk>, not share of distinct types. The rate (a ratio
+    of exact integers) rounds once via the pinned half-away idiom
+    floor(x*1e6+0.5)/1e6, identical on both engines."""
     from .sampling import hash_bucket
 
     bkt = hash_bucket(F.col("doc_id"), 100)
@@ -1337,12 +1347,16 @@ def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)).alias("n_oov"),
-            F.round(
-                F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)).cast(
-                    "double"
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("known").isNull(), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
                 )
-                / F.count(F.lit(1)),
-                6,
+                / 1000000
             ).alias("oov_rate"),
         )
     )
