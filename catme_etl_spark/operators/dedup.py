@@ -1922,7 +1922,7 @@ def _cos_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "sim_graph_triangle_count",
     oracle=f"""
     WITH pairs AS ({_COS_PAIR_SQL}),
@@ -2012,7 +2012,7 @@ def sim_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "pipeline_dedup_impact_report",
     oracle="""
     WITH d AS (

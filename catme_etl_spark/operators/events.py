@@ -903,7 +903,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "events_dau_wau_stickiness",
     oracle="""
     WITH du AS (
@@ -971,7 +971,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "events_assoc_lift",
     oracle="""
     WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -1060,7 +1060,7 @@ def events_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "events_bot_signature_scan",
     oracle="""
     WITH g AS (

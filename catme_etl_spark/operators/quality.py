@@ -1105,7 +1105,7 @@ def quality_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@pending_query(
+@query(
     "quality_referential_integrity_audit",
     oracle="""
     WITH fk AS (
@@ -1235,7 +1235,7 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 
 
-@pending_query(
+@query(
     "quality_pii_scan",
     oracle=f"""
     WITH d AS (

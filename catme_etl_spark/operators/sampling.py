@@ -488,7 +488,7 @@ def pack_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "sample_epoch_mix_plan",
     oracle="""
     WITH d AS (
@@ -602,7 +602,7 @@ def sample_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "pack_padding_waste_audit",
     oracle="""
     WITH d AS (

@@ -1841,7 +1841,7 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "emb_dimension_profile",
     oracle="""
     SELECT dim,
@@ -1893,7 +1893,7 @@ def emb_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "sim_norm_audit",
     oracle=f"""
     WITH n AS (
@@ -1937,7 +1937,7 @@ def sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "sim_centroid_distance_matrix",
     oracle="""
     WITH c AS (
@@ -2023,7 +2023,7 @@ def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "sim_ivf_nprobe_curve",
     oracle=f"""
     WITH cent AS (

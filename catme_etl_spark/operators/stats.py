@@ -1358,7 +1358,7 @@ def agg_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "stats_kaplan_meier_churn",
     oracle="""
     WITH bounds AS (
@@ -1496,7 +1496,7 @@ def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "agg_jackknife_mean_se",
     oracle=f"""
     WITH b AS (

@@ -1202,7 +1202,7 @@ def text_zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "text_vocab_overlap_sources",
     oracle="""
     WITH v AS (
@@ -1280,7 +1280,7 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "text_oov_rate_split",
     oracle=f"""
     WITH tagged AS (
@@ -1362,7 +1362,7 @@ def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "text_pmi_collocations",
     oracle="""
     WITH toks AS (
@@ -1449,7 +1449,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "text_length_percentiles_by_lang",
     oracle="""
     WITH d AS (

