@@ -66,12 +66,22 @@ def _topk_against(bc, k: int, exclude_self: bool):
             top = order[:, :k]
             n, kk = top.shape
             rows_idx = np.repeat(np.arange(n), kk)
+            cols = top.ravel()
+            scores = cos[rows_idx, cols]
+            # degenerate-corpus guard: with fewer than k non-self
+            # neighbors, the self row's -inf mask would otherwise be
+            # emitted as a phantom neighbor (and pollute n_truth in
+            # every recall audit that consumes this as ground truth).
+            # -inf rows always sort last within a query's top-k, so
+            # dropping them keeps ranks 1..n_neighbors contiguous —
+            # matching the oracle's vec_id <> vec_id join exactly.
+            keep = ~np.isneginf(scores)
             yield pd.DataFrame(
                 {
-                    "query_id": ia[rows_idx],
-                    "rank": np.tile(np.arange(1, kk + 1), n),
-                    "neighbor_id": bids[top].ravel(),
-                    "cos_raw": cos[rows_idx, top.ravel()],
+                    "query_id": ia[rows_idx][keep],
+                    "rank": np.tile(np.arange(1, kk + 1), n)[keep],
+                    "neighbor_id": bids[cols][keep],
+                    "cos_raw": scores[keep],
                 }
             )
 
@@ -1587,31 +1597,50 @@ def _pq_train_codebooks(Q, ids, stride):
     return books
 
 
-def _pq_trained_kernel(bc, k: int, stride: int):
+def _pq_fit_trained(bc):
+    """Driver-side ONE-TIME fit of the trained-PQ artifact from the
+    shared corpus broadcast: per-subspace Lloyd codebooks
+    (:func:`_pq_train_codebooks`) plus the corpus PQ codes encoded
+    against them. Returned as a plain tuple for
+    :func:`~catme_etl_spark.operators._shared.shared_broadcast`, so
+    the (identical, deterministic) training runs ONCE per
+    (sf_dir, session) and every scan task reads the finished
+    codebooks from the broadcast — the round-7 verdict's fix for the
+    per-task retraining that dominated this audit's wall clock (the
+    training is work×tasks for identical output otherwise). This is
+    also the real-scale shape: train on a bounded sample driver-side,
+    ship kilobytes of codebooks, stream the ADC scan."""
+    import numpy as np
+
+    bids, bmat, _ = bc.value
+    max_abs = _quant_max_abs(bmat)
+    order = np.argsort(bids, kind="stable")
+    ids = bids[order]
+    Q = np.clip(
+        np.floor(bmat[order] * 127.0 / max_abs + 0.5), -127, 127
+    ).astype(np.int64)
+    books = _pq_train_codebooks(Q, ids, PQ_STRIDE)
+    codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+        dm = ((Q[:, None, lo:hi].astype(np.float64)
+               - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = dm.argmin(axis=1)
+    return ids, max_abs, books, codes
+
+
+def _pq_trained_kernel(trained_bc, k: int):
     """mapInPandas generator: PQ-ADC ranking against TRAINED
     (per-subspace k-means) codebooks. Same blocked scan shape as the
-    stride kernel in :func:`_pq_kernels`; the codebooks retrain once
-    per task from the shared broadcast matrix (deterministic, ~ms at
-    broadcast-budget size — at real scale they'd ship pre-trained in
-    the broadcast instead)."""
+    stride kernel in :func:`_pq_kernels`, but the codebooks and corpus
+    codes arrive PRE-TRAINED in ``trained_bc`` (see
+    :func:`_pq_fit_trained`) — tasks only quantize their query batch
+    and run the integer ADC lookup, never retrain."""
     import numpy as np
     import pandas as pd
 
     def gen(batches):
-        bids, bmat, _ = bc.value
-        max_abs = _quant_max_abs(bmat)
-        order = np.argsort(bids, kind="stable")
-        ids = bids[order]
-        Q = np.clip(
-            np.floor(bmat[order] * 127.0 / max_abs + 0.5), -127, 127
-        ).astype(np.int64)
-        books = _pq_train_codebooks(Q, ids, stride)
-        codes = np.empty((len(ids), PQ_M), dtype=np.int64)
-        for m in range(PQ_M):
-            lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
-            dm = ((Q[:, None, lo:hi].astype(np.float64)
-                   - books[m][None, :, :]) ** 2).sum(axis=2)
-            codes[:, m] = dm.argmin(axis=1)
+        ids, max_abs, books, codes = trained_bc.value
         BIG = np.float64(1e30)
         for pdf in batches:
             if not len(pdf):
@@ -1677,14 +1706,21 @@ def sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: three blocked mapInPandas scans over one shared
     broadcast matrix (truth, stride-ADC, trained-ADC) + two
-    (query, neighbor) equi-joins + counts. At 100 TB the codebooks
-    train once on a sample driver-side, ship in the broadcast, and
-    the ADC scan streams {PQ_M}-byte codes — the plan here minus the
-    audit joins."""
+    (query, neighbor) equi-joins + counts. The codebooks train ONCE
+    driver-side from the shared matrix and ship pre-trained in their
+    own broadcast (:func:`_pq_fit_trained`) — scan tasks never
+    retrain. At 100 TB the training input becomes a bounded sample
+    and the ADC scan streams {PQ_M}-byte codes — the same plan minus
+    the audit joins."""
+    from ._shared import shared_broadcast
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    trained_bc = shared_broadcast(
+        "pq_trained_artifact", sf_dir, spark, lambda: _pq_fit_trained(bc)
+    )
     pq_gen, exact_gen = _pq_kernels(bc, TOP_K, PQ_STRIDE)
-    trained_gen = _pq_trained_kernel(bc, TOP_K, PQ_STRIDE)
+    trained_gen = _pq_trained_kernel(trained_bc, TOP_K)
     schema = "query_id long, rank long, neighbor_id long"
     exact = fan_out(emb, spark).mapInPandas(exact_gen, schema=schema).select(
         "query_id", "neighbor_id"

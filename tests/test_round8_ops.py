@@ -138,3 +138,35 @@ def _srp_key_sql() -> str:
     from catme_etl_spark.operators.similarity import _SRP_KEY_SQL
 
     return _SRP_KEY_SQL
+
+
+def test_topk_bruteforce_degenerate_corpus(spark, tmp_path):
+    """Verdict item #2: with fewer than TOP_K non-self neighbors the
+    kernel must emit only the real neighbors (ranks 1..n-1), not pad
+    to k with the -inf self mask — the phantom rows the round-7
+    nprobe-curve crafted test caught polluting n_truth. 3 vectors with
+    TOP_K = 5 -> exactly 2 neighbors per query on BOTH engines."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import TOP_K, sim_topk_bruteforce
+
+    assert TOP_K > 2  # the corpus must be smaller than k + 1
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.5, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.5], 1),
+    ]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(out)
+
+    clear_shared()
+    got = _spark_rows(sim_topk_bruteforce(spark, str(tmp_path)))
+    clear_shared()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "sim_topk_bruteforce")
+    assert len(got) == 6  # 3 queries x 2 real neighbors, no phantom rows
+    assert all(r[1] <= 2 for r in got)  # ranks stay contiguous 1..2
+    assert all(r[0] != r[2] for r in got)  # no self rows survive
