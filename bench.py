@@ -151,6 +151,28 @@ HEADLINE = [
     # round-7b: the one new live debut (the other round-7b ops are
     # window-budget deferred to round 8 — registry.pending_query)
     "quality_order_total_consistency",
+    # round-8 additions: the 19 flipped round-7b debuts + the
+    # sampled-panel form of the trained-PQ recall audit
+    "sim_graph_triangle_count",
+    "pipeline_dedup_impact_report",
+    "events_dau_wau_stickiness",
+    "events_assoc_lift",
+    "events_bot_signature_scan",
+    "quality_referential_integrity_audit",
+    "quality_pii_scan",
+    "sample_epoch_mix_plan",
+    "pack_padding_waste_audit",
+    "emb_dimension_profile",
+    "sim_norm_audit",
+    "sim_centroid_distance_matrix",
+    "sim_ivf_nprobe_curve",
+    "stats_kaplan_meier_churn",
+    "agg_jackknife_mean_se",
+    "text_vocab_overlap_sources",
+    "text_oov_rate_split",
+    "text_pmi_collocations",
+    "text_length_percentiles_by_lang",
+    "sim_pq_recall_sampled_panel",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary
@@ -158,13 +180,31 @@ HEADLINE = [
 # r6 driver run printed 2.5x phantom normalized readings on exactly the
 # python-worker-heavy queries (containment 4.60s vs a true ~1.8s)
 # because the light JVM-only canary doesn't touch python workers, Arrow
-# transfer, or large shuffles. Each headline query is now preceded by
-# the canary whose RESOURCE PROFILE matches its own, and normalized by
-# that family's ratio. Classification is by name prefix: the listed
-# prefixes are the Arrow/python-worker/explode-shuffle families
-# (pandas UDF kernels, shingle/band builders, streaming micro-batches);
-# everything else is JVM join/agg/window/scan work the flagship canary
-# tracks well.
+# transfer, or large shuffles. Each headline query is preceded by the
+# canary whose RESOURCE PROFILE matches its own, and normalized by
+# that family's ratio.
+#
+# Classification is MEASURED, not name-based (round-7 ADVICE: several
+# dedup_/pipeline_/text_-prefixed headlines are pure-JVM join/agg
+# plans and were being normalized by the pandas-UDF canary whose
+# contention profile they don't share): during warm-up each query's
+# physical plan — built from a cleared session so lazy-checkpointed
+# builders still show their full lineage — is scanned for
+# python-worker nodes. Streaming headlines stay "heavy" by override:
+# their returned DataFrame is the small post-run result, so the
+# micro-batch cost never appears in its plan.
+PY_PLAN_MARKERS = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInArrow",
+    "PythonUDTF",
+    "PythonUDF",
+)
+
+# prefix fallback, used only when a plan can't be inspected
 HEAVY_PREFIXES = (
     "dedup_",
     "sim_",
@@ -176,8 +216,16 @@ HEAVY_PREFIXES = (
 )
 
 
-def _family(name: str) -> str:
-    return "heavy" if name.startswith(HEAVY_PREFIXES) else "join"
+def _plan_family(name: str, df) -> str:
+    if name.startswith("stream_"):
+        return "heavy"
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "heavy" if name.startswith(HEAVY_PREFIXES) else "join"
+    return (
+        "heavy" if any(m in plan for m in PY_PLAN_MARKERS) else "join"
+    )
 
 
 def main() -> None:
@@ -186,6 +234,8 @@ def main() -> None:
     from catme_etl_spark.session import get_spark
 
     spark = get_spark("bench")
+    from catme_etl_spark.operators._shared import clear_shared as _cs
+
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
     # Warm-up: run every headline query once at sf0.001 (~1000x less
@@ -193,13 +243,24 @@ def main() -> None:
     # operators the timed sf0.1 runs use, so the numbers measure the
     # queries, not one-time JVM compilation — i.e. steady-state
     # production behavior. Data volume is negligible (<0.2% of timed).
+    # Session-shared builders are cleared BEFORE each warm-up so every
+    # query's captured plan carries its full lineage (a builder another
+    # query already materialized would otherwise hide its python
+    # stages behind a checkpoint scan) — the same full-pipeline shape
+    # the timed cold runs pay.
+    fams: dict[str, str] = {}
     for name in names:
         try:
-            qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
+            _cs()
+            df = qs[name](spark, "/root/testdata/sf0.001")
+            fams[name] = _plan_family(name, df)
+            df.write.format("noop").mode("overwrite").save()
         except Exception:
-            pass  # warm-up must never break the timed run
+            # warm-up must never break the timed run
+            fams.setdefault(
+                name,
+                "heavy" if name.startswith(HEAVY_PREFIXES) else "join",
+            )
     # warm sf0.1 parquet footers once
     qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
@@ -284,10 +345,8 @@ def main() -> None:
 
     times: dict[str, float] = {}
     canary: dict[str, float] = {}
-    fams: dict[str, str] = {}
     for name in names:
-        fam = _family(name)
-        fams[name] = fam
+        fam = fams[name]
         c = canary_fn[fam]()
         c_samples[fam].append(c)
         canary[name] = round(c, 3)

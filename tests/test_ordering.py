@@ -83,6 +83,23 @@ def test_pending_queue_discipline():
         assert callable(fn), name
 
 
+def test_max_staleness_bound():
+    """Round-7 verdict item #6: the staleness-weighted spillover must
+    keep the certification-freshness guarantee a NUMBER — no certified
+    name goes more than 6 rounds without re-earning a green
+    CORRECTNESS row. If this fails, the round's forced set ate too
+    much spillover slack: budget fewer certified-code changes or grow
+    the window, explicitly."""
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    from catme_etl_spark.operators.ordering import SWEEP_ORDER
+
+    import tools.rotation as rotation
+
+    rep = rotation.staleness_report(list(SWEEP_ORDER))
+    assert rep["max_rounds_stale_outside_window"] <= 6, rep
+
+
 ROUND7_DEBUT_QUEUE = [
     "sim_graph_triangle_count",
     "pipeline_dedup_impact_report",

@@ -336,11 +336,12 @@ def main() -> int:
     if args.cmd == "snapshot":
         fps = compute_fingerprints()
         order, _forced = compute_sweep_order()
+        rep = staleness_report(order)
         with open(STATE_PATH, "w") as f:
             json.dump(
                 {
                     "fingerprints": fps,
-                    "staleness": staleness_report(order),
+                    "staleness": rep,
                 },
                 f,
                 indent=1,
@@ -348,6 +349,15 @@ def main() -> int:
             )
             f.write("\n")
         print(f"wrote {len(fps)} fingerprints to {STATE_PATH}")
+        # round-7 item #6: the certification-freshness guarantee as a
+        # NUMBER in the committed record, not an inference
+        print(
+            f"max-staleness bound going into round "
+            f"{rep['upcoming_round']}: "
+            f"{rep['max_rounds_stale_outside_window']} rounds "
+            f"({rep['stalest_outside_window']}); "
+            f"{rep['n_outside_window']} names outside the window"
+        )
         return 0
 
     if args.cmd == "window":
