@@ -2082,3 +2082,132 @@ def pipeline_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(10000 * sum(removed * tok)) div sum(tok)"))
         .alias("tokens_removed_bp"),
     )
+
+
+# --- LSH banding parameter planner (design-time, O(1) data) ------------
+
+# Candidate (bands, rows) factorizations of the 32-hash family, the
+# acceptance threshold the verify step uses (Jaccard 0.4), and the
+# midpoint grid resolution for the S-curve mass integrals.
+_PLAN_THETA = 0.4
+_PLAN_GRID = 1000
+
+
+def _plan_layouts() -> list[tuple[int, int]]:
+    return [
+        (b, _N_SEEDS // b)
+        for b in (1, 2, 4, 8, 16, 32)
+        if _N_SEEDS % b == 0
+    ]
+
+
+def _plan_sql() -> str:
+    rows = ", ".join(f"({b}, {r})" for b, r in _plan_layouts())
+    theta_i = int(_PLAN_THETA * _PLAN_GRID)
+    return f"""
+    WITH layouts(b, r) AS (VALUES {rows}),
+    grid AS (
+      SELECT b, r, (unnest(range({_PLAN_GRID})) + 0.5) / {_PLAN_GRID}.0 AS s
+      FROM layouts
+    ),
+    p AS (
+      SELECT b, r, s,
+             CAST(floor((1.0 - POW(1.0 - POW(s, CAST(r AS DOUBLE)),
+                                   CAST(b AS DOUBLE))) * 1000000 + 0.5)
+                  AS BIGINT) AS p_ppm
+      FROM grid
+    )
+    SELECT CAST(b AS BIGINT) AS n_bands,
+           CAST(r AS BIGINT) AS rows_per_band,
+           floor(POW(1.0 / b, 1.0 / r) * 1000000 + 0.5) / 1000000 AS s_star,
+           CAST(SUM(CASE WHEN s < {_PLAN_THETA} THEN p_ppm ELSE 0 END)
+                // {_PLAN_GRID} AS BIGINT) AS fp_area_ppm,
+           CAST(SUM(CASE WHEN s >= {_PLAN_THETA} THEN 1000000 - p_ppm ELSE 0 END)
+                // {_PLAN_GRID} AS BIGINT) AS fn_area_ppm,
+           CAST(MAX(CASE WHEN s = ({theta_i} + 0.5) / {_PLAN_GRID}.0
+                         THEN p_ppm END) AS BIGINT) AS catch_at_theta_ppm
+    FROM p GROUP BY b, r
+    """
+
+
+@query("dedup_lsh_parameter_planner", oracle=_plan_sql())
+def dedup_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding DESIGN TABLE — the calculation run before choosing
+    the (bands × rows) layout the MinHash family ships with: for every
+    factorization of the {n}-hash budget, the S-curve threshold
+    s* = (1/b)^(1/r) and three figures of merit against the verify
+    threshold θ = 0.4 — expected false-positive mass below θ (wasted
+    exact-verify work per uniform non-dup pair), false-negative mass
+    above θ (true dups the bands never surface — the unrecoverable
+    error), and the catch rate at the first grid midpoint ≥ θ
+    (s = 0.4005 on the {g}-point grid). The committed 8×4 layout
+    is the measured trade this table justifies; `dedup_minhash_
+    scurve_audit` then certifies the chosen curve against observed
+    collisions.
+
+    Float discipline: the curve masses are sums over a fixed
+    {g}-midpoint grid where each term is floored to integer ppm
+    FIRST — the summation is exact int64, immune to accumulation
+    order on either engine (the repo's integer-units rule); s* and
+    the per-point curve use the same POW forms the certified S-curve
+    audit already pins cross-engine. Pure computation — reads no
+    table, ships no data; at any scale this is a driver-side design
+    artifact the planner emits before a corpus-sized job runs.
+    """
+    layouts = spark.createDataFrame(_plan_layouts(), "b int, r int")
+    grid = layouts.select(
+        "b",
+        "r",
+        F.explode(F.sequence(F.lit(0), F.lit(_PLAN_GRID - 1))).alias("i"),
+    ).select(
+        "b", "r", ((F.col("i") + 0.5) / float(_PLAN_GRID)).alias("s")
+    )
+    p_ppm = F.floor(
+        (
+            1.0
+            - F.pow(
+                1.0 - F.pow(F.col("s"), F.col("r").cast("double")),
+                F.col("b").cast("double"),
+            )
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    theta_mid = (int(_PLAN_THETA * _PLAN_GRID) + 0.5) / float(_PLAN_GRID)
+    p = grid.select("b", "r", "s", p_ppm.alias("p_ppm"))
+    agg = p.groupBy(
+        F.col("b").cast("long").alias("n_bands"),
+        F.col("r").cast("long").alias("rows_per_band"),
+    ).agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN s < {_PLAN_THETA} THEN p_ppm ELSE 0 END) "
+            f"div {_PLAN_GRID} AS BIGINT)"
+        ).alias("fp_area_ppm"),
+        F.expr(
+            f"CAST(sum(CASE WHEN s >= {_PLAN_THETA} THEN 1000000 - p_ppm "
+            f"ELSE 0 END) div {_PLAN_GRID} AS BIGINT)"
+        ).alias("fn_area_ppm"),
+        F.max(
+            F.when(F.col("s") == theta_mid, F.col("p_ppm"))
+        ).cast("long").alias("catch_at_theta_ppm"),
+    )
+    return agg.select(
+        "n_bands",
+        "rows_per_band",
+        (
+            F.floor(
+                F.pow(1.0 / F.col("n_bands"), 1.0 / F.col("rows_per_band"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("s_star"),
+        "fp_area_ppm",
+        "fn_area_ppm",
+        "catch_at_theta_ppm",
+    )
+
+
+dedup_lsh_parameter_planner.__doc__ = dedup_lsh_parameter_planner.__doc__.format(
+    n=_N_SEEDS, g=_PLAN_GRID
+)

@@ -1300,3 +1300,101 @@ def quality_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN 1 ELSE 0 END)) div count(1)"
         ).alias("pii_docs_bp"),
     )
+
+
+# 13-gram decontamination is the published convention (GPT-3 appendix C
+# used 13-grams; The Pile and most open pipelines use 8-13); 8 keeps
+# the fixture's 20-80-token docs contaminable while staying well past
+# accidental-phrase length.
+DECON_K = 8
+
+_DECON_GRAM_SQL = (
+    f"list_transform(range(len(toks) - {DECON_K - 1}), i -> "
+    + " || ' ' || ".join(f"toks[i+{j + 1}]" for j in range(DECON_K))
+    + ")"
+)
+
+
+@query(
+    "pipeline_train_decontamination",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source, lang, text,
+             CASE WHEN {_SPLIT_BKT_SQL} < 80 THEN 'train'
+                  WHEN {_SPLIT_BKT_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    eval_g AS (
+      SELECT DISTINCT md5(unnest({_DECON_GRAM_SQL})) AS gh
+      FROM (SELECT string_split(text, ' ') AS toks
+            FROM tagged WHERE split <> 'train') x
+    ),
+    train_g AS (
+      SELECT DISTINCT doc_id, md5(unnest({_DECON_GRAM_SQL})) AS gh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM tagged WHERE split = 'train') x
+    ),
+    dirty AS (
+      SELECT DISTINCT t.doc_id FROM train_g t JOIN eval_g e USING (gh)
+    )
+    SELECT t.doc_id, t.source, t.lang
+    FROM tagged t
+    WHERE t.split = 'train'
+      AND t.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def pipeline_train_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION of the training split — the
+    GPT-3-style n-gram scrub every serious release runs: a train
+    document sharing ANY {DECON_K}-token shingle with a val/test
+    document is dropped, and the output IS the decontaminated training
+    set (doc_id, source, lang) a downstream mix job consumes. The
+    complement of `quality_split_leakage_audit` (which COUNTS
+    template-level leaks): this produces the cleaned deliverable at
+    n-gram resolution, catching partial overlaps template prefixes
+    miss. Splits are the repo's deterministic 80/10/10 content-hash
+    assignment (`sample_train_val_test`), so the scrub certifies the
+    published split convention.
+
+    Scale shape: both sides tokenize once and explode to per-doc
+    DISTINCT {DECON_K}-gram MD5s (`array_distinct` BEFORE the explode
+    — narrow, no within-doc duplicate ever shuffles); the contamination
+    probe is ONE equi-join on the 16-byte digest — raw n-grams never
+    shuffle — between the train grams and the ~20%-sized DISTINCT eval
+    gram set, collapsing straight to a distinct doc_id anti-join list.
+    At 100 TB the eval gram set is small enough to broadcast and the
+    probe becomes shuffle-free; the fixture-scale plan keeps the
+    hash-join form the optimizer picks from stats. Docs shorter than
+    {DECON_K} tokens produce no shingles and pass the scrub by
+    construction (document-level exact dedup is `dedup_exact_by_hash`'s
+    job).
+
+    Reference basis: the reference repo has no text analytics; this is
+    contract-driven (SURVEY §2.10 training-data pipeline family).
+    """
+    from ..functions.texttools import word_shingles
+    from ._shared import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise(F.lit("test"))
+    )
+    tagged = d.select("doc_id", "source", "lang", "text", split.alias("split"))
+    grams = F.explode(F.array_distinct(word_shingles("text", k=DECON_K)))
+    eval_g = (
+        fan_out(tagged.filter(F.col("split") != "train"), spark)
+        .select(grams.alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train_g = fan_out(tagged.filter(F.col("split") == "train"), spark).select(
+        "doc_id", grams.alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    dirty = train_g.join(eval_g, "gh").select("doc_id").distinct()
+    return (
+        tagged.filter(F.col("split") == "train")
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "source", "lang")
+    )

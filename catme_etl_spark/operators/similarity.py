@@ -1530,11 +1530,19 @@ def _pq_kernels(bc, k: int, stride: int):
         cmask = ids % stride == 0
         C = Q[cmask]  # (n_cent, dim), rows sorted by centroid id asc
         # encode the corpus: per subspace, nearest codeword (tie → first
-        # = smallest centroid id, matching the oracle's ORDER BY d, cid)
+        # = smallest centroid id, matching the oracle's ORDER BY d, cid).
+        # Distances use the int64 matmul identity q² + c² − 2q·c —
+        # EXACT integer algebra, bit-identical to the subtract-square
+        # broadcast it replaces, at a fraction of the temporary memory.
         codes = np.empty((len(ids), PQ_M), dtype=np.int64)
         for m in range(PQ_M):
             lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
-            dm = ((Q[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
+            Qm, Cm = Q[:, lo:hi], C[:, lo:hi]
+            dm = (
+                (Qm * Qm).sum(axis=1)[:, None]
+                + (Cm * Cm).sum(axis=1)[None, :]
+                - 2 * (Qm @ Cm.T)
+            )
             codes[:, m] = dm.argmin(axis=1)
         for pdf in batches:
             if not len(pdf):
@@ -1544,9 +1552,12 @@ def _pq_kernels(bc, k: int, stride: int):
             adc = np.zeros((len(ia), len(ids)), dtype=np.int64)
             for m in range(PQ_M):
                 lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
-                lut = ((qa[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(
-                    axis=2
-                )  # (n, n_cent)
+                qm, Cm = qa[:, lo:hi], C[:, lo:hi]
+                lut = (
+                    (qm * qm).sum(axis=1)[:, None]
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                    - 2 * (qm @ Cm.T)
+                )  # (n, n_cent), exact int64
                 adc += lut[:, codes[:, m]]
             adc = np.where(ia[:, None] == ids[None, :], BIG, adc)
             yield emit(ia, ids, adc, k)
@@ -1586,13 +1597,25 @@ def _pq_train_codebooks(Q, ids, stride):
         lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
         X = Q[:, lo:hi].astype(np.float64)
         C = X[cmask].copy()
+        # matmul form of the pairwise distance (x² + c² − 2x·c): the
+        # O(n·k·d) broadcast temporary was the training-time hot spot;
+        # BLAS keeps it cache-blocked. Argmin ties still resolve to the
+        # lowest codeword id (np.argmin is first-of-ties).
+        x2 = (X * X).sum(axis=1)
+        k = len(C)
         for _ in range(PQ_KMEANS_ITERS):
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = x2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
             a = d.argmin(axis=1)
-            for j in range(len(C)):
-                mask = a == j
-                if mask.any():
-                    C[j] = X[mask].mean(axis=0)
+            cnt = np.bincount(a, minlength=k).astype(np.float64)
+            nz = cnt > 0
+            sums = np.stack(
+                [
+                    np.bincount(a, weights=X[:, dd], minlength=k)
+                    for dd in range(X.shape[1])
+                ],
+                axis=1,
+            )
+            C[nz] = sums[nz] / cnt[nz, None]
         books.append(C)
     return books
 
@@ -2336,3 +2359,145 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias(f"recall_at_{TOP_K}"),
     )
+
+
+# --- diverse-subset selection (k-center coreset) -------------------------
+
+CORESET_K = 10
+
+_KC_D2 = (
+    "list_sum(list_transform(range(len(e.embedding)), i -> "
+    "(CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.embedding[i+1] AS DOUBLE))"
+    " * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.embedding[i+1] AS DOUBLE))"
+    "))"
+)
+
+
+def _kcenter_sql() -> str:
+    """Unrolled greedy k-center as chained CTE layers (one per
+    selection): layer i picks the point farthest from the first i-1
+    centers (ties -> lowest vec_id) and refreshes every point's
+    min-distance. The fold inside the distance is DuckDB's sequential
+    list_sum — the same left-to-right order the Spark kernel uses, so
+    the doubles the argmax compares are ulp-identical cross-engine."""
+    parts = [
+        f"""
+    c1 AS (
+      SELECT vec_id, embedding, 0.0 AS dmin FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    d1 AS (
+      SELECT e.vec_id, e.embedding, {_KC_D2} AS dmin
+      FROM embeddings e, c1 c
+    )"""
+    ]
+    for i in range(2, CORESET_K + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT vec_id, embedding, dmin FROM d{i - 1}
+      ORDER BY dmin DESC, vec_id LIMIT 1
+    ),
+    d{i} AS (
+      SELECT e.vec_id, e.embedding, LEAST(e.dmin, {_KC_D2}) AS dmin
+      FROM d{i - 1} e, c{i} c
+    )"""
+        )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, 0.0 AS d2_sel FROM c1"
+    ]
+    for i in range(2, CORESET_K + 1):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT), vec_id, "
+            f"floor(dmin * 1000000 + 0.5) / 1000000 FROM c{i}"
+        )
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("sample_coreset_kcenter", oracle=_kcenter_sql())
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse-subset selection: greedy k-center (Gonzalez) coreset
+    over the embedding corpus — the curation move that picks the
+    {k} MOST MUTUALLY DISTANT exemplars (seed = lowest vec_id, then
+    repeatedly the point farthest from everything already chosen,
+    ties -> lowest vec_id). Each selection's ``d2_sel`` is the squared
+    L2 distance that made it the argmax — i.e. the covering radius of
+    the first i-1 centers, so the output doubles as the coverage
+    curve a curator reads to choose k. The 2-approximation guarantee
+    of greedy k-center makes this the standard seed set for diverse
+    sampling, annotation budgeting, and cluster initialization.
+
+    Scale shape: k-1 passes over the corpus, each ONE narrow
+    mapInPandas scan (vectorized numpy, dims folded in the oracle's
+    exact left-to-right order so argmax inputs agree cross-engine to
+    the ulp) emitting a single best-candidate row per partition; the
+    driver reduces |partitions| candidates with the same
+    (dmin desc, vec_id asc) rule — never more than 32 tiny rows
+    cross. No shuffle after the initial fan-out; at 100 TB this is
+    k scans of a columnar table with a 1-row reduce each, the
+    textbook distributed form of the greedy algorithm. Centers
+    travel to tasks in the closure (k × dim doubles — bytes).
+
+    Degenerate corpora (< k distinct positions) stay deterministic
+    and engine-identical: once every point's distance is 0 the argmax
+    tie rule re-selects the lowest vec_id on BOTH engines.
+
+    Reference basis: none (the reference has no vector ops); contract
+    training-data family (SURVEY §2.10), sibling of the dedup/ANN
+    tiers over the same corpus."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = fan_out(emb, spark)
+    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[list[float]] = [[float(x) for x in seed.embedding]]
+    out = [(1, int(seed.vec_id), 0.0)]
+    for rank in range(2, CORESET_K + 1):
+        cs = [list(c) for c in centers]
+
+        def gen(batches, cs=cs):
+            best = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                ids = pdf["vec_id"].to_numpy()
+                dmin = None
+                for c in cs:
+                    acc = np.zeros(len(ids), dtype=np.float64)
+                    for i in range(A.shape[1]):
+                        diff = A[:, i] - c[i]
+                        acc = acc + diff * diff
+                    dmin = acc if dmin is None else np.minimum(dmin, acc)
+                j = int(np.lexsort((ids, -dmin))[0])
+                cand = (float(dmin[j]), int(ids[j]), [float(x) for x in A[j]])
+                if best is None or (cand[0], -cand[1]) > (best[0], -best[1]):
+                    best = cand
+            if best is not None:
+                yield pd.DataFrame(
+                    {
+                        "dmin": [best[0]],
+                        "vec_id": [best[1]],
+                        "embedding": [best[2]],
+                    }
+                )
+
+        wins = pts.mapInPandas(
+            gen, schema="dmin double, vec_id long, embedding array<double>"
+        ).collect()
+        w = max(wins, key=lambda r: (r.dmin, -r.vec_id))
+        centers.append([float(x) for x in w.embedding])
+        out.append(
+            (rank, int(w.vec_id), math.floor(w.dmin * 1000000 + 0.5) / 1000000)
+        )
+    return spark.createDataFrame(
+        out, "sel_rank long, vec_id long, d2_sel double"
+    )
+
+
+sample_coreset_kcenter.__doc__ = sample_coreset_kcenter.__doc__.replace(
+    "{k}", str(CORESET_K)
+)

@@ -170,3 +170,115 @@ def test_topk_bruteforce_degenerate_corpus(spark, tmp_path):
     assert len(got) == 6  # 3 queries x 2 real neighbors, no phantom rows
     assert all(r[1] <= 2 for r in got)  # ranks stay contiguous 1..2
     assert all(r[0] != r[2] for r in got)  # no self rows survive
+
+
+def test_train_decontamination_ngram_boundary(spark, tmp_path):
+    """A train doc sharing a full 8-token run with a test doc is
+    dropped; a train doc overlapping only 7 tokens survives; a clean
+    train doc survives — both engines agreeing. Split membership is
+    the deterministic md5 bucket (ids 1,2,3 -> train; 9 -> test;
+    4 -> val, verified in-test)."""
+    import hashlib
+
+    from catme_etl_spark.operators.quality import (
+        pipeline_train_decontamination,
+    )
+
+    def bkt(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16) % 100
+
+    assert [bkt(i) < 80 for i in (1, 2, 3)] == [True] * 3
+    assert bkt(9) >= 90 and 80 <= bkt(4) < 90
+
+    run8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = [
+        # train: contains the full 8-gram the test doc carries -> drop
+        (1, f"x1 {run8} x2", "s", "en", 1),
+        # train: shares only 7 of the 8 tokens -> keep
+        (2, "t1 t2 t3 t4 t5 t6 t7 y1 y2", "s", "en", 1),
+        # train: disjoint vocabulary -> keep
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "s", "en", 1),
+        # val doc shares nothing (val grams also count as eval side)
+        (4, "v1 v2 v3 v4 v5 v6 v7 v8", "s", "en", 1),
+        # test: the contaminating source
+        (9, f"z1 z2 {run8} z3", "s", "en", 1),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(pipeline_train_decontamination(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "pipeline_train_decontamination")
+    assert got == [(2, "s", "en"), (3, "s", "en")]
+
+
+def test_lsh_parameter_planner_closed_form(spark):
+    """The planner's grid is pure math: cross-engine equal, one row
+    per factorization of the 32-hash budget, s* matches the closed
+    form (1/b)^(1/r), and the fp/fn masses trade monotonically as
+    bands grow (more bands -> catch more -> more false positives,
+    fewer false negatives)."""
+    from catme_etl_spark.operators.dedup import dedup_lsh_parameter_planner
+
+    got = sorted(
+        tuple(r) for r in dedup_lsh_parameter_planner(spark, "unused").collect()
+    )
+    con = duckdb.connect()
+    assert got == _oracle(con, "dedup_lsh_parameter_planner")
+    assert len(got) == 6
+    by_bands = {r[0]: r for r in got}
+    import math
+
+    for b_, r_, s_star, fp, fn, catch in got:
+        assert b_ * r_ == 32
+        expect = math.floor((1.0 / b_) ** (1.0 / r_) * 1e6 + 0.5) / 1e6
+        assert s_star == expect
+    seq = [by_bands[b_] for b_ in (1, 2, 4, 8, 16, 32)]
+    fps = [r[3] for r in seq]
+    fns = [r[4] for r in seq]
+    catches = [r[5] for r in seq]
+    assert fps == sorted(fps), "fp mass must grow with band count"
+    assert fns == sorted(fns, reverse=True), "fn mass must shrink"
+    assert catches == sorted(catches), "catch rate must grow"
+
+
+def test_coreset_kcenter_known_geometry(spark, tmp_path):
+    """4 collinear vectors with known pairwise distances: the greedy
+    order and every selection distance are checkable by hand, and the
+    degenerate tail (k=10 > 4 points) deterministically re-selects
+    the seed at distance 0 on BOTH engines."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import (
+        CORESET_K,
+        sample_coreset_kcenter,
+    )
+
+    vecs = [
+        (1, [0.0, 0.0, 0.0, 0.0], 0),   # seed (lowest id)
+        (2, [10.0, 0.0, 0.0, 0.0], 0),  # farthest from seed: rank 2, d2=100
+        (3, [5.0, 0.0, 0.0, 0.0], 0),   # midpoint: rank 3, d2=25
+        (4, [0.1, 0.0, 0.0, 0.0], 1),   # near seed: rank 4, d2=0.01
+    ]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(out)
+
+    clear_shared()
+    got = _spark_rows(sample_coreset_kcenter(spark, str(tmp_path)))
+    clear_shared()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "sample_coreset_kcenter")
+    import math
+
+    # d2 for vec 4 is (float32(0.1))^2 widened to double, floored at 1e-6
+    f32_01 = 0.10000000149011612  # float32(0.1) exactly
+    d4 = math.floor(f32_01 * f32_01 * 1e6 + 0.5) / 1e6
+    expect = [(1, 1, 0.0), (2, 2, 100.0), (3, 3, 25.0), (4, 4, d4)] + [
+        (r, 1, 0.0) for r in range(5, CORESET_K + 1)
+    ]
+    assert got == expect
