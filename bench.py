@@ -173,6 +173,11 @@ HEADLINE = [
     "text_pmi_collocations",
     "text_length_percentiles_by_lang",
     "sim_pq_recall_sampled_panel",
+    # round-8b: the curation trio + the session-concurrency curve
+    "pipeline_train_decontamination",
+    "dedup_lsh_parameter_planner",
+    "sample_coreset_kcenter",
+    "events_concurrency_by_hour",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary

@@ -1188,3 +1188,77 @@ def events_bot_signature_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bot_flag"),
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_concurrency_by_hour",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id,
+             epoch_us(MIN(ts)) // {_HOUR_US} AS h1,
+             epoch_us(MAX(ts)) // {_HOUR_US} AS h2
+      FROM islands GROUP BY user_id, sess
+    ),
+    covered AS (
+      SELECT user_id, unnest(range(h1, h2 + 1)) AS h FROM sessions
+    )
+    SELECT CAST(h * {_HOUR_US} AS BIGINT)     AS hour_start_us,
+           CAST(COUNT(*) AS BIGINT)           AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM covered GROUP BY h
+    """,
+)
+def events_concurrency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load per hour — the capacity-planning curve
+    an event platform reads before sizing state stores and serving
+    fleets: a session (30-minute inactivity gap, the same
+    merge-on-touch semantics `events_session_30min` certifies) is
+    ACTIVE in every hour bucket between its first and last event, and
+    each hour reports active sessions plus distinct active users
+    (a user whose gap splits inside one hour carries 2 sessions there,
+    so n_sessions ≥ n_users — the difference is the reconnect rate).
+
+    Scale shape: one sessionization shuffle on user_id (the same
+    hash partitioning every per-user op reuses) collapses events to
+    |sessions| rows; the hour expansion is a narrow bounded explode
+    (span of a 30-min-gap session, not of the timeline); the final
+    hash-agg lands on |hours| rows with map-side partials. Hour
+    identity crosses engines as exact integer epoch-micro division —
+    no timestamp formatting anywhere.
+
+    Reference basis: none (the reference has no event semantics);
+    contract C5 event-time family, composing the certified session
+    definition."""
+    e = _events(spark, sf_dir)
+    sess = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.expr(f"unix_micros(min(ts)) div {_HOUR_US}").alias("h1"),
+        F.expr(f"unix_micros(max(ts)) div {_HOUR_US}").alias("h2"),
+    )
+    covered = sess.select(
+        "user_id", F.explode(F.sequence("h1", "h2")).alias("h")
+    )
+    return covered.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).select(
+        (F.col("h") * _HOUR_US).cast("long").alias("hour_start_us"),
+        "n_sessions",
+        "n_users",
+    )

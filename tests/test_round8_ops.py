@@ -282,3 +282,56 @@ def test_coreset_kcenter_known_geometry(spark, tmp_path):
         (r, 1, 0.0) for r in range(5, CORESET_K + 1)
     ]
     assert got == expect
+
+
+def test_concurrency_by_hour_crafted(spark, tmp_path):
+    """Known session geometry: user 1 has one session spanning three
+    hours (counted active in each), user 2 splits into TWO sessions
+    inside one hour (gap > 30 min -> n_sessions=2, n_users=1 there),
+    and a pair of events exactly 30 minutes apart stays ONE session
+    (merge-on-touch, the certified `events_session_30min` boundary).
+    Cross-engine equal and hand-checkable."""
+    import datetime as dt
+
+    from catme_etl_spark.operators.events import events_concurrency_by_hour
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: 00:10 .. 02:10, gaps <= 30 min -> one session active
+        # in hours 0, 1, 2
+        (1, ts(10), "view", 1.0),
+        (1, ts(40), "view", 1.0),  # exactly 30 min -> same session
+        (1, ts(70), "view", 1.0),
+        (1, ts(100), "view", 1.0),
+        (1, ts(130), "view", 1.0),
+        # user 2: two bursts inside hour 5, 31 minutes apart -> TWO
+        # sessions in the same hour
+        (2, ts(300), "view", 1.0),
+        (2, ts(301), "click", 1.0),
+        (2, ts(332), "view", 1.0),
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_concurrency_by_hour(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_concurrency_by_hour")
+
+    hour_us = 3_600_000_000
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    expect = sorted(
+        [
+            (base + 0 * hour_us, 1, 1),
+            (base + 1 * hour_us, 1, 1),
+            (base + 2 * hour_us, 1, 1),
+            (base + 5 * hour_us, 2, 1),
+        ]
+    )
+    assert got == expect
