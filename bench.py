@@ -178,6 +178,10 @@ HEADLINE = [
     "dedup_lsh_parameter_planner",
     "sample_coreset_kcenter",
     "events_concurrency_by_hour",
+    # round-8c: journey paths, corpus predictability, class balancing
+    "events_session_paths_top20",
+    "text_bigram_cond_entropy",
+    "sample_balanced_labels",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary

@@ -1262,3 +1262,78 @@ def events_concurrency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         "n_users",
     )
+
+
+@query(
+    "events_session_paths_top20",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, sess,
+             array_to_string(
+               list(event_type ORDER BY ts, event_type)[1:3], ' > ') AS path
+      FROM islands GROUP BY user_id, sess
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def events_session_paths_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening journeys — the path-analysis table a
+    product team reads to see HOW sessions start: each 30-minute-gap
+    session (the certified `events_session_30min` semantics) is
+    reduced to its first three events in time order ('view > click >
+    purchase'), and paths rank by session count. Onboarding changes,
+    bot traffic, and dark-pattern loops all show up as path-share
+    shifts here before they show up anywhere else.
+
+    Determinism: events inside a session sort by (ts, event_type) —
+    the struct sort on Spark and the two-key ORDER BY in the oracle
+    agree even when two events share a timestamp; top-20 ties break
+    on the path string.
+
+    Scale shape: ONE sessionization shuffle on user_id; the per-
+    session path is an in-group array sort of that session's events
+    (bounded by session length, never a global sort) sliced to 3;
+    path counts land on a tiny hash-agg (paths ≤ |event_types|³ + 
+    shorter prefixes) and the global top-20 is TakeOrdered — 
+    per-partition heaps, no full sort. No window over an
+    unpartitioned frame anywhere."""
+    e = _events(spark, sf_dir)
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                " > ",
+                F.transform(
+                    F.slice("evs", 1, 3), lambda s: s["event_type"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        sess.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

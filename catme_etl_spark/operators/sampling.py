@@ -715,3 +715,51 @@ def pack_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("saving_bp"),
         )
     )
+
+
+@query(
+    "sample_balanced_labels",
+    oracle=f"""
+    WITH c AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    m AS (SELECT MIN(n) AS cap FROM c),
+    r AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY {sql_hex_long("md5(CAST(vec_id AS VARCHAR))", 14, 1)},
+                        vec_id
+             ) AS rn
+      FROM embeddings
+    )
+    SELECT r.vec_id, r.label FROM r, m WHERE r.rn <= m.cap
+    """,
+)
+def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample of the labeled embedding corpus:
+    every label keeps exactly min-class-size members, selected by
+    md5(vec_id) hash order — the deterministic undersampling move
+    before training a classifier on skewed labels (the alternative to
+    upweighting), and the label-space sibling of
+    `sample_stratified_per_source`. Membership is a pure function of
+    the ids present: re-runs, engines, and cluster sizes select the
+    SAME balanced subset.
+
+    Scale shape: one tiny hash-agg finds class sizes; the cap is a
+    1-row broadcast (an aggregate, never an unpartitioned window);
+    the per-label rank is a keyed window over the label partitioning
+    a labeled corpus already hash-clusters by. Output is
+    |labels| × min-size rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("cap"))
+    hkey = hex_prefix_long(F.md5(F.col("vec_id").cast("string")), 14, 1)
+    w = Window.partitionBy("label").orderBy(hkey, F.col("vec_id"))
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("cap"))
+        .select("vec_id", "label")
+    )

@@ -1516,3 +1516,102 @@ def text_length_percentiles_by_lang(
         pick(F.col("rn") == F.expr("(9 * n + 9) div 10")).alias("p90_tokens"),
         pick(F.col("rn") == F.col("n")).alias("max_tokens"),
     )
+
+
+@query(
+    "text_bigram_cond_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    big AS (
+      SELECT tk[j + 1] AS prev, tk[j + 2] AS t
+      FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS j FROM toks) x
+    ),
+    cxy AS (SELECT prev, t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM big GROUP BY prev, t),
+    cx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY prev),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM big),
+    sxy AS (
+      SELECT CAST(SUM(CAST(floor(n * ln(n) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM cxy
+    ),
+    sx AS (
+      SELECT CAST(SUM(CAST(floor(n * ln(n) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_prev
+      FROM cx
+    )
+    SELECT tot.nb       AS n_bigrams,
+           sxy.n_types  AS n_bigram_types,
+           sx.n_prev    AS n_prev_types,
+           floor(CAST(sx.s - sxy.s AS DOUBLE) / tot.nb + 0.5) / 1000000
+             AS cond_entropy_nats
+    FROM tot, sxy, sx
+    """,
+)
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus conditional entropy H(next | prev) over adjacent token
+    pairs, in nats — the predictability statistic that separates
+    natural language (~2-5 nats: the next token is guessable from the
+    previous one) from shuffled-token junk (H(Y|X) ≈ H(Y): context
+    carries nothing) and from templated boilerplate (near 0: every
+    prev determines its next). Computed from EXACT counts via the
+    identity H(Y|X) = (Σ_x n_x·ln n_x − Σ_xy n_xy·ln n_xy) / N, so it
+    needs only the bigram and prev-marginal count tables — no
+    per-pair probabilities ever materialize.
+
+    Float discipline: each n·ln(n) term is floored to integer
+    micro-nats FIRST, making both Σ exact int64 — immune to
+    accumulation order on either engine (the repo's integer-units
+    rule); the single final division of exact integers rounds
+    half-away once. Libm ln drift sits ~10 orders below the µ-nat
+    grid.
+
+    Scale shape: one tokenize scan; bigram formation is a keyed lag
+    window per doc (raw text never shuffles — position pairs do);
+    both count tables are map-side-combinable hash-aggs, and the
+    summary folds them to 3 scalar rows cross-joined into ONE output
+    row. The same shuffle shape `text_bigram_logprob` certifies,
+    minus its scoring join."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", F.lag("t").over(w).alias("prev"), "t"
+    ).filter(F.col("prev").isNotNull())
+    term = F.floor(
+        F.col("n") * F.log(F.col("n")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    cxy = big.groupBy("prev", "t").agg(F.count(F.lit(1)).alias("n"))
+    cx = big.groupBy("prev").agg(F.count(F.lit(1)).alias("n"))
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    sxy = cxy.agg(
+        F.sum(term).cast("long").alias("sxy"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    sx = cx.agg(
+        F.sum(term).cast("long").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n_prev"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(sxy))
+        .crossJoin(F.broadcast(sx))
+        .select(
+            F.col("nb").alias("n_bigrams"),
+            F.col("n_types").alias("n_bigram_types"),
+            F.col("n_prev").alias("n_prev_types"),
+            (
+                F.floor(
+                    (F.col("sx") - F.col("sxy")).cast("double") / F.col("nb")
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cond_entropy_nats"),
+        )
+    )

@@ -335,3 +335,93 @@ def test_concurrency_by_hour_crafted(spark, tmp_path):
         ]
     )
     assert got == expect
+
+
+def test_session_paths_order_and_slice(spark, tmp_path):
+    """Known journeys: a 4-event session truncates to its first 3
+    events; a single-event session is its own path; two events at the
+    SAME timestamp order by event_type on both engines."""
+    import datetime as dt
+
+    from catme_etl_spark.operators.events import events_session_paths_top20
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, ts(0), "view", 1.0),
+        (1, ts(1), "click", 1.0),
+        (1, ts(2), "purchase", 1.0),
+        (1, ts(3), "view", 1.0),  # 4th event: sliced off
+        (2, ts(0), "view", 1.0),  # lone-event session
+        # user 3: simultaneous first events -> event_type breaks the tie
+        (3, ts(0), "view", 1.0),
+        (3, ts(0), "click", 1.0),
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_session_paths_top20(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_session_paths_top20")
+    assert got == sorted(
+        [("view > click > purchase", 1), ("view", 1), ("click > view", 1)]
+    )
+
+
+def test_bigram_cond_entropy_closed_form(spark, tmp_path):
+    """Hand-computable corpus: doc 'a b a b a b' is fully predictable
+    (contributes 0), doc 'x y x z' makes prev x ambiguous — the exact
+    µ-nat arithmetic gives H(Y|X) = floor-round(2·ln2 / 8) = 0.173287
+    nats on BOTH engines."""
+    from catme_etl_spark.operators.text import text_bigram_cond_entropy
+
+    docs = [
+        (1, "a b a b a b", "s", 1),
+        (2, "x y x z", "s", 1),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(text_bigram_cond_entropy(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "text_bigram_cond_entropy")
+    # 8 bigrams, 5 distinct (ab, ba, xy, yx, xz), 4 distinct prev
+    assert got == [(8, 5, 4, 0.173287)]
+
+
+def test_balanced_labels_cap_and_order(spark, tmp_path):
+    """3-vs-2 class skew caps every label at 2 members, chosen by
+    md5(vec_id) order (mirrored in-test) — engines agree and the
+    selection matches the hash-order expectation exactly."""
+    import hashlib
+
+    from catme_etl_spark.operators.sampling import sample_balanced_labels
+
+    vecs = [(i, [float(i), 0.0], 0) for i in (1, 2, 3)] + [
+        (i, [float(i), 0.0], 1) for i in (4, 5)
+    ]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(sample_balanced_labels(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "sample_balanced_labels")
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16)
+
+    keep0 = sorted(sorted([1, 2, 3], key=lambda i: (h(i), i))[:2])
+    expect = sorted([(i, 0) for i in keep0] + [(4, 1), (5, 1)])
+    assert got == expect
