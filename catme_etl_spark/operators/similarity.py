@@ -2436,7 +2436,13 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross. No shuffle after the initial fan-out; at 100 TB this is
     k scans of a columnar table with a 1-row reduce each, the
     textbook distributed form of the greedy algorithm. Centers
-    travel to tasks in the closure (k × dim doubles — bytes).
+    travel to tasks in the closure (k × dim doubles — bytes); pass i
+    recomputes all i-1 center distances (O(k²·n/2) total multiply-
+    adds — measured CHEAPER end-to-end than maintaining a persisted
+    running-min column, whose per-pass fresh-literal codegen
+    compilation and cache materialization tripled the wall time at
+    fixture scale for identical output; at k this small the matmul
+    work is noise next to the per-pass job cost either way).
 
     Degenerate corpora (< k distinct positions) stay deterministic
     and engine-identical: once every point's distance is 0 the argmax
