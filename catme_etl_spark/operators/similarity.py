@@ -2438,11 +2438,13 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook distributed form of the greedy algorithm. Centers
     travel to tasks in the closure (k × dim doubles — bytes); pass i
     recomputes all i-1 center distances (O(k²·n/2) total multiply-
-    adds — measured CHEAPER end-to-end than maintaining a persisted
-    running-min column, whose per-pass fresh-literal codegen
-    compilation and cache materialization tripled the wall time at
-    fixture scale for identical output; at k this small the matmul
-    work is noise next to the per-pass job cost either way).
+    adds). A persisted running-min column (one fresh-literal codegen
+    distance per pass, O(k·n)) produced identical hashes but measured
+    NO faster end-to-end at fixture scale — per-pass expression
+    compilation and cache materialization ate the savings — so the
+    stateless kernel stays; at k this small the extra multiply-adds
+    are noise next to per-pass job cost either way, and at larger k
+    the running-min form is the documented switch.
 
     Degenerate corpora (< k distinct positions) stay deterministic
     and engine-identical: once every point's distance is 0 the argmax
