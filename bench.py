@@ -182,6 +182,8 @@ HEADLINE = [
     "events_session_paths_top20",
     "text_bigram_cond_entropy",
     "sample_balanced_labels",
+    # round-8d: the mergeable log2 latency sketch
+    "events_latency_log2_sketch",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary

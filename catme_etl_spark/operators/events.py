@@ -528,10 +528,10 @@ def events_funnel_within_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_conversion_latency_quartiles",
-    oracle="""
-    WITH marked AS (
+# Session-scoped view→purchase latency in exact microseconds, shared
+# by the exact-quartile and log2-sketch percentile queries (identical
+# CTE text keeps the two oracles' latency semantics one definition).
+_LAT_CTES = """marked AS (
       SELECT user_id, ts, event_type,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL 30 MINUTE
@@ -561,45 +561,14 @@ def events_funnel_within_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat AS (
       SELECT epoch_us(p) - epoch_us(v) AS us
       FROM s3 WHERE p IS NOT NULL
-    ),
-    c AS (
-      SELECT us,
-             SUM(COUNT(*)) OVER (ORDER BY us
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum,
-             SUM(COUNT(*)) OVER () AS n
-      FROM lat GROUP BY us
-    )
-    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
-           MIN(CASE WHEN 4 * cum >= n THEN us END) / 1000000.0 AS p25_s,
-           MIN(CASE WHEN 2 * cum >= n THEN us END) / 1000000.0 AS p50_s,
-           MIN(CASE WHEN 4 * cum >= 3 * n THEN us END) / 1000000.0 AS p75_s
-    FROM c
-    """,
-)
-def events_conversion_latency_quartiles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """How long does view → purchase take WITHIN a session? Lower
-    quartiles of the first-view-to-first-subsequent-purchase latency
-    over converting sessions — the speed number checkout optimization
-    tracks next to the conversion rate
-    (`events_funnel_within_session`).
+    )"""
 
-    Quartiles use the grid-walk LOWER-quantile definition (smallest
-    latency whose cumulative count reaches ¼/½/¾ of converters) — a
-    pure integer comparison over exact microsecond diffs, the
-    `agg_weighted_median_price` pattern, so no interpolation rule can
-    disagree cross-engine. Cumulative counts over the distinct-latency
-    grid come from a TWO-LEVEL prefix sum (no global window — the repo
-    bans unpartitioned WindowExec — and no triangular self-join over
-    the raw grid, whose O(g²) output grows quadratically in distinct
-    microsecond latencies): a keyed cumulative window WITHIN each
-    minute bucket plus an offset from the strictly-earlier buckets,
-    where the bucket roll-up is bounded by the latency RANGE in
-    minutes — not by data volume — and `require_bounded` makes a
-    dirty-data blowup fail loudly instead of degrading.
-    """
+
+def _conversion_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``_LAT_CTES``: one row per converting session,
+    column ``us`` = exact first-view→first-subsequent-purchase
+    microseconds. Sessionization is one user-keyed window; both
+    follow-up aggregations reuse the (user_id, sess) partitioning."""
     from pyspark.sql import Window
 
     e = _events(spark, sf_dir).select("user_id", "ts", "event_type")
@@ -643,9 +612,56 @@ def events_conversion_latency_quartiles(
             ).alias("p")
         )
     )
-    lat = s3.filter(F.col("p").isNotNull()).select(
+    return s3.filter(F.col("p").isNotNull()).select(
         (F.unix_micros("p") - F.unix_micros("v")).alias("us")
     )
+
+
+@query(
+    "events_conversion_latency_quartiles",
+    oracle=f"""
+    WITH {_LAT_CTES},
+    c AS (
+      SELECT us,
+             SUM(COUNT(*)) OVER (ORDER BY us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+             SUM(COUNT(*)) OVER () AS n
+      FROM lat GROUP BY us
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           MIN(CASE WHEN 4 * cum >= n THEN us END) / 1000000.0 AS p25_s,
+           MIN(CASE WHEN 2 * cum >= n THEN us END) / 1000000.0 AS p50_s,
+           MIN(CASE WHEN 4 * cum >= 3 * n THEN us END) / 1000000.0 AS p75_s
+    FROM c
+    """,
+)
+def events_conversion_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How long does view → purchase take WITHIN a session? Lower
+    quartiles of the first-view-to-first-subsequent-purchase latency
+    over converting sessions — the speed number checkout optimization
+    tracks next to the conversion rate
+    (`events_funnel_within_session`).
+
+    Quartiles use the grid-walk LOWER-quantile definition (smallest
+    latency whose cumulative count reaches ¼/½/¾ of converters) — a
+    pure integer comparison over exact microsecond diffs, the
+    `agg_weighted_median_price` pattern, so no interpolation rule can
+    disagree cross-engine. Cumulative counts over the distinct-latency
+    grid come from a TWO-LEVEL prefix sum (no global window — the repo
+    bans unpartitioned WindowExec — and no triangular self-join over
+    the raw grid, whose O(g²) output grows quadratically in distinct
+    microsecond latencies): a keyed cumulative window WITHIN each
+    minute bucket plus an offset from the strictly-earlier buckets,
+    where the bucket roll-up is bounded by the latency RANGE in
+    minutes — not by data volume — and `require_bounded` makes a
+    dirty-data blowup fail loudly instead of degrading.
+    """
+    from pyspark.sql import Window
+
+    lat = _conversion_latencies(spark, sf_dir)
     grid = lat.groupBy("us").agg(F.count(F.lit(1)).alias("k"))
     # two-level prefix sum (see docstring): within-minute keyed window
     # + offset from strictly-earlier minute buckets. The triangular
@@ -1336,4 +1352,95 @@ def events_session_paths_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
+    )
+
+
+@query(
+    "events_latency_log2_sketch",
+    oracle=f"""
+    WITH {_LAT_CTES},
+    b AS (SELECT length(bin(us)) AS bl FROM lat),
+    g AS (SELECT bl, CAST(COUNT(*) AS BIGINT) AS k FROM b GROUP BY bl),
+    c AS (
+      SELECT a.bl, CAST(SUM(bb.k) AS BIGINT) AS cum
+      FROM g a JOIN g bb ON bb.bl <= a.bl
+      GROUP BY a.bl
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+    SELECT n.n AS n_converted,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MIN(CASE WHEN 2 * cum >= n.n
+                         THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                AS BIGINT) AS p50_hi_us,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n.n
+                         THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                AS BIGINT) AS p90_hi_us,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * n.n
+                         THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                AS BIGINT) AS p99_hi_us
+    FROM c, n
+    GROUP BY n.n
+    """,
+)
+def events_latency_log2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed latency percentiles — the HdrHistogram/DDSketch
+    idea as a certified operator: conversion latencies (the SAME
+    session-scoped view→purchase definition the exact quartiles query
+    certifies, one shared CTE block) bucket by binary magnitude
+    (bucket = bit length of the microsecond count — a pure
+    integer/string op, ``bin()``/``F.bin`` on both engines, so bucket
+    identity can never drift at a power-of-two boundary the way a
+    float log2 could), and p50/p90/p99 read off the cumulative bucket
+    counts as each bucket's inclusive upper bound 2^bl − 1.
+
+    Why it exists next to the exact form: exact percentiles need the
+    full distinct-latency grid (the quartiles query's two-level
+    prefix sum); THIS sketch is a ≤ 64-row constant-size state that
+    is map-side combinable, mergeable across days/partitions/
+    clusters, and streamable — the shape latency monitoring actually
+    deploys — at the documented cost of ≤ 2× relative error (one
+    binary magnitude). The exact query stays the audit; a p99 that
+    crosses a bucket boundary is real movement, not noise.
+
+    Scale shape: the latency derivation is the certified shared
+    pipeline (one user-keyed sessionization); after it, ONE hash-agg
+    into ≤ 64 buckets, a triangular join over that constant-size
+    grid for cumulative counts, and a 1-row summary. Zero
+    data-volume-dependent state past the bucket agg.
+
+    Reference basis: none; contract training/ops-analytics family
+    (SURVEY §2.10)."""
+    lat = _conversion_latencies(spark, sf_dir)
+    b = lat.select(F.length(F.bin("us")).alias("bl"))
+    g = b.groupBy("bl").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    g2 = g.select(F.col("bl").alias("bl2"), F.col("k").alias("k2"))
+    c = (
+        g.join(F.broadcast(g2), F.col("bl2") <= F.col("bl"))
+        .groupBy("bl")
+        .agg(F.sum("k2").cast("long").alias("cum"))
+    )
+    n = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), bl) - 1")
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), hi))
+            .cast("long")
+            .alias("p50_hi_us"),
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), hi))
+            .cast("long")
+            .alias("p90_hi_us"),
+            F.min(F.when(100 * F.col("cum") >= 99 * F.col("n"), hi))
+            .cast("long")
+            .alias("p99_hi_us"),
+        )
+        .select(
+            F.col("n").alias("n_converted"),
+            "n_buckets",
+            "p50_hi_us",
+            "p90_hi_us",
+            "p99_hi_us",
+        )
     )

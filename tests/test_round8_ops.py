@@ -425,3 +425,37 @@ def test_balanced_labels_cap_and_order(spark, tmp_path):
     keep0 = sorted(sorted([1, 2, 3], key=lambda i: (h(i), i))[:2])
     expect = sorted([(i, 0) for i in keep0] + [(4, 1), (5, 1)])
     assert got == expect
+
+
+def test_latency_log2_sketch_known_buckets(spark, tmp_path):
+    """Hand-built latencies 1µs / 3µs / 1000µs / 1000000µs land in
+    log2 buckets 1, 2, 10, 20; the bucket-resolution percentiles read
+    off the cumulative counts as 2^bl − 1 — checkable in closed form
+    and equal on both engines."""
+    import datetime as dt
+
+    from catme_etl_spark.operators.events import events_latency_log2_sketch
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    lats = [1, 3, 1000, 1_000_000]
+    rows = []
+    for u, us in enumerate(lats, start=1):
+        rows.append((u, t0, "view", 1.0))
+        rows.append((u, t0 + dt.timedelta(microseconds=us), "purchase", 1.0))
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_latency_log2_sketch(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_latency_log2_sketch")
+
+    # buckets: bit lengths 1, 2, 10, 20; cum = 1, 2, 3, 4 of n=4
+    # p50 -> first cum >= 2 -> bl 2 -> 3; p90/p99 -> bl 20 -> 2^20 - 1
+    assert got == [(4, 4, 3, (1 << 20) - 1, (1 << 20) - 1)]
+    # sketch guarantee vs the true values: upper bound holds and is
+    # within one binary magnitude
+    for hi, true in ((3, 3), ((1 << 20) - 1, 1_000_000)):
+        assert true <= hi < 2 * max(true, 1)
