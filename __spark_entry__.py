@@ -20,6 +20,7 @@ from catme_etl_spark.operators import registry
 from catme_etl_spark.operators import asof  # noqa: F401
 from catme_etl_spark.operators import dedup  # noqa: F401
 from catme_etl_spark.operators import events  # noqa: F401
+from catme_etl_spark.operators import formats  # noqa: F401
 from catme_etl_spark.operators import merge  # noqa: F401
 from catme_etl_spark.operators import multimodal  # noqa: F401
 from catme_etl_spark.operators import pipeline  # noqa: F401

@@ -182,8 +182,9 @@ HEADLINE = [
     "events_session_paths_top20",
     "text_bigram_cond_entropy",
     "sample_balanced_labels",
-    # round-8d: the mergeable log2 latency sketch
+    # round-8d: the mergeable log2 latency sketch + ORC interop
     "events_latency_log2_sketch",
+    "orc_roundtrip_revenue",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary
