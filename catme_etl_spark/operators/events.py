@@ -1444,3 +1444,50 @@ def events_latency_log2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_hi_us",
         )
     )
+
+
+@pending_query(
+    "events_weekly_seasonality_profile",
+    oracle=f"""
+    WITH h AS (
+      SELECT ((epoch_us(ts) // {_HOUR_US}) + 72) % 168 AS how
+      FROM events
+    ),
+    g AS (SELECT how, CAST(COUNT(*) AS BIGINT) AS n_events FROM h GROUP BY how),
+    t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM g)
+    SELECT g.how AS hour_of_week, g.n_events,
+           CAST((1000000 * g.n_events) // t.tot AS BIGINT) AS share_ppm
+    FROM g, t
+    """,
+)
+def events_weekly_seasonality_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly traffic seasonality: event share per hour-of-week
+    (0 = Monday 00:00 UTC … 167 = Sunday 23:00) — the 168-row profile
+    capacity planning, anomaly baselines (`events_poisson_burst_scan`
+    flags spikes; THIS is the seasonal rate it should be normalized
+    against), and time-stratified sampling all read. Hour-of-week is
+    pure integer arithmetic on epoch microseconds — epoch hour 0 is a
+    Thursday, so ``(h + 72) mod 168`` re-anchors Monday to 0 — never
+    a formatted timestamp, so the bucket identity cannot drift with
+    engine timezone/locale behavior.
+
+    Scale shape: ONE map-side-combinable hash-agg from the raw scan
+    into ≤ 168 rows; shares are exact integer ppm against the 1-row
+    broadcast total. At 100 TB with date-partitioned parquet this is
+    a metadata-light full scan with a constant-size result.
+
+    Reference basis: none; contract C5/ops-analytics family."""
+    h = _events(spark, sf_dir).select(
+        F.expr(f"((unix_micros(ts) div {_HOUR_US}) + 72) % 168").alias("how")
+    )
+    g = h.groupBy("how").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    t = g.agg(F.sum("n_events").cast("long").alias("tot"))
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("how").alias("hour_of_week"),
+        "n_events",
+        F.expr("CAST((1000000 * n_events) div tot AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

@@ -2509,3 +2509,124 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_coreset_kcenter.__doc__ = sample_coreset_kcenter.__doc__.replace(
     "{k}", str(CORESET_K)
 )
+
+
+# k values for the recall-vs-k curve (pending round-9 debut)
+_K_CURVE = (1, 3, 5)
+
+
+@pending_query(
+    "sim_recall_vs_k_curve",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(list_max(list_transform(embedding,
+               v -> abs(CAST(v AS DOUBLE))))) AS max_abs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, v ->
+               CAST(GREATEST(-127.0, LEAST(127.0,
+                 floor(CAST(v AS DOUBLE) * 127.0 / max_abs + 0.5)))
+               AS BIGINT)) AS qv
+      FROM embeddings, mx
+    ),
+    qtop AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_QDOT} DESC, b.vec_id) AS rk
+        FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      ) WHERE rk <= {max(_K_CURVE)}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_AB} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= {max(_K_CURVE)}
+    ),
+    ks AS (SELECT unnest(ARRAY{list(_K_CURVE)}) AS k),
+    t AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM ks JOIN brute ON brute.rank <= ks.k GROUP BY ks.k
+    ),
+    h AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ks, qtop, brute
+      WHERE brute.query_id = qtop.query_id
+        AND brute.neighbor_id = qtop.neighbor_id
+        AND qtop.rk <= ks.k AND brute.rank <= ks.k
+      GROUP BY ks.k
+    )
+    SELECT t.k AS top_k, COALESCE(h.n_hits, 0) AS n_hits, t.n_truth,
+           floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_truth
+                 * 1000000 + 0.5) / 1000000 AS recall
+    FROM t LEFT JOIN h ON h.k = t.k
+    """,
+)
+def sim_recall_vs_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE of the int8-quantized ranking against the exact
+    float-cosine truth at k = 1, 3, 5 — the knob table that says how
+    deep a re-rank window the quantized tier needs: recall@1 prices
+    "trust the quantized argmax", recall@5 prices "fetch 5 then
+    re-rank exactly". Both rankings come from ONE scored pass each
+    (rank ≤ max k, conditional cumulative counts per k — the
+    `sim_ivf_nprobe_curve` device), so the curve costs one extra
+    row-number over what the single-point audit already pays.
+
+    Per-k truth counts use the BRUTE side's rank ≤ k row count, so a
+    corpus with fewer than k non-self neighbors denominates honestly
+    (the `sim_topk_bruteforce` degenerate guard carries through).
+    Quantization arithmetic is the certified bit-exact int8 kernel;
+    recall is a ratio of exact integers, floored once at 1e-6.
+
+    Scale shape: the int8 scan is the blocked broadcast-matrix
+    kernel; the truth side is the certified brute query; the curve
+    math joins two (query, neighbor, rank) tables once and folds to
+    |k| rows. At open scale both sides swap to the sampled-panel
+    device (`sim_pq_recall_sampled_panel`) unchanged.
+
+    Reference basis: none; contract ANN-audit family."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    kmax = max(_K_CURVE)
+    qtop = fan_out(emb, spark).mapInPandas(
+        _int8_topk_against(bc, kmax),
+        schema="query_id long, rank long, neighbor_id long, qdot long",
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rk"))
+    brute = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_b")
+    )
+    ks = spark.createDataFrame([(k,) for k in _K_CURVE], "k long")
+    t = (
+        brute.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank_b") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    )
+    h = (
+        qtop.join(brute, ["query_id", "neighbor_id"])
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("rk") <= F.col("k")) & (F.col("rank_b") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        t.join(h, "k", "left")
+        .select(
+            F.col("k").alias("top_k"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "n_truth",
+            (
+                F.floor(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_truth")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("recall"),
+        )
+    )

@@ -1615,3 +1615,102 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cond_entropy_nats"),
         )
     )
+
+
+@pending_query(
+    "text_diversity_length_corr",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS x,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                t -> t <> '')))
+                  AS BIGINT) AS nd
+      FROM documents
+    ),
+    v AS (
+      SELECT source, x, (1000000 * nd) // x AS y
+      FROM d WHERE x > 0
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT)    AS n,
+             CAST(SUM(x) AS BIGINT)      AS sx,
+             CAST(SUM(y) AS BIGINT)      AS sy,
+             CAST(SUM(x * x) AS BIGINT)  AS sxx,
+             CAST(SUM(y * y) AS BIGINT)  AS syy,
+             CAST(SUM(x * y) AS BIGINT)  AS sxy
+      FROM v GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           (n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0) AS degenerate,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+                ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                           * 10000 + 0.5) / 10000
+           END AS pearson_r
+    FROM s
+    """,
+)
+def text_diversity_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does lexical diversity just track document length? Per-source
+    Pearson correlation between token count and the distinct-token
+    ratio (as exact integer ppm: (10⁶·n_distinct) div n_tokens) — the
+    filter-calibration diagnostic that catches a "quality" signal
+    that is secretly a length signal (Heaps' law makes the ratio FALL
+    with length, so natural corpora read strongly negative here; a
+    source near 0 or positive is structurally odd — templated or
+    truncated).
+
+    Float discipline: all five moment sums are EXACT int64 over exact
+    integer inputs (x ≤ doc tokens, y ≤ 10⁶ ⇒ Σy² headroom to ~10⁶
+    docs per source at fixture scale; at open scale the sums widen to
+    the same exact algebra in 128-bit or per-day partials), so the
+    hash cannot flake on accumulation order; r is one final
+    num / (√d1·√d2) on exact integers with a single half-away round.
+    Sources where either variance is zero report degenerate = TRUE
+    and r = 0.0 — explicitly, on both engines, not via a silent NULL.
+
+    Scale shape: one tokenize scan → per-source 6-term
+    map-side-combinable moment agg → |sources| output rows.
+
+    Reference basis: none; contract text-quality family (SURVEY
+    §2.10), calibrating `text_quality_score`'s distinct_ratio gate."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.size(tokens("text")).cast("long").alias("x"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("nd"),
+    )
+    v = d.filter(F.col("x") > 0).select(
+        "source", "x", F.expr("(1000000 * nd) div x").alias("y")
+    )
+    s = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    degen = (d1 == 0) | (d2 == 0)
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        degen.alias("degenerate"),
+        F.when(degen, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                num.cast("double")
+                / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+        .alias("pearson_r"),
+    )

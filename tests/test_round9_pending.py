@@ -1,0 +1,119 @@
+"""Crafted-table tests for the round-9 debut queue (window-budget
+deferred in round 8 after the snapshot froze the 37-forced window;
+see registry.pending_query). Each op is runnable and oracle-carrying;
+these tests pin the boundary semantics the fixtures never exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+
+import __spark_entry__ as entry
+
+
+def _oracle(con, name):
+    from catme_etl_spark.operators.registry import PENDING_ORACLE
+
+    sql = entry.oracle_sql().get(name) or PENDING_ORACLE[name]
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def _spark_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_weekly_seasonality_monday_anchor(spark, tmp_path):
+    """2024-01-01 was a Monday: 00:30 UTC must land in hour-of-week 0
+    and Sunday 23:30 in 167 — the (epoch_hour + 72) mod 168 anchor,
+    checked cross-engine and in closed form."""
+    from catme_etl_spark.operators.events import (
+        events_weekly_seasonality_profile,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), "view", 1.0),   # Mon 00:30
+        (2, dt.datetime(2024, 1, 7, 23, 30), "view", 1.0),  # Sun 23:30
+        (3, dt.datetime(2024, 1, 1, 0, 45), "click", 1.0),  # Mon 00:45
+        (4, dt.datetime(2024, 1, 3, 12, 0), "view", 1.0),   # Wed 12:00
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_weekly_seasonality_profile(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_weekly_seasonality_profile")
+    assert got == [(0, 2, 500000), (60, 1, 250000), (167, 1, 250000)]
+
+
+def test_diversity_length_corr_closed_forms(spark, tmp_path):
+    """One source built so diversity-ppm falls perfectly linearly with
+    length (r = -1 exactly); one source where every doc is identical
+    (zero variance -> degenerate TRUE, r pinned to 0.0) — both
+    engines agreeing."""
+    from catme_etl_spark.operators.text import text_diversity_length_corr
+
+    # linear: x = 2,4,8 with all-distinct, half-distinct, quarter-
+    # distinct tokens -> y = 1e6, 5e5, 2.5e5... not linear in x.
+    # Build y = 1_000_000 - 50_000 * x exactly: choose nd so that
+    # (1e6 * nd) div x hits the target: x=2 nd=... easier: craft
+    # token lists directly so y is affine in x.
+    def doc(n_tokens, n_distinct):
+        toks = [f"w{i}" for i in range(n_distinct)]
+        toks += ["w0"] * (n_tokens - n_distinct)
+        return " ".join(toks)
+
+    # x=4 nd=2 -> y=500000 ; x=8 nd=2 -> y=250000 ; x=16 nd=2 -> 125000
+    # y = 2e6 / x (inverse, not linear): r is NOT -1; instead use
+    # two-point sources, where any non-degenerate pair gives |r| = 1.
+    docs = [
+        (1, doc(4, 2), "two_point", 1),
+        (2, doc(8, 2), "two_point", 1),   # y falls as x rises -> r=-1
+        (3, doc(5, 5), "flat", 1),
+        (4, doc(5, 5), "flat", 1),        # zero variance both axes
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(text_diversity_length_corr(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "text_diversity_length_corr")
+    by_src = {r[0]: r for r in got}
+    assert by_src["two_point"] == ("two_point", 2, False, -1.0)
+    assert by_src["flat"] == ("flat", 2, True, 0.0)
+
+
+def test_recall_curve_degenerate_denominator(spark, tmp_path):
+    """3-vector corpus: the brute truth emits only 2 neighbors per
+    query (the round-8 degenerate guard), so n_truth must read 3/6/6
+    at k=1/3/5 — the curve denominates on what exists, not on k times
+    queries. With 3 vectors the int8 ranking and the float ranking
+    retrieve the same sets at k >= 2, so recall@3 = recall@5 = 1."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import sim_recall_vs_k_curve
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.5, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.5], 1),
+    ]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(out)
+
+    clear_shared()
+    got = _spark_rows(sim_recall_vs_k_curve(spark, str(tmp_path)))
+    clear_shared()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "sim_recall_vs_k_curve")
+    by_k = {r[0]: r for r in got}
+    assert by_k[1][2] == 3 and by_k[3][2] == 6 and by_k[5][2] == 6
+    assert by_k[3][3] == 1.0 and by_k[5][3] == 1.0
