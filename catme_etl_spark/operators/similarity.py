@@ -2630,3 +2630,92 @@ def sim_recall_vs_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# 0.05-wide cosine bands straddling the 0.4 dedup threshold
+_BAND_LO_EDGE = 0.25
+_BAND_HI_EDGE = 0.55
+
+
+@pending_query(
+    "sim_cosine_band_histogram",
+    oracle=f"""
+    WITH p AS (
+      SELECT floor({_COS_AB} * 1000000 + 0.5) / 1000000 AS c6
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    f AS (
+      SELECT CAST(floor(c6 * 20) AS BIGINT) AS band
+      FROM p WHERE c6 >= {_BAND_LO_EDGE} AND c6 < {_BAND_HI_EDGE}
+    ),
+    g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY band),
+    t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM g)
+    SELECT g.band / 20.0 AS band_lo, g.n_pairs,
+           CAST((1000000 * g.n_pairs) // t.tot AS BIGINT) AS share_ppm
+    FROM g, t
+    """,
+)
+def sim_cosine_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-boundary mass around the 0.4 duplicate threshold: the
+    pair-count histogram in 0.05-wide cosine bands over [0.25, 0.55)
+    — the calibration read that says whether the threshold sits in a
+    sparse valley (robust: moving it changes few decisions) or on a
+    dense shoulder (brittle: the `dedup_lsh_parameter_planner` and
+    S-curve trades then matter much more, and the near-threshold
+    pairs deserve the exact verify). Completes the threshold-
+    governance set: planner (design) → S-curve audit (retrieval) →
+    THIS (decision mass).
+
+    Float discipline: cosine rounds half-away at 1e-6 FIRST (the
+    certified pair queries' device — floor(x·10⁶+0.5)/10⁶ written
+    identically on both engines), then bands by floor(c6·20); band
+    identity derives from the already-rounded value, so the band edge
+    cannot disagree where the rounded cosines agree.
+
+    Scale shape: audit tier — blocked matmul per Arrow batch against
+    the bounded session-shared broadcast matrix (the
+    `sim_topk_bruteforce` kernel shape), with each task folding its
+    block straight into ≤ 6 per-band partial counts: nothing but the
+    histogram shuffles, and each unordered pair is counted once via
+    the id-order mask. At open scale the pair universe comes from the
+    banded candidate generator instead, same summary shape.
+
+    Reference basis: none; contract ANN/dedup-audit family."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    lo, hi = _BAND_LO_EDGE, _BAND_HI_EDGE
+
+    def gen(batches):
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ia = pdf["vec_id"].to_numpy()
+            na = np.sqrt((A * A).sum(axis=1))
+            cos = (A @ bmat.T) / (na[:, None] * bnorms[None, :])
+            c6 = np.floor(cos * 1000000 + 0.5) / 1000000
+            keep = (ia[:, None] < bids[None, :]) & (c6 >= lo) & (c6 < hi)
+            bands = np.floor(c6[keep] * 20).astype(np.int64)
+            if len(bands) == 0:
+                continue
+            uniq, counts = np.unique(bands, return_counts=True)
+            yield pd.DataFrame({"band": uniq, "k": counts.astype(np.int64)})
+
+    g = (
+        fan_out(emb, spark)
+        .mapInPandas(gen, schema="band long, k long")
+        .groupBy("band")
+        .agg(F.sum("k").cast("long").alias("n_pairs"))
+    )
+    t = g.agg(F.sum("n_pairs").cast("long").alias("tot"))
+    return g.crossJoin(F.broadcast(t)).select(
+        (F.col("band") / 20.0).alias("band_lo"),
+        "n_pairs",
+        F.expr("CAST((1000000 * n_pairs) div tot AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

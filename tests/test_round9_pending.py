@@ -117,3 +117,32 @@ def test_recall_curve_degenerate_denominator(spark, tmp_path):
     by_k = {r[0]: r for r in got}
     assert by_k[1][2] == 3 and by_k[3][2] == 6 and by_k[5][2] == 6
     assert by_k[3][3] == 1.0 and by_k[5][3] == 1.0
+
+
+def test_cosine_band_histogram_known_bands(spark, tmp_path):
+    """Unit vectors with cosines engineered mid-band: 0.275 lands in
+    [0.25, 0.30), 0.425 in [0.40, 0.45), and the 0.117 pair falls
+    outside the histogram window — counts and ppm shares are closed
+    form and cross-engine equal. Mid-band targets keep float32
+    widening noise ~5 orders of magnitude away from a band edge."""
+    import math
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import sim_cosine_band_histogram
+
+    v0 = [1.0, 0.0, 0.0, 0.0]
+    v1 = [0.275, math.sqrt(1 - 0.275**2), 0.0, 0.0]
+    v2 = [0.425, 0.0, math.sqrt(1 - 0.425**2), 0.0]
+    rows = [(0, v0, 0), (1, v1, 0), (2, v2, 1)]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(out)
+
+    clear_shared()
+    got = _spark_rows(sim_cosine_band_histogram(spark, str(tmp_path)))
+    clear_shared()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "sim_cosine_band_histogram")
+    assert got == [(0.25, 1, 500000), (0.4, 1, 500000)]
