@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .registry import query
+from .registry import pending_query, query
 
 
 def banded_interval_join(
@@ -249,4 +249,123 @@ def join_interval_overlap_quarters(
         )
         .groupBy(F.date_format("q_start", "yyyy-MM-dd").alias("quarter"))
         .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@pending_query(
+    "events_attribution_u_shaped",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.click_id, c.ts AS cts, p.purchase_id, p.cents
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+    ),
+    r AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY cts, click_id) AS rk
+      FROM j
+    ),
+    cr AS (
+      SELECT click_id, cts,
+             CASE
+               WHEN n = 1 THEN cents
+               WHEN n = 2 AND rk = 1 THEN cents // 2 + cents % 2
+               WHEN n = 2 THEN cents // 2
+               WHEN rk = 1 THEN (2 * cents) // 5
+               WHEN rk = n THEN (2 * cents) // 5
+               ELSE (cents - 2 * ((2 * cents) // 5)) // (n - 2)
+                    + CASE WHEN rk - 1 <=
+                           (cents - 2 * ((2 * cents) // 5)) % (n - 2)
+                           THEN 1 ELSE 0 END
+             END AS credit
+      FROM r
+    )
+    SELECT (CAST(floor(epoch(cts) / 3600) AS BIGINT) * 3600) * 1000000
+               AS hour_us,
+           COUNT(*) AS n_credited_clicks,
+           ROUND(SUM(credit) / 100.0, 2) AS attributed_value
+    FROM cr GROUP BY 1
+    """,
+)
+def events_attribution_u_shaped(spark, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    the standard alternative to `events_attribution_linear` when the
+    model should reward DISCOVERY and CLOSING: the first and last
+    click in a purchase's 30-minute window each take 40% of the
+    value, the middle clicks split the remaining 20%. Same banded
+    click↔purchase pairing, same hourly rollup, so the two models
+    read side by side.
+
+    Exact-integer discipline, extended through the U-split: the 40%
+    shares are ⌊2·cents/5⌋ each; the middle pool is DEFINED as the
+    remainder cents − 2·⌊2·cents/5⌋ (so conservation is an identity,
+    not a rounding hope — the pool absorbs the 40%-truncation
+    crumbs); the pool splits by the penny-allocation ledger (⌊/⌋ + 1
+    extra cent to the earliest middles); n = 1 takes everything and
+    n = 2 splits half-and-half with the odd penny to the earlier
+    click. Every branch is integer div/mod, bit-identical on both
+    engines, and Σcredit = cents per purchase by construction.
+
+    Scale shape: identical to the certified linear model — banded
+    equi-join, purchase-keyed windows, hour-count-sized rollup.
+
+    Reference basis: none; contract event-analytics family."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = banded_interval_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        max_delta_us=1_800_000_000,
+    ).filter(
+        (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts")))
+        .between(0, 1_800_000_000)
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("ts", "click_id")
+    r = j.select(
+        "click_id",
+        F.col("ts").alias("cts"),
+        "cents",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    credit = F.expr(
+        """
+        CASE
+          WHEN n = 1 THEN cents
+          WHEN n = 2 AND rk = 1 THEN cents div 2 + cents % 2
+          WHEN n = 2 THEN cents div 2
+          WHEN rk = 1 THEN (2 * cents) div 5
+          WHEN rk = n THEN (2 * cents) div 5
+          ELSE (cents - 2 * ((2 * cents) div 5)) div (n - 2)
+               + CASE WHEN rk - 1 <=
+                      (cents - 2 * ((2 * cents) div 5)) % (n - 2)
+                      THEN 1 ELSE 0 END
+        END
+        """
+    )
+    cr = r.select("click_id", "cts", credit.alias("credit"))
+    hour = (F.floor(F.unix_seconds(F.col("cts")) / 3600) * 3600) * 1_000_000
+    return cr.groupBy(hour.alias("hour_us")).agg(
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        F.round(F.sum("credit") / 100.0, 2).alias("attributed_value"),
     )

@@ -763,3 +763,74 @@ def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("cap"))
         .select("vec_id", "label")
     )
+
+
+@pending_query(
+    "sample_epoch_shuffle_head",
+    oracle=f"""
+    WITH e AS (SELECT unnest(range(3)) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             {sql_hex_long(
+                 "md5(CAST(e.epoch AS VARCHAR) || '_' "
+                 "|| CAST(d.doc_id AS VARCHAR))", 14, 1)} AS shuf
+      FROM documents d, e
+    ),
+    r AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch
+                                ORDER BY shuf, doc_id) AS position
+      FROM keyed
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(position AS BIGINT) AS position, doc_id
+    FROM r WHERE position <= 10
+    """,
+)
+def sample_epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch shuffle order — the dataloader primitive
+    a deterministic training run is built on: epoch e's order is the
+    sort by md5(e || '_' || doc_id), so the SAME corpus yields the
+    SAME batch sequence on any engine, cluster size, or re-run, and
+    different epochs get decorrelated orders from the same recipe
+    (the seeded-shuffle convention, with the content hash as the
+    seed). Certified surface: the first 10 positions of epochs 0-2 —
+    enough to pin the recipe end to end without materializing a
+    corpus-sized ordering.
+
+    Scale shape: the shuffle key is a narrow per-row digest; the
+    head-of-order per epoch is a keyed TakeOrdered-shaped window
+    (|epochs| partitions), never a global sort of the corpus — a real
+    dataloader consumes the key as a SORT WITHIN PARTITIONS order and
+    never totals-orders anything either.
+
+    Reference basis: none; contract training-data family (the
+    ordering sibling of `sample_train_val_test`'s membership
+    convention)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = spark.createDataFrame([(i,) for i in range(3)], "epoch long")
+    keyed = d.crossJoin(F.broadcast(e)).select(
+        "epoch",
+        "doc_id",
+        hex_prefix_long(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            14,
+            1,
+        ).alias("shuf"),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuf", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= 10)
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("position").cast("long").alias("position"),
+            "doc_id",
+        )
+    )

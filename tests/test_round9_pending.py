@@ -146,3 +146,91 @@ def test_cosine_band_histogram_known_bands(spark, tmp_path):
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
     assert got == _oracle(con, "sim_cosine_band_histogram")
     assert got == [(0.25, 1, 500000), (0.4, 1, 500000)]
+
+
+def test_u_shaped_attribution_split_rules(spark, tmp_path):
+    """Every U-split branch pinned: n=2 with an odd penny (first
+    click's hour reads 51¢, second's 50¢), n=3 (40/20/40 -> the lone
+    middle takes the whole 20% pool), n=4 ($1.00 -> 40+10+10+40 in
+    one hour), and conservation per purchase is an identity on both
+    engines."""
+    from catme_etl_spark.operators.rangejoin import (
+        events_attribution_u_shaped,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return t + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # purchase A ($1.01) with 2 clicks straddling an hour edge
+        (101, 1, at(55), "click", 0.0),
+        (102, 1, at(65), "click", 0.0),
+        (103, 1, at(80), "purchase", 1.01),
+        # purchase B ($1.00) with 3 clicks inside hour 12
+        (201, 2, at(125), "click", 0.0),
+        (202, 2, at(130), "click", 0.0),
+        (203, 2, at(135), "click", 0.0),
+        (204, 2, at(150), "purchase", 1.00),
+        # purchase C ($1.00) with 4 clicks inside hour 14
+        (301, 3, at(245), "click", 0.0),
+        (302, 3, at(250), "click", 0.0),
+        (303, 3, at(255), "click", 0.0),
+        (304, 3, at(260), "click", 0.0),
+        (305, 3, at(270), "purchase", 1.00),
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_attribution_u_shaped(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_attribution_u_shaped")
+
+    base = int(t.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    hour_us = 3_600_000_000
+    assert got == sorted(
+        [
+            (base + 0 * hour_us, 1, 0.51),  # n=2: odd penny to 1st click
+            (base + 1 * hour_us, 1, 0.50),
+            (base + 2 * hour_us, 3, 1.00),  # n=3: 40 + 20 + 40
+            (base + 4 * hour_us, 4, 1.00),  # n=4: 40 + 10 + 10 + 40
+        ]
+    )
+
+
+def test_epoch_shuffle_head_matches_md5_mirror(spark, tmp_path):
+    """The epoch order equals an independent hashlib mirror of
+    md5(epoch || '_' || doc_id), and different epochs genuinely
+    reorder the same corpus."""
+    import hashlib
+
+    from catme_etl_spark.operators.sampling import sample_epoch_shuffle_head
+
+    ids = list(range(1, 13))
+    docs = [(i, "w", "s", 1) for i in ids]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(sample_epoch_shuffle_head(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "sample_epoch_shuffle_head")
+
+    def key(epoch, i):
+        return int(hashlib.md5(f"{epoch}_{i}".encode()).hexdigest()[:14], 16)
+
+    orders = {}
+    for ep in range(3):
+        order = sorted(ids, key=lambda i: (key(ep, i), i))[:10]
+        orders[ep] = order
+        for pos, i in enumerate(order, start=1):
+            assert (ep, pos, i) in got
+    assert orders[0] != orders[1] and orders[1] != orders[2]
