@@ -2211,3 +2211,181 @@ def dedup_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_lsh_parameter_planner.__doc__ = dedup_lsh_parameter_planner.__doc__.format(
     n=_N_SEEDS, g=_PLAN_GRID
 )
+
+
+# --- Bloom-filter ingest prefilter (pending round-9 debut) ---------------
+# 4096 bits packed into 128 32-bit words (bit index <= 31 keeps every
+# shift exact-int64 on both engines — DuckDB raises on 1::BIGINT << 63),
+# 3 hash functions from disjoint md5 slices.
+_BLOOM_BITS = 4096
+_BLOOM_WORD = 32
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return f"({sql_hex_long('md5(text)', 8, 1 + 8 * j)} % {_BLOOM_BITS})"
+
+
+@pending_query(
+    "dedup_bloom_prefilter_audit",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT text FROM documents WHERE doc_id % 10 <> 9
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9
+    ),
+    cpos AS (
+      {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(j)} AS p FROM corpus" for j in range(_BLOOM_K))}
+    ),
+    words AS (
+      SELECT p // {_BLOOM_WORD} AS w,
+             CAST(bit_or(1::BIGINT << (p % {_BLOOM_WORD})) AS BIGINT) AS word
+      FROM cpos GROUP BY p // {_BLOOM_WORD}
+    ),
+    bpos AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS j, {_bloom_pos_sql(j)} AS p FROM batch" for j in range(_BLOOM_K))}
+    ),
+    probed AS (
+      SELECT b.doc_id,
+             CASE WHEN (COALESCE(words.word, 0)
+                        & (1::BIGINT << (b.p % {_BLOOM_WORD}))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM bpos b LEFT JOIN words ON words.w = b.p // {_BLOOM_WORD}
+    ),
+    verdict AS (
+      SELECT doc_id, CASE WHEN SUM(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS maybe
+      FROM probed GROUP BY doc_id
+    ),
+    exact AS (
+      SELECT b.doc_id,
+             CASE WHEN EXISTS (SELECT 1 FROM corpus c
+                               WHERE md5(c.text) = md5(b.text))
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM batch b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                         AS n_batch,
+           CAST(SUM(v.maybe) AS BIGINT)                     AS n_maybe,
+           CAST(SUM(e.is_dup) AS BIGINT)                    AS n_exact_dups,
+           CAST(SUM(CASE WHEN e.is_dup = 1 AND v.maybe = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS n_missed,
+           CAST(SUM(CASE WHEN e.is_dup = 0 AND v.maybe = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS n_false_pos,
+           CASE WHEN SUM(1 - e.is_dup) = 0 THEN 0
+                ELSE CAST((1000000 * SUM(CASE WHEN e.is_dup = 0
+                                              AND v.maybe = 1
+                                              THEN 1 ELSE 0 END))
+                          // SUM(1 - e.is_dup) AS BIGINT)
+           END                                              AS fp_ppm
+    FROM verdict v JOIN exact e USING (doc_id)
+    """,
+)
+def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest prefilter, built and audited ENTIRELY in
+    the engine: the corpus's {k}-hash/{m}-bit filter materializes as a
+    128-row (word, bits) table via a bit_or aggregate — mergeable,
+    broadcastable, engine-portable (positions come from disjoint md5
+    slices, the repo's one-digest-n-hashes device) — and the nightly
+    batch (doc_id % 10 = 9) probes it BEFORE any corpus-sized join.
+    The audit certifies the two numbers that justify deploying a
+    prefilter: n_missed (exact duplicates the filter failed to flag)
+    which must be 0 — the no-false-negative identity a Bloom filter
+    guarantees BY CONSTRUCTION, so a nonzero value is a broken kernel,
+    not bad luck — and the measured false-positive rate among true
+    non-duplicates (the wasted exact-verify work, the quantity the
+    m/k sizing trades against memory; measured {fpp}% at this
+    fixture's ~0.3 load factor, matching (1-e^(-kn/m))^k).
+
+    Scale shape: the filter build is ONE map-side-combinable bit_or
+    into ≤ 128 words (kilobytes at ANY corpus size — this is the
+    point); the probe joins the batch's 3k position rows against the
+    128-word table (broadcast); only the exact-membership audit arm
+    touches the corpus again, by 16-byte digest equi-join. At 100 TB
+    the filter is built once, shipped everywhere, and the audit runs
+    on a sampled batch — same plan.
+
+    Reference basis: none; contract dedup/ingest family (SURVEY
+    §2.10), the constant-memory rung below `dedup_minhash_incremental`
+    and `pipeline_semantic_ingest`'s banded indexes."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 9).select("text")
+    batch = d.filter(F.col("doc_id") % 10 == 9).select("doc_id", "text")
+
+    def pos(j: int):
+        return hex_prefix_long(F.md5("text"), 8, 1 + 8 * j) % _BLOOM_BITS
+
+    cpos = None
+    for j in range(_BLOOM_K):
+        part = corpus.select(pos(j).alias("p"))
+        cpos = part if cpos is None else cpos.unionAll(part)
+    words = (
+        cpos.select(
+            F.expr(f"p div {_BLOOM_WORD}").alias("w"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), p % {_BLOOM_WORD})").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("CAST(bit_or(b) AS BIGINT)").alias("word"))
+    )
+    bpos = None
+    for j in range(_BLOOM_K):
+        part = batch.select("doc_id", F.lit(j).alias("j"), pos(j).alias("p"))
+        bpos = part if bpos is None else bpos.unionAll(part)
+    probed = (
+        bpos.withColumn("w", F.expr(f"p div {_BLOOM_WORD}"))
+        .join(F.broadcast(words), "w", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.expr(
+                    f"(COALESCE(word, CAST(0 AS BIGINT))"
+                    f" & shiftleft(CAST(1 AS BIGINT), p % {_BLOOM_WORD})) != 0"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    verdict = probed.groupBy("doc_id").agg(
+        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("maybe")
+    )
+    chash = corpus.select(F.md5("text").alias("h")).distinct()
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(chash.withColumn("found", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce("found", F.lit(0)).alias("is_dup"),
+        )
+    )
+    joined = verdict.join(exact, "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum("maybe").cast("long").alias("n_maybe"),
+        F.sum("is_dup").cast("long").alias("n_exact_dups"),
+        F.sum(
+            F.when((F.col("is_dup") == 1) & (F.col("maybe") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missed"),
+        F.sum(
+            F.when((F.col("is_dup") == 0) & (F.col("maybe") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.when(F.sum(1 - F.col("is_dup")) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN is_dup = 0 AND maybe = 1"
+                " THEN 1 ELSE 0 END)) div sum(1 - is_dup) AS BIGINT)"
+            )
+        )
+        .alias("fp_ppm"),
+    )
+
+
+dedup_bloom_prefilter_audit.__doc__ = dedup_bloom_prefilter_audit.__doc__.format(
+    k=_BLOOM_K, m=_BLOOM_BITS, fpp="~2"
+)

@@ -234,3 +234,33 @@ def test_epoch_shuffle_head_matches_md5_mirror(spark, tmp_path):
         for pos, i in enumerate(order, start=1):
             assert (ep, pos, i) in got
     assert orders[0] != orders[1] and orders[1] != orders[2]
+
+
+def test_bloom_prefilter_no_false_negatives(spark, tmp_path):
+    """A batch doc whose text is an EXACT copy of a corpus doc must be
+    flagged maybe (n_missed = 0 — the Bloom guarantee by
+    construction); a unique batch doc exercises the probe's negative
+    path. Cross-engine equal; the identity columns are pinned."""
+    from catme_etl_spark.operators.dedup import dedup_bloom_prefilter_audit
+
+    docs = [
+        (1, "alpha beta gamma delta", "s", 1),
+        (2, "epsilon zeta eta theta", "s", 1),
+        (3, "iota kappa lambda mu", "s", 1),
+        # batch (doc_id % 10 == 9)
+        (9, "alpha beta gamma delta", "s", 1),   # exact dup of doc 1
+        (19, "nu xi omicron pi totally fresh", "s", 1),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(dedup_bloom_prefilter_audit(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "dedup_bloom_prefilter_audit")
+    (n_batch, n_maybe, n_exact, n_missed, n_fp, _fp_ppm) = got[0]
+    assert (n_batch, n_exact, n_missed) == (2, 1, 0)
+    assert n_maybe >= 1  # the dup is guaranteed flagged
+    assert n_fp == n_maybe - n_exact
