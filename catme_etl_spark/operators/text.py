@@ -1714,3 +1714,151 @@ def text_diversity_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("pearson_r"),
     )
+
+
+@pending_query(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+      FROM documents
+    ),
+    c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY source, t),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY source),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             ta.nt AS na, tb.nt AS nb, a.n AS ca, b.n AS cb
+      FROM c a
+      JOIN c b ON a.t = b.t AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+    ),
+    terms AS (
+      SELECT src_a, src_b, na, nb,
+             CAST(floor(
+               (
+                 (CAST(ca AS DOUBLE) / na)
+                   * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+                        / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+                 + (CAST(cb AS DOUBLE) / nb)
+                   * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+                        / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+               ) * 1000000000 + 0.5) AS BIGINT) AS term_ppb,
+             ca, cb
+      FROM pair
+    ),
+    agg AS (
+      SELECT src_a, src_b,
+             CAST(SUM(term_ppb) AS BIGINT) AS common_ppb,
+             CAST(SUM(ca) AS BIGINT)       AS common_a,
+             CAST(SUM(cb) AS BIGINT)       AS common_b,
+             CAST(COUNT(*) AS BIGINT)      AS n_common_types
+      FROM terms GROUP BY src_a, src_b
+    ),
+    allp AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.nt AS na, b.nt AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    )
+    SELECT p.src_a, p.src_b,
+           COALESCE(g.n_common_types, 0) AS n_common_types,
+           floor(
+             (CAST(COALESCE(g.common_ppb, 0) AS DOUBLE) / 1000000000
+              + ln(2.0)
+                * (CAST(p.na - COALESCE(g.common_a, 0) AS DOUBLE) / p.na
+                   + CAST(p.nb - COALESCE(g.common_b, 0) AS DOUBLE) / p.nb)
+             ) / 2 * 1000000 + 0.5) / 1000000 AS js_nats
+    FROM allp p
+    LEFT JOIN agg g ON g.src_a = p.src_a AND g.src_b = p.src_b
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions, in nats — the corpus-mix DISTANCE matrix (0 =
+    identical token distributions, ln 2 ≈ 0.693 = disjoint
+    vocabularies) that complements `text_vocab_overlap_sources`'s
+    set-level Jaccard: two sources can share most of their vocabulary
+    and still WEIGHT it so differently that mixing them shifts the
+    token distribution — JS prices exactly that, symmetrically and
+    bounded, which is why mix-design work reads it over raw KL.
+
+    Decomposition that keeps the big sum exact: tokens present in
+    BOTH sources contribute the usual p·ln(2p/(p+q)) + q·ln(2q/(p+q))
+    — each pair-token term is computed from EXACT integer counts in
+    an identical op order on both engines, floored to integer
+    nano-nats FIRST, and summed as exact int64 (the repo's
+    integer-units rule — immune to accumulation order); tokens
+    private to one source contribute exactly ln 2 times their
+    probability mass, which needs only the per-source totals and the
+    common-mass sums — no term per private token at all. Pairs with
+    NO shared vocabulary still appear (source pairs enumerate from
+    the totals table, common terms LEFT-join in), reading exactly
+    ln 2 — the disjoint-corpus ceiling, not a missing row. One final
+    half-away round at 1e-6.
+
+    Scale shape: one tokenize scan → per-(source, token) counts
+    (map-side combinable, Heaps-sublinear rows) → the pairwise join
+    fans out per token by the number of sources containing it
+    (bounded by |sources|, not corpus size — the
+    `text_vocab_overlap_sources` shape) → |sources|² output rows.
+
+    Reference basis: none; contract corpus-mix family (SURVEY §2.10)."""
+    tok = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens("text")).alias("t")
+    )
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").cast("long").alias("nt"))
+    a = c.select(
+        F.col("source").alias("src_a"), "t", F.col("n").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("src_b"),
+        F.col("t").alias("t_b"),
+        F.col("n").alias("cb"),
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("nt").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("nt").alias("nb"))
+    pair = (
+        a.join(b, (F.col("t") == F.col("t_b")) & (F.col("src_a") < F.col("src_b")))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    term = F.floor(
+        (
+            p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    agg = pair.groupBy("src_a", "src_b").agg(
+        F.sum(term).cast("long").alias("common_ppb"),
+        F.sum("ca").cast("long").alias("common_a"),
+        F.sum("cb").cast("long").alias("common_b"),
+        F.count(F.lit(1)).cast("long").alias("n_common_types"),
+    )
+    allp = (
+        ta.crossJoin(tb)
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    j = allp.join(agg, ["src_a", "src_b"], "left")
+    js = (
+        F.coalesce("common_ppb", F.lit(0)).cast("double") / 1000000000
+        + F.log(F.lit(2.0))
+        * (
+            (F.col("na") - F.coalesce("common_a", F.lit(0))).cast("double")
+            / F.col("na")
+            + (F.col("nb") - F.coalesce("common_b", F.lit(0))).cast("double")
+            / F.col("nb")
+        )
+    ) / 2
+    return j.select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_common_types", F.lit(0)).cast("long").alias(
+            "n_common_types"
+        ),
+        (F.floor(js * 1000000 + F.lit(0.5)) / 1000000).alias("js_nats"),
+    )

@@ -264,3 +264,45 @@ def test_bloom_prefilter_no_false_negatives(spark, tmp_path):
     assert (n_batch, n_exact, n_missed) == (2, 1, 0)
     assert n_maybe >= 1  # the dup is guaranteed flagged
     assert n_fp == n_maybe - n_exact
+
+
+def test_js_divergence_closed_forms(spark, tmp_path):
+    """Three hand-checkable pairs: identical distributions read 0,
+    disjoint vocabularies read exactly ln 2 (the pair appears via the
+    all-pairs LEFT join, not as a missing row), and a mixed pair
+    matches the decomposition computed independently in-test."""
+    import math
+
+    from catme_etl_spark.operators.text import text_js_divergence_sources
+
+    docs = [
+        (1, "x x y", "a", 1),
+        (2, "x x y", "b", 1),       # b == a -> JS = 0
+        (3, "p q r", "c", 1),       # disjoint from everything
+        (4, "x z", "d", 1),         # shares only x with a/b
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(text_js_divergence_sources(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "text_js_divergence_sources")
+
+    by = {(r[0], r[1]): r for r in got}
+    assert len(got) == 6  # all C(4,2) pairs present
+    assert by[("a", "b")] == ("a", "b", 2, 0.0)
+    ln2_6 = math.floor(math.log(2.0) / 2 * 2 * 1e6 + 0.5) / 1e6
+    assert by[("a", "c")][3] == ln2_6 and by[("b", "c")][3] == ln2_6
+    assert by[("c", "d")][3] == ln2_6
+
+    # mixed pair (a, d): common token x with p=2/3, q=1/2; private
+    # mass 1/3 (y) and 1/2 (z) — mirror the exact floor pipeline
+    p, q = 2.0 / 3.0, 1.0 / 2.0
+    term = p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))
+    common_ppb = math.floor(term * 1e9 + 0.5)
+    js = (common_ppb / 1e9 + math.log(2.0) * (1.0 / 3.0 + 1.0 / 2.0)) / 2
+    expect = math.floor(js * 1e6 + 0.5) / 1e6
+    assert by[("a", "d")] == ("a", "d", 1, expect)
