@@ -1491,3 +1491,104 @@ def events_weekly_seasonality_profile(
             "share_ppm"
         ),
     )
+
+
+@pending_query(
+    "events_daily_autocorrelation",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.n AS x, b.n AS y
+      FROM lags l
+      JOIN d a ON TRUE
+      JOIN d b ON b.day = a.day + l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT)   AS k,
+             CAST(SUM(x) AS BIGINT)     AS sx,
+             CAST(SUM(y) AS BIGINT)     AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days, k AS n_pairs,
+           (k * sxx - sx * sx = 0 OR k * syy - sy * sy = 0) AS degenerate,
+           CASE WHEN k * sxx - sx * sx = 0 OR k * syy - sy * sy = 0 THEN 0.0
+                ELSE floor(CAST(k * sxy - sx * sy AS DOUBLE)
+                           / (SQRT(CAST(k * sxx - sx * sx AS DOUBLE))
+                              * SQRT(CAST(k * syy - sy * sy AS DOUBLE)))
+                           * 10000 + 0.5) / 10000
+           END AS autocorr
+    FROM m
+    """,
+)
+def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1-7
+    days — the seasonality STRENGTH test beside the seasonality
+    PROFILE (`events_weekly_seasonality_profile` shows the shape;
+    this says how much of tomorrow is explained by today vs a week
+    ago: a weekly-periodic service peaks at lag 7, a trend-driven one
+    decays monotonically). The number anomaly thresholds and forecast
+    baselines are calibrated against.
+
+    Exactness: daily counts are exact integers; every per-lag moment
+    sum (Σx, Σy, Σx², Σy², Σxy over day pairs (t, t+lag)) is exact
+    int64 — immune to accumulation order — and the Pearson form
+    divides once with a half-away 1e-4 round (the
+    `text_diversity_length_corr` discipline). Lags with zero variance
+    report degenerate = TRUE and 0.0 explicitly on both engines.
+
+    Scale shape: the raw scan collapses to |days| rows in one
+    map-side-combinable agg; the lag self-join runs on that tiny
+    series (|days|×7 pairs); 7 output rows. Day identity is exact
+    integer epoch division — no timestamp formatting.
+
+    Reference basis: none; contract ops-analytics/time-series family."""
+    d = (
+        _events(spark, sf_dir)
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lags = spark.createDataFrame([(i,) for i in range(1, 8)], "lag long")
+    a = d.select(F.col("day").alias("da"), F.col("n").alias("x"))
+    b = d.select(F.col("day").alias("db"), F.col("n").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d1 = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    degen = (d1 == 0) | (d2 == 0)
+    return m.select(
+        F.col("lag").alias("lag_days"),
+        F.col("k").alias("n_pairs"),
+        degen.alias("degenerate"),
+        F.when(degen, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                num.cast("double")
+                / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+        .alias("autocorr"),
+    )

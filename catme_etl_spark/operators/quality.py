@@ -1398,3 +1398,75 @@ def pipeline_train_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         .join(dirty, "doc_id", "left_anti")
         .select("doc_id", "source", "lang")
     )
+
+
+@pending_query(
+    "quality_dup_conflicting_metadata",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS groups_lang_conflict,
+           CAST(COALESCE(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS groups_source_conflict,
+           CAST(COALESCE(SUM(CASE WHEN n_langs > 1 THEN n_copies ELSE 0 END),
+                         0) AS BIGINT) AS docs_lang_conflict
+    FROM g
+    """,
+)
+def quality_dup_conflicting_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-consistency audit over EXACT duplicate groups: when
+    byte-identical texts carry different ``lang`` or ``source``
+    labels, at least one label is wrong — the language-ID or
+    provenance bug report that exact dedup surfaces for free (the
+    canonical-survivor rule silently picks ONE of the conflicting
+    labels, so an unaudited conflict becomes silent label corruption
+    downstream). Counts conflicted groups per axis plus the affected
+    doc volume.
+
+    Scale shape: the `dedup_exact_by_hash` shuffle — 16-byte digests
+    group, text never moves — with two COUNT(DISTINCT label) terms
+    over low-cardinality columns folded into the same hash-agg, then
+    a 1-row summary.
+
+    Reference basis: none; contract quality family (SURVEY §2.10),
+    the metadata arm of F8 exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_langs") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("groups_lang_conflict"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("groups_source_conflict"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n_langs") > 1, F.col("n_copies")).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("docs_lang_conflict"),
+    )

@@ -306,3 +306,65 @@ def test_js_divergence_closed_forms(spark, tmp_path):
     js = (common_ppb / 1e9 + math.log(2.0) * (1.0 / 3.0 + 1.0 / 2.0)) / 2
     expect = math.floor(js * 1e6 + 0.5) / 1e6
     assert by[("a", "d")] == ("a", "d", 1, expect)
+
+
+def test_dup_conflicting_metadata_counts(spark, tmp_path):
+    """Three exact-dup groups: one with a lang conflict (2 docs), one
+    clean (same metadata), one with a source conflict; a unique doc
+    joins no group — all four counters pinned cross-engine."""
+    from catme_etl_spark.operators.quality import (
+        quality_dup_conflicting_metadata,
+    )
+
+    docs = [
+        (1, "same text one", "s1", "en", 1),
+        (2, "same text one", "s1", "de", 1),   # lang conflict
+        (3, "same text two", "s1", "en", 1),
+        (4, "same text two", "s1", "en", 1),   # clean dup group
+        (5, "same text three", "s1", "en", 1),
+        (6, "same text three", "s2", "en", 1),  # source conflict
+        (7, "unique text", "s1", "en", 1),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(quality_dup_conflicting_metadata(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "quality_dup_conflicting_metadata")
+    assert got == [(3, 1, 1, 2)]
+
+
+def test_daily_autocorrelation_alternating_series(spark, tmp_path):
+    """A perfectly alternating daily series (10, 2, 10, 2, 10, 2):
+    lag 1 reads exactly -1, lag 2 exactly +1; lags 6-7 have no pairs
+    and are absent — both engines agreeing."""
+    from catme_etl_spark.operators.events import events_daily_autocorrelation
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 1
+    for day, n in enumerate([10, 2, 10, 2, 10, 2]):
+        for i in range(n):
+            rows.append(
+                (eid, 1, t0 + dt.timedelta(days=day, minutes=i), "view", 1.0)
+            )
+            eid += 1
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_daily_autocorrelation(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_daily_autocorrelation")
+    by_lag = {r[0]: r for r in got}
+    assert sorted(by_lag) == [1, 2, 3, 4, 5]
+    assert by_lag[1] == (1, 5, False, -1.0)
+    assert by_lag[2] == (2, 4, False, 1.0)
+    assert by_lag[5][2] is True or by_lag[5][3] in (-1.0, 1.0)
