@@ -187,3 +187,155 @@ def test_u_shaped_oracle_equals_python_mirror(clicks, purchases):
         (h, k, round(c / 100.0, 2)) for h, (k, c) in hourly.items()
     )
     assert got == expect
+
+
+# --- JS divergence -----------------------------------------------------------
+
+corpus_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                      # source
+        st.lists(st.integers(min_value=0, max_value=12),  # token ids
+                 min_size=1, max_size=15),
+    ),
+    min_size=2,
+    max_size=20,
+).filter(lambda rows: len({s for s, _ in rows}) == 2)
+
+
+@settings(max_examples=120, deadline=None)
+@given(corpus_strategy)
+def test_js_divergence_oracle_equals_python_mirror(rows):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(rows) + 1),
+            "text": [" ".join(f"t{i}" for i in toks) for _, toks in rows],
+            "source": [s for s, _ in rows],
+            "n_chars": [1] * len(rows),
+        }
+    )
+    got = _oracle_rows("text_js_divergence_sources", documents=df)
+
+    from collections import Counter
+
+    counts = {"a": Counter(), "b": Counter()}
+    for s, toks in rows:
+        counts[s].update(f"t{i}" for i in toks)
+    na, nb = sum(counts["a"].values()), sum(counts["b"].values())
+    common = set(counts["a"]) & set(counts["b"])
+    term_sum = 0
+    ca = cb = 0
+    for t in common:
+        p, q = counts["a"][t] / na, counts["b"][t] / nb
+        term = p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))
+        term_sum += math.floor(term * 1e9 + 0.5)
+        ca += counts["a"][t]
+        cb += counts["b"][t]
+    js = (
+        term_sum / 1e9
+        + math.log(2.0) * ((na - ca) / na + (nb - cb) / nb)
+    ) / 2
+    expect = [("a", "b", len(common), math.floor(js * 1e6 + 0.5) / 1e6)]
+    assert got == expect
+    # JS bounds: [0, ln 2] up to the rounding grid
+    assert -1e-6 <= got[0][3] <= math.log(2.0) + 1e-6
+
+
+# --- daily autocorrelation ---------------------------------------------------
+
+series_strategy = st.lists(
+    st.integers(min_value=1, max_value=50),  # events per consecutive day
+    min_size=2,
+    max_size=20,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(series_strategy)
+def test_autocorr_oracle_equals_python_mirror(daily):
+    rows, eid = [], 1
+    for day, n in enumerate(daily):
+        for i in range(n):
+            rows.append((eid, 1, day * 86400 + i, "view", 1.0))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    got = _oracle_rows("events_daily_autocorrelation", events=df)
+
+    expect = []
+    for lag in range(1, 8):
+        xs = daily[:-lag] if lag < len(daily) else []
+        ys = daily[lag:]
+        if not xs:
+            continue
+        k = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        d1, d2 = k * sxx - sx * sx, k * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            expect.append((lag, k, True, 0.0))
+        else:
+            r = (k * sxy - sx * sy) / (math.sqrt(d1) * math.sqrt(d2))
+            expect.append((lag, k, False, math.floor(r * 10000 + 0.5) / 10000))
+    assert got == sorted(expect)
+
+
+# --- Bloom prefilter ---------------------------------------------------------
+
+bloom_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=500),  # doc id (split by % 10)
+        st.integers(min_value=0, max_value=60),   # text variant
+    ),
+    min_size=2,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(bloom_strategy)
+def test_bloom_oracle_equals_python_mirror(spec):
+    df = pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in spec],
+            "text": [f"payload variant {v}" for _, v in spec],
+            "source": ["s"] * len(spec),
+            "n_chars": [1] * len(spec),
+        }
+    )
+    batch = [(i, f"payload variant {v}") for i, v in spec if i % 10 == 9]
+    corpus = [(i, f"payload variant {v}") for i, v in spec if i % 10 != 9]
+    if not batch or not corpus:
+        return
+    got = _oracle_rows("dedup_bloom_prefilter_audit", documents=df)
+
+    BITS, WORD, K = 4096, 32, 3
+
+    def positions(text):
+        h = hashlib.md5(text.encode()).hexdigest()
+        return [int(h[8 * j: 8 * j + 8], 16) % BITS for j in range(K)]
+
+    words = {}
+    for _, t in corpus:
+        for p in positions(t):
+            words[p // WORD] = words.get(p // WORD, 0) | (1 << (p % WORD))
+    corpus_h = {hashlib.md5(t.encode()).hexdigest() for _, t in corpus}
+    n_maybe = n_dup = n_missed = n_fp = 0
+    for _, t in batch:
+        maybe = all(
+            words.get(p // WORD, 0) & (1 << (p % WORD)) for p in positions(t)
+        )
+        is_dup = hashlib.md5(t.encode()).hexdigest() in corpus_h
+        n_maybe += maybe
+        n_dup += is_dup
+        n_missed += is_dup and not maybe
+        n_fp += maybe and not is_dup
+    n_batch = len(batch)
+    neg = n_batch - n_dup
+    fp_ppm = 0 if neg == 0 else (1_000_000 * n_fp) // neg
+    assert got == [(n_batch, n_maybe, n_dup, n_missed, n_fp, fp_ppm)]
+    assert n_missed == 0  # the Bloom guarantee, on every random example
