@@ -834,3 +834,125 @@ def sample_epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
+
+
+@pending_query(
+    "sample_quality_weighted_budget",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                                           t -> t <> ''))) AS nd
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN nt BETWEEN 20 AND 80
+                            AND CAST(nd AS DOUBLE) / nt > 0.25
+                           THEN nt ELSE 0 END) AS BIGINT) AS passing_tokens
+      FROM d GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(passing_tokens) AS BIGINT) AS total FROM g),
+    b AS (
+      SELECT source, total_tokens, passing_tokens,
+             (1000000 * passing_tokens) // total AS fshare,
+             (1000000 * passing_tokens) % total AS rem
+      FROM g, t
+    ),
+    lo AS (SELECT 1000000 - CAST(SUM(fshare) AS BIGINT) AS leftover FROM b),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) - 1 AS sb
+      FROM b
+    )
+    SELECT source, total_tokens, passing_tokens,
+           CAST(fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM r, lo
+    ORDER BY source
+    """,
+)
+def sample_quality_weighted_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget apportionment weighted by QUALITY-PASSING tokens —
+    the composition every curated mix actually runs: sources earn
+    budget share in proportion to the tokens that survive the
+    certified quality gate (`text_quality_score`'s 20-80-token band
+    with distinct-ratio > 0.25), not their raw volume, so a source
+    full of boilerplate or fragments stops buying training share with
+    junk. Reports raw vs passing tokens per source (the gate's cost,
+    per slice) beside the allocation.
+
+    The 1e6-ppm budget splits by the repo's largest-remainder
+    convention (`sample_token_budget_apportion`): integer floor
+    shares + the (budget mod) extra units to the largest remainders,
+    ties by source name — Σ alloc == 1e6 EXACTLY, all integer
+    arithmetic, bit-identical cross-engine.
+
+    Scale shape: one tokenize scan with the gate folded into the same
+    map-side-combinable per-source agg (two conditional sums); the
+    apportionment runs on |sources| rows against 1-row broadcasts,
+    and the remainder rank is the module's broadcast triangular
+    self-join (the single-partition WindowExec ban holds even on
+    provably tiny inputs).
+
+    Reference basis: none; contract training-data mix family (SURVEY
+    §2.10), composing the certified gate with the certified
+    allocation rule."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(tokens("text")).alias("nt"),
+        F.size(F.array_distinct(tokens("text"))).alias("nd"),
+    )
+    passing = (
+        F.col("nt").between(20, 80)
+        & (F.col("nd").cast("double") / F.col("nt") > 0.25)
+    )
+    g = d.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum(F.when(passing, F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("passing_tokens"),
+    )
+    t = g.agg(F.sum("passing_tokens").cast("long").alias("total"))
+    b = g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "total_tokens",
+        "passing_tokens",
+        F.expr("(1000000 * passing_tokens) div total").alias("fshare"),
+        ((1000000 * F.col("passing_tokens")) % F.col("total")).alias("rem"),
+    )
+    lo = b.agg((1000000 - F.sum("fshare")).cast("long").alias("leftover"))
+    other = b.select(
+        F.col("source").alias("source2"), F.col("rem").alias("rem2")
+    )
+    sb = (
+        b.join(
+            F.broadcast(other),
+            (F.col("rem2") > F.col("rem"))
+            | (
+                (F.col("rem2") == F.col("rem"))
+                & (F.col("source2") < F.col("source"))
+            ),
+            "left",
+        )
+        .groupBy("source", "total_tokens", "passing_tokens", "fshare")
+        .agg(F.count("source2").alias("sb"))
+    )
+    return (
+        sb.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "total_tokens",
+            "passing_tokens",
+            (
+                F.col("fshare")
+                + F.when(F.col("sb") < F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

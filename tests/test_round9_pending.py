@@ -368,3 +368,46 @@ def test_daily_autocorrelation_alternating_series(spark, tmp_path):
     assert by_lag[1] == (1, 5, False, -1.0)
     assert by_lag[2] == (2, 4, False, 1.0)
     assert by_lag[5][2] is True or by_lag[5][3] in (-1.0, 1.0)
+
+
+def test_quality_weighted_budget_conservation(spark, tmp_path):
+    """A source of pure boilerplate fragments (fails the gate) earns
+    zero allocation even though it has the most raw tokens; the
+    passing sources split the 1e6 budget by largest remainder with
+    exact conservation."""
+    from catme_etl_spark.operators.sampling import (
+        sample_quality_weighted_budget,
+    )
+
+    def doc(n_tokens, n_distinct):
+        toks = [f"w{i}" for i in range(n_distinct)]
+        toks += ["w0"] * (n_tokens - n_distinct)
+        return " ".join(toks)
+
+    docs = [
+        # "good": 40 tokens, fully distinct -> passes (20..80, ratio 1)
+        (1, doc(40, 40), "good", 1),
+        # "ok": 30 tokens, ratio 0.5 -> passes
+        (2, doc(30, 15), "ok", 1),
+        # "junk": 200 repeated tokens -> fails the band; 10 tokens ->
+        # fails the band too; ratio-failing 40-token doc
+        (3, doc(200, 200), "junk", 1),
+        (4, doc(10, 10), "junk", 1),
+        (5, doc(40, 5), "junk", 1),  # ratio 0.125 <= 0.25
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(sample_quality_weighted_budget(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "sample_quality_weighted_budget")
+
+    by = {r[0]: r for r in got}
+    assert by["junk"] == ("junk", 250, 0, 0)
+    assert by["good"][2] == 40 and by["ok"][2] == 30
+    assert sum(r[3] for r in got) == 1_000_000
+    # 40/70 and 30/70 by largest remainder: 571428+1, 428571
+    assert by["good"][3] == 571429 and by["ok"][3] == 428571
