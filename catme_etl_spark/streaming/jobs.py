@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import money_sum
-from ..operators.registry import query
+from ..operators.registry import pending_query, query
 
 _SINK_SEQ = count()
 
@@ -898,3 +898,105 @@ def stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ship")
         .alias("verdict"),
     ).orderBy("event_type")
+
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents parquet — the `_stream_events`
+    staging device applied to the corpus table (FIXTURE-ONLY: a real
+    deployment points readStream at the landing zone). Slices by
+    doc_id quartile ranges (documents carry no event time; arrival
+    order by id stands in for ingest order), one file per trigger, so
+    stateful consumers genuinely cross micro-batches."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    stage = os.path.join(
+        "/tmp/catme_etl_stream_docs_v1", sf_dir.strip("/").replace("/", "_")
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        src = spark.read.parquet(path)
+        bounds = src.stat.approxQuantile(
+            "doc_id", [0.25, 0.5, 0.75], 0.001
+        )
+        if not bounds:
+            raise ValueError(
+                f"streaming staging: source {path!r} has no rows to slice"
+            )
+        edges = [float("-inf")] + bounds + [float("inf")]
+        for i in range(4):
+            lo, hi = edges[i], edges[i + 1]
+            sl = src
+            if lo != float("-inf"):
+                sl = sl.filter(F.col("doc_id") > lo)
+            if hi != float("inf"):
+                sl = sl.filter(F.col("doc_id") <= hi)
+            sl.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, f"slice{i}")
+            )
+        open(done, "w").close()
+    schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+
+@pending_query(
+    "stream_bloom_index_maintenance",
+    oracle="""
+    WITH corpus AS (
+      SELECT text FROM documents WHERE doc_id % 10 <> 9
+    ),
+    cpos AS (
+      SELECT (CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 4096) AS p FROM corpus
+      UNION ALL
+      SELECT (CAST(('0x' || substring(md5(text), 9, 8)) AS BIGINT) % 4096) AS p FROM corpus
+      UNION ALL
+      SELECT (CAST(('0x' || substring(md5(text), 17, 8)) AS BIGINT) % 4096) AS p FROM corpus
+    )
+    SELECT p // 32 AS w,
+           CAST(bit_or(1::BIGINT << (p % 32)) AS BIGINT) AS word
+    FROM cpos GROUP BY p // 32
+    """,
+)
+def stream_bloom_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest prefilter's Bloom index maintained BY the stream
+    (C7): corpus documents arrive as micro-batches and each batch's
+    md5-slice bit positions fold into the per-word filter state with a
+    streaming ``bit_or`` aggregate — the textbook mergeable-state
+    sketch (bit_or is commutative, associative, idempotent, so state
+    per word is ONE int64 and replay/out-of-order arrival cannot
+    corrupt it). The final complete-mode snapshot is certified EQUAL,
+    word for word, to the batch-built filter
+    (`dedup_bloom_prefilter_audit`'s words table over the same corpus
+    slice) — the stream and the nightly build can hand each other the
+    index at any boundary.
+
+    State shape: ≤ 128 keys × one int64 — constant regardless of
+    stream length, the smallest stateful operator in the module.
+    Engine-managed aggregate state (no applyInPandasWithState
+    needed): declaring the bit_or lets Spark keep partial words
+    map-side per micro-batch.
+
+    Reference basis: none; contract C7 streaming family, the
+    streaming arm of the queued Bloom audit."""
+    from ..functions.texttools import hex_prefix_long
+
+    docs = _stream_docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 9)
+    pos = None
+    for j in range(3):
+        part = docs.select(
+            (hex_prefix_long(F.md5("text"), 8, 1 + 8 * j) % 4096).alias("p")
+        )
+        pos = part if pos is None else pos.unionAll(part)
+    bits = pos.select(
+        F.expr("p div 32").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), p % 32)").alias("b"),
+    )
+    agg = bits.groupBy("w").agg(
+        F.expr("CAST(bit_or(b) AS BIGINT)").alias("word")
+    )
+    return _run_to_memory(agg, "complete")

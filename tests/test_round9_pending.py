@@ -411,3 +411,45 @@ def test_quality_weighted_budget_conservation(spark, tmp_path):
     assert sum(r[3] for r in got) == 1_000_000
     # 40/70 and 30/70 by largest remainder: 571428+1, 428571
     assert by["good"][3] == 571429 and by["ok"][3] == 428571
+
+
+def test_stream_bloom_equals_batch_filter(spark, tmp_path):
+    """The streamed Bloom index must equal the batch-built filter
+    word for word on a crafted corpus: positions mirrored in-test via
+    hashlib, the batch doc (id 9) excluded, and every corpus doc's
+    three bits set in the final snapshot."""
+    import hashlib
+
+    from catme_etl_spark.streaming.jobs import stream_bloom_index_maintenance
+
+    docs = [
+        (1, "stream corpus doc one", "s", 1),
+        (2, "stream corpus doc two", "s", 1),
+        (3, "stream corpus doc three", "s", 1),
+        (9, "batch doc must not contribute", "s", 1),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(stream_bloom_index_maintenance(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "stream_bloom_index_maintenance")
+
+    words = {w: word for w, word in got}
+
+    def positions(text):
+        h = hashlib.md5(text.encode()).hexdigest()
+        return [int(h[8 * j: 8 * j + 8], 16) % 4096 for j in range(3)]
+
+    for _id, text, _s, _n in docs[:3]:
+        for p in positions(text):
+            assert words.get(p // 32, 0) & (1 << (p % 32)), (text, p)
+    # the batch doc's bits are absent unless they collide with corpus
+    mirror = {}
+    for _id, text, _s, _n in docs[:3]:
+        for p in positions(text):
+            mirror[p // 32] = mirror.get(p // 32, 0) | (1 << (p % 32))
+    assert words == mirror
