@@ -1592,3 +1592,169 @@ def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("autocorr"),
     )
+
+
+@pending_query(
+    "events_retention_halflife_fit",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(week) AS max_week FROM wk),
+    csz AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY cohort_week
+    ),
+    act AS (
+      SELECT w.week - f.cohort_week AS o,
+             CAST(COUNT(*) AS BIGINT) AS active
+      FROM wk w JOIN first f USING (user_id)
+      WHERE w.week - f.cohort_week BETWEEN 1 AND 7
+      GROUP BY 1
+    ),
+    den AS (
+      SELECT o.o, CAST(SUM(c.cohort_size) AS BIGINT) AS total
+      FROM (SELECT unnest(range(1, 8)) AS o) o
+      JOIN csz c ON TRUE
+      CROSS JOIN mx
+      WHERE c.cohort_week + o.o <= mx.max_week
+      GROUP BY o.o
+    ),
+    pts AS (
+      SELECT den.o AS x,
+             ln(CAST(act.active AS DOUBLE) / den.total) AS y
+      FROM den JOIN act ON act.o = den.o
+      WHERE act.active > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(floor(y * 1000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sy9,
+             CAST(SUM(CAST(floor(x * y * 1000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sxy9
+      FROM pts
+    )
+    SELECT k AS n_points,
+           (k < 2 OR k * sxx - sx * sx = 0) AS degenerate,
+           CASE WHEN k < 2 OR k * sxx - sx * sx = 0 THEN 0.0
+                ELSE floor((CAST(k AS DOUBLE) * (sxy9 / 1000000000.0)
+                            - sx * (sy9 / 1000000000.0))
+                           / (k * sxx - sx * sx) * 1000000 + 0.5) / 1000000
+           END AS slope_per_week,
+           CASE WHEN k < 2 OR k * sxx - sx * sx = 0 THEN 0.0
+                WHEN (CAST(k AS DOUBLE) * (sxy9 / 1000000000.0)
+                      - sx * (sy9 / 1000000000.0))
+                     / (k * sxx - sx * sx) >= 0 THEN 0.0
+                ELSE floor(ln(2.0)
+                           / (-((CAST(k AS DOUBLE) * (sxy9 / 1000000000.0)
+                                 - sx * (sy9 / 1000000000.0))
+                                / (k * sxx - sx * sx)))
+                           * 10000 + 0.5) / 10000
+           END AS halflife_weeks
+    FROM m
+    """,
+)
+def events_retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention HALF-LIFE: the exponential-decay fit over the pooled
+    weekly retention curve — ln(retention) regressed on week offset
+    1-7, slope converted to the single number a growth team quotes
+    ("half the cohort is gone every H weeks"). Pools cohorts honestly:
+    offset o's denominator counts only cohorts OBSERVED at o
+    (cohort_week + o ≤ max week), so young cohorts don't deflate the
+    tail; offsets with zero active users are excluded from the log
+    fit (and flagged by k < 7 in n_points). Cohort/offset identities
+    are exactly `events_retention_cohorts`' definitions.
+
+    Float discipline: retention rates are ratios of exact integers;
+    each ln point and each x·ln term floors to integer nano-units
+    BEFORE the (≤ 7-term) sums — order-immune — and the closed-form
+    LS slope divides exact-integer x-moments once; slope and
+    half-life round half-away at 1e-6/1e-4. Non-decaying or
+    underdetermined curves (k < 2, zero x-variance, slope ≥ 0) report
+    degenerate/0.0 EXPLICITLY on both engines.
+
+    Scale shape: one (user, week) distinct (the retention family's
+    only data-sized shuffle), then everything runs on ≤ |weeks| rows;
+    the fit consumes ≤ 7 points. 1-row output.
+
+    Reference basis: none; contract event-analytics family, the decay
+    summary over the certified cohort table."""
+    wk = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            # floor(epoch seconds) div 604800 — integer micros div 1e6
+            # IS the floored epoch second for the fixture's positive
+            # timestamps, matching the oracle's floor(epoch(ts))
+            F.expr("(unix_micros(ts) div 1000000) div 604800").alias("week"),
+        )
+        .distinct()
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    mx = wk.agg(F.max("week").alias("max_week"))
+    csz = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = (
+        wk.join(first, "user_id")
+        .select((F.col("week") - F.col("cohort_week")).alias("o"))
+        .filter(F.col("o").between(1, 7))
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).cast("long").alias("active"))
+    )
+    offsets = spark.createDataFrame([(i,) for i in range(1, 8)], "o long")
+    den = (
+        csz.crossJoin(F.broadcast(offsets))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("cohort_week") + F.col("o") <= F.col("max_week"))
+        .groupBy("o")
+        .agg(F.sum("cohort_size").cast("long").alias("total"))
+    )
+    pts = (
+        den.join(act, "o")
+        .filter(F.col("active") > 0)
+        .select(
+            F.col("o").alias("x"),
+            F.log(F.col("active").cast("double") / F.col("total")).alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.floor(F.col("y") * 1000000000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sy9"),
+        F.sum(
+            F.floor(F.col("x") * F.col("y") * 1000000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("sxy9"),
+    )
+    dvar = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    degen = (F.col("k") < 2) | (dvar == 0)
+    slope = (
+        F.col("k").cast("double") * (F.col("sxy9") / 1000000000.0)
+        - F.col("sx") * (F.col("sy9") / 1000000000.0)
+    ) / dvar
+    return m.select(
+        F.col("k").alias("n_points"),
+        degen.alias("degenerate"),
+        F.when(degen, F.lit(0.0))
+        .otherwise(F.floor(slope * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("slope_per_week"),
+        F.when(degen | (slope >= 0), F.lit(0.0))
+        .otherwise(
+            F.floor(F.log(F.lit(2.0)) / (-slope) * 10000 + F.lit(0.5)) / 10000
+        )
+        .alias("halflife_weeks"),
+    )

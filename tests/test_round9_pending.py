@@ -453,3 +453,49 @@ def test_stream_bloom_equals_batch_filter(spark, tmp_path):
         for p in positions(text):
             mirror[p // 32] = mirror.get(p // 32, 0) | (1 << (p % 32))
     assert words == mirror
+
+
+def test_retention_halflife_perfect_halving(spark, tmp_path):
+    """A single cohort of 8 users whose weekly actives halve exactly
+    (4, 2, 1) fits slope −ln 2 and half-life 1.0 weeks through the
+    exact floor pipeline; offsets with zero actives drop from the fit
+    (n_points = 3) — both engines agreeing."""
+    import math
+
+    from catme_etl_spark.operators.events import events_retention_halflife_fit
+
+    week = 604800
+
+    def ts(w, i):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=w * week + i)
+
+    rows = []
+    for u in range(1, 9):  # everyone active in week 0 -> one cohort
+        rows.append((u, ts(0, u), "view", 1.0))
+    for u in (1, 2, 3, 4):
+        rows.append((u, ts(1, u), "view", 1.0))
+    for u in (1, 2):
+        rows.append((u, ts(2, u), "view", 1.0))
+    rows.append((1, ts(3, 1), "view", 1.0))
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_retention_halflife_fit(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_retention_halflife_fit")
+
+    # mirror the exact nano-floor pipeline
+    pts = [(1, math.log(4 / 8)), (2, math.log(2 / 8)), (3, math.log(1 / 8))]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sy9 = sum(math.floor(y * 1e9 + 0.5) for _, y in pts)
+    sxy9 = sum(math.floor(x * y * 1e9 + 0.5) for x, y in pts)
+    slope = (k * (sxy9 / 1e9) - sx * (sy9 / 1e9)) / (k * sxx - sx * sx)
+    exp_slope = math.floor(slope * 1e6 + 0.5) / 1e6
+    exp_hl = math.floor(math.log(2.0) / (-slope) * 1e4 + 0.5) / 1e4
+    assert got == [(3, False, exp_slope, exp_hl)]
+    assert exp_hl == 1.0 and abs(exp_slope + math.log(2.0)) < 1e-5
