@@ -1758,3 +1758,115 @@ def events_retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .alias("halflife_weeks"),
     )
+
+
+@pending_query(
+    "events_volume_anomaly_by_type_week",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS k
+      FROM w
+    ),
+    med AS (
+      SELECT event_type, CAST(MIN(n) AS BIGINT) AS m
+      FROM ranked WHERE 2 * rk >= k GROUP BY event_type
+    ),
+    dev AS (
+      SELECT w.event_type, w.n, ABS(w.n - med.m) AS d, med.m
+      FROM w JOIN med USING (event_type)
+    ),
+    dranked AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS k
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, CAST(MIN(d) AS BIGINT) AS mad
+      FROM dranked WHERE 2 * rk >= k GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_weeks,
+           CAST(MAX(dev.m) AS BIGINT) AS median_weekly,
+           CAST(MAX(mad.mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_weeks
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def events_volume_anomaly_by_type_week(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly ingest-volume anomaly monitor per event type — the
+    robust (50%-breakdown) alarm a pipeline puts on its OWN input: a
+    week whose count deviates from the type's median by more than
+    3·1.4826·MAD is flagged, so a collector outage or a bot flood
+    shows up as a number before it shows up as model drift. Median
+    and MAD are the repo's LOWER-median grid walk (smallest value
+    whose doubled rank reaches the count) over EXACT integer weekly
+    counts — no interpolation rule to disagree cross-engine — and the
+    single float op (the 1.4826 normal-consistency scaling, the
+    `quality_anomaly_mad_outliers` discipline) multiplies exact
+    integers identically on both sides of a strict compare. A
+    constant-volume type has MAD 0 and flags any deviation — the
+    correct alarm for a flatlined source.
+
+    Scale shape: the raw scan collapses to (type, week) counts in one
+    map-side-combinable agg; both medians run as keyed windows over
+    the per-type weekly grids (|weeks| rows per partition — bounded
+    by calendar, not data); |types| output rows.
+
+    Reference basis: none; contract ops-quality family (SURVEY
+    §2.10), the input-side sibling of `quality_psi_drift`."""
+    from pyspark.sql import Window
+
+    w = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+        )
+        .groupBy("event_type", "wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def lower_median(df, col, out):
+        wr = Window.partitionBy("event_type").orderBy(col)
+        wk_ = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(wr))
+            .withColumn("k", F.count(F.lit(1)).over(wk_))
+            .filter(2 * F.col("rk") >= F.col("k"))
+            .groupBy("event_type")
+            .agg(F.min(col).cast("long").alias(out))
+        )
+
+    med = lower_median(w, "n", "m")
+    dev = w.join(med, "event_type").select(
+        "event_type", "n", "m", F.abs(F.col("n") - F.col("m")).alias("d")
+    )
+    mad = lower_median(dev, "d", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.max("m").cast("long").alias("median_weekly"),
+            F.max("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("d") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalous_weeks"),
+        )
+    )

@@ -499,3 +499,57 @@ def test_retention_halflife_perfect_halving(spark, tmp_path):
     exp_hl = math.floor(math.log(2.0) / (-slope) * 1e4 + 0.5) / 1e4
     assert got == [(3, False, exp_slope, exp_hl)]
     assert exp_hl == 1.0 and abs(exp_slope + math.log(2.0)) < 1e-5
+
+
+def test_volume_anomaly_known_spike(spark, tmp_path):
+    """Weekly counts (10, 12, 8, 13, 7, 50): lower median 10, absolute
+    deviations (0, 2, 2, 3, 3, 40) give MAD 2, threshold 3·1.4826·2 ≈
+    8.9 — only the 50-event spike flags. A constant-volume second type
+    reads MAD 0 and flags nothing."""
+    from catme_etl_spark.operators.events import (
+        events_volume_anomaly_by_type_week,
+    )
+
+    week = 604800
+    rows = []
+    eid = 1
+    for wk, n in enumerate([10, 12, 8, 13, 7, 50]):
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    dt.datetime(1970, 1, 1)
+                    + dt.timedelta(seconds=wk * week + i),
+                    "view",
+                    1.0,
+                )
+            )
+            eid += 1
+    for wk in range(4):  # constant type: 5 per week
+        for i in range(5):
+            rows.append(
+                (
+                    eid,
+                    2,
+                    dt.datetime(1970, 1, 1)
+                    + dt.timedelta(seconds=wk * week + 100 + i),
+                    "click",
+                    1.0,
+                )
+            )
+            eid += 1
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_volume_anomaly_by_type_week(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_volume_anomaly_by_type_week")
+    by = {r[0]: r for r in got}
+    assert by["view"] == ("view", 6, 10, 2, 1)
+    assert by["click"] == ("click", 4, 5, 0, 0)
