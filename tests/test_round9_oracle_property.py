@@ -339,3 +339,105 @@ def test_bloom_oracle_equals_python_mirror(spec):
     fp_ppm = 0 if neg == 0 else (1_000_000 * n_fp) // neg
     assert got == [(n_batch, n_maybe, n_dup, n_missed, n_fp, fp_ppm)]
     assert n_missed == 0  # the Bloom guarantee, on every random example
+
+
+# --- weekly volume anomaly (median/MAD grid walk) ---------------------------
+
+weekly_strategy = st.lists(
+    st.integers(min_value=1, max_value=40),  # events per consecutive week
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(weekly_strategy)
+def test_volume_anomaly_oracle_equals_python_mirror(weekly):
+    rows, eid = [], 1
+    for wk, n in enumerate(weekly):
+        for i in range(n):
+            rows.append((eid, 1, wk * 604800 + i, "view", 1.0))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    got = _oracle_rows("events_volume_anomaly_by_type_week", events=df)
+
+    def lower_median(vals):
+        s = sorted(vals)
+        k = len(s)
+        # smallest value whose doubled 1-based rank reaches k
+        for rk, v in enumerate(s, start=1):
+            if 2 * rk >= k:
+                return v
+
+    med = lower_median(weekly)
+    devs = [abs(n - med) for n in weekly]
+    mad = lower_median(devs)
+    n_anom = sum(1 for d in devs if d > 3 * 1.4826 * mad)
+    assert got == [("view", len(weekly), med, mad, n_anom)]
+
+
+# --- retention half-life -----------------------------------------------------
+
+cohort_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),      # user id
+        st.lists(st.integers(min_value=0, max_value=6),  # active weeks
+                 min_size=1, max_size=5, unique=True),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(cohort_strategy)
+def test_halflife_oracle_equals_python_mirror(spec):
+    rows, eid = [], 1
+    for u, weeks in spec:
+        for w in weeks:
+            rows.append((eid, u, w * 604800 + u, "view", 1.0))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    got = _oracle_rows("events_retention_halflife_fit", events=df)
+
+    # mirror
+    user_weeks = {u: set(w) for u, w in spec}
+    first = {u: min(w) for u, w in user_weeks.items()}
+    max_week = max(w for ws in user_weeks.values() for w in ws)
+    act = {}
+    for u, ws in user_weeks.items():
+        for w in ws:
+            o = w - first[u]
+            if 1 <= o <= 7:
+                act[o] = act.get(o, 0) + 1
+    pts = []
+    for o in range(1, 8):
+        # denominator: users whose cohort is observable at offset o
+        den = sum(1 for u in user_weeks if first[u] + o <= max_week)
+        if o in act and act[o] > 0 and den > 0:
+            pts.append((o, math.log(act[o] / den)))
+    k = len(pts)
+    if k < 2:
+        assert got[0][0] == k and got[0][1] is True
+        return
+    sx = sum(x for x, _ in pts)
+    sxx = sum(x * x for x, _ in pts)
+    if k * sxx - sx * sx == 0:
+        assert got[0][1] is True
+        return
+    sy9 = sum(math.floor(y * 1e9 + 0.5) for _, y in pts)
+    sxy9 = sum(math.floor(x * y * 1e9 + 0.5) for x, y in pts)
+    slope = (k * (sxy9 / 1e9) - sx * (sy9 / 1e9)) / (k * sxx - sx * sx)
+    exp_slope = math.floor(slope * 1e6 + 0.5) / 1e6
+    if slope >= 0:
+        exp_hl = 0.0
+    else:
+        exp_hl = math.floor(math.log(2.0) / (-slope) * 1e4 + 0.5) / 1e4
+    assert got == [(k, False, exp_slope, exp_hl)]
