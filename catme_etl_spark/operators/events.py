@@ -1206,6 +1206,12 @@ def events_bot_signature_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# POSITIVE-EPOCH ASSUMPTION (shared by every op bucketing with this
+# constant, plus the weekly 604800000000 buckets): Spark `div`
+# truncates toward zero while the DuckDB oracles' `//` floors, so the
+# two only agree for timestamps >= 1970-01-01. A pre-epoch fixture
+# would hash-flake — if one ever appears, switch both engines to
+# pmod-based flooring: (x - pmod(x, W)) / W  <->  x - (x % W + W) % W.
 _HOUR_US = 3_600_000_000
 
 
@@ -1796,7 +1802,7 @@ def events_retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(COUNT(*) AS BIGINT)  AS n_weeks,
            CAST(MAX(dev.m) AS BIGINT) AS median_weekly,
            CAST(MAX(mad.mad) AS BIGINT) AS mad,
-           CAST(SUM(CASE WHEN dev.d > 3 * 1.4826 * mad.mad
+           CAST(SUM(CASE WHEN 10000 * dev.d > 44478 * mad.mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_weeks
     FROM dev JOIN mad USING (event_type)
     GROUP BY dev.event_type
@@ -1813,9 +1819,10 @@ def events_volume_anomaly_by_type_week(
     and MAD are the repo's LOWER-median grid walk (smallest value
     whose doubled rank reaches the count) over EXACT integer weekly
     counts — no interpolation rule to disagree cross-engine — and the
-    single float op (the 1.4826 normal-consistency scaling, the
-    `quality_anomaly_mad_outliers` discipline) multiplies exact
-    integers identically on both sides of a strict compare. A
+    1.4826 normal-consistency threshold (3 * 1.4826 = 44478/10000)
+    is compared ALL-INTEGER — `10000*d > 44478*mad` — so DuckDB's
+    exact-DECIMAL literal arithmetic and Spark's binary-double
+    evaluation cannot disagree on the mad%5000==0 tie cases. A
     constant-volume type has MAD 0 and flags any deviation — the
     correct alarm for a flatlined source.
 
@@ -1863,7 +1870,7 @@ def events_volume_anomaly_by_type_week(
             F.max("mad").cast("long").alias("mad"),
             F.sum(
                 F.when(
-                    F.col("d") > 3 * 1.4826 * F.col("mad"), 1
+                    10000 * F.col("d") > 44478 * F.col("mad"), 1
                 ).otherwise(0)
             )
             .cast("long")

@@ -423,7 +423,7 @@ def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            floor((MAX(m) / 100.0) * 10000 + 0.5) / 10000 AS med_value,
            floor((MAX(mad.mad) / 100.0) * 10000 + 0.5) / 10000 AS mad_value,
-           CAST(COUNT(CASE WHEN d > 3 * 1.4826 * mad.mad THEN 1 END)
+           CAST(COUNT(CASE WHEN 10000 * d > 44478 * mad.mad THEN 1 END)
                 AS BIGINT) AS n_outliers
     FROM dev
     JOIN mad ON mad.event_type = dev.event_type
@@ -437,7 +437,9 @@ def quality_anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score: median and MAD have a 50% breakdown point, so a corrupted
     batch cannot drag its own anomaly threshold the way it drags a
     mean/stddev. Flags |v − median| > 3·1.4826·MAD (the Gaussian-
-    consistent cutoff).
+    consistent cutoff), compared ALL-INTEGER as `10000·d > 44478·mad`
+    (d and mad are exact half-integers of cents, so both products are
+    exact — no DECIMAL-literal-vs-binary-double tie hazard).
 
     Exactness: medians are computed over integer cents (Spark's exact
     `median` aggregate; even counts give .5 — binary-exact), so the
@@ -464,7 +466,7 @@ def quality_anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         half(F.max("m") / 100.0).alias("med_value"),
         half(F.max("mad") / 100.0).alias("mad_value"),
         F.count(
-            F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1)
+            F.when(10000 * F.col("d") > 44478 * F.col("mad"), 1)
         ).cast("long").alias("n_outliers"),
     )
 
@@ -1327,12 +1329,13 @@ _DECON_GRAM_SQL = (
     ),
     eval_g AS (
       SELECT DISTINCT md5(unnest({_DECON_GRAM_SQL})) AS gh
-      FROM (SELECT string_split(text, ' ') AS toks
+      FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
             FROM tagged WHERE split <> 'train') x
     ),
     train_g AS (
       SELECT DISTINCT doc_id, md5(unnest({_DECON_GRAM_SQL})) AS gh
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
             FROM tagged WHERE split = 'train') x
     ),
     dirty AS (
@@ -1382,7 +1385,12 @@ def pipeline_train_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise(F.lit("test"))
     )
     tagged = d.select("doc_id", "source", "lang", "text", split.alias("split"))
-    grams = F.explode(F.array_distinct(word_shingles("text", k=DECON_K)))
+    # word_shingles' lookahead regex needs single-space separation;
+    # collapse space runs + trim so a doubled-space doc shingles the
+    # same FILTERED token stream the oracle builds (a missed overlap
+    # here silently ships a contaminated doc — ADVICE round 8).
+    norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
+    grams = F.explode(F.array_distinct(word_shingles(norm, k=DECON_K)))
     eval_g = (
         fan_out(tagged.filter(F.col("split") != "train"), spark)
         .select(grams.alias("g"))

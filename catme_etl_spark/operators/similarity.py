@@ -1777,54 +1777,57 @@ def sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sampled-panel truth tier (round-7 verdict item #4): the production
-# form of the quadratic ANN audits. Panel membership is deterministic
-# (vec_id % 7 == 3) and INDEPENDENT of the % 10 codebook stride, so the
-# panel carries the corpus's centroid fraction unbiased. Measured
-# (fixtures): trained 0.5099/0.5183/0.5406 vs stride 0.369/0.369/0.4308
-# at sf0.001/0.01/0.1 — the same floor/margin claims hold with headroom.
-PQ_PANEL_MOD = 7
-PQ_PANEL_RES = 3
+# Sampled-panel truth tier (round-7 verdict item #4; sizing fixed
+# round 9 per the round-8 verdict): the production form of the
+# quadratic ANN audits. The panel is the first PQ_PANEL_N vectors in
+# md5(vec_id) order — a FIXED-SIZE deterministic sample, so the exact
+# truth side is genuinely O(PQ_PANEL_N · corpus) at ANY corpus size
+# (the round-8 `vec_id % 7` panel grew with the corpus, leaving the
+# audit quadratic with a 1/7 constant). md5 of the decimal id string
+# is independent of `vec_id % PQ_STRIDE` residue, preserving the
+# no-self-quantizing-bias property the old co-prime modulus bought.
+PQ_PANEL_N = 256
 
 
 @query(
     "sim_pq_recall_sampled_panel",
     oracle=f"""
-    SELECT COUNT(DISTINCT vec_id) AS n_queries,
+    SELECT CAST(LEAST({PQ_PANEL_N}, COUNT(*)) AS BIGINT) AS n_queries,
            {TOP_K} AS top_k,
            TRUE AS trained_floor_ok,
            TRUE AS at_least_stride_ok
     FROM embeddings
-    WHERE vec_id % {PQ_PANEL_MOD} = {PQ_PANEL_RES}
     """,
 )
 def sim_pq_recall_sampled_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAMPLED-PANEL form of the trained-PQ recall audit — the one
     that stays runnable as the corpus grows: `sim_pq_trained_recall`
     scores EVERY vector as a query (truth side O(corpus²), the scaling
-    ladder's only >0.5 data term), while this audit scores a fixed
-    deterministic query panel (``vec_id % {PQ_PANEL_MOD} ==
-    {PQ_PANEL_RES}``) exactly against the full corpus —
-    O(panel·corpus) — and certifies the SAME claims in the same
-    bounds form: (a) trained-codebook recall@{TOP_K} ≥
-    {_PQ_TRAINED_FLOOR:.0%} of the exact int8-L2 truth and (b)
-    trained beats the stride codebook minus a
-    {_PQ_TRAINED_STRIDE_MARGIN:.0%} margin. Measured on the panel:
-    trained 0.510-0.541 vs stride 0.369-0.431 across the fixtures —
-    the audit answers with a fraction of the compute, which is why
-    production recall monitoring runs THIS form on a schedule and the
-    all-pairs form only on demand.
+    ladder's only >0.5 data term), while this audit scores a
+    FIXED-SIZE deterministic query panel — the first {PQ_PANEL_N}
+    vectors in ``md5(vec_id)`` order — exactly against the full
+    corpus, O({PQ_PANEL_N}·corpus) at any scale, and certifies the
+    SAME claims in the same bounds form: (a) trained-codebook
+    recall@{TOP_K} ≥ {_PQ_TRAINED_FLOOR:.0%} of the exact int8-L2
+    truth and (b) trained beats the stride codebook minus a
+    {_PQ_TRAINED_STRIDE_MARGIN:.0%} margin. The audit answers with a
+    fraction of the compute, which is why production recall
+    monitoring runs THIS form on a schedule and the all-pairs form
+    only on demand.
 
-    Panel discipline: the modulus is co-prime with the {PQ_STRIDE}-
-    stride codebook device, so panel composition is independent of
-    codeword identity (no self-quantizing bias), and membership is a
-    pure function of vec_id — re-runs, engines, and cluster sizes
-    audit the identical query set.
+    Panel discipline: membership is a pure function of vec_id (md5 of
+    its decimal string — identical bytes on any engine), so re-runs,
+    engines, and cluster sizes audit the identical query set; hash
+    order is independent of the ``% {PQ_STRIDE}`` codeword-donor
+    residue, so panel composition carries no self-quantizing bias.
+    Corpora smaller than the panel budget are audited in full
+    (n_queries = min({PQ_PANEL_N}, corpus)).
 
-    Scale shape: the same three blocked mapInPandas scans and two
-    equi-joins as the full audit, but fed only panel rows — the
-    broadcast corpus side is unchanged, so cost scales with the
-    PANEL. Codebooks arrive pre-trained via the shared
+    Scale shape: panel selection is one TakeOrderedAndProject over
+    (md5, vec_id) — an O(corpus) scan returning {PQ_PANEL_N} rows —
+    then the same three blocked mapInPandas scans and two equi-joins
+    as the full audit, fed only panel rows against the broadcast
+    corpus. Codebooks arrive pre-trained via the shared
     :func:`_pq_fit_trained` broadcast (trained once per session/
     sf_dir, shared with the full audit)."""
     from ._shared import shared_broadcast
@@ -1834,8 +1837,11 @@ def sim_pq_recall_sampled_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained_bc = shared_broadcast(
         "pq_trained_artifact", sf_dir, spark, lambda: _pq_fit_trained(bc)
     )
-    panel = emb.filter(
-        F.col("vec_id") % PQ_PANEL_MOD == PQ_PANEL_RES
+    panel = (
+        emb.withColumn("_pk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_pk", "vec_id")
+        .limit(PQ_PANEL_N)
+        .drop("_pk")
     )
     pq_gen, exact_gen = _pq_kernels(bc, TOP_K, PQ_STRIDE)
     trained_gen = _pq_trained_kernel(trained_bc, TOP_K)

@@ -66,7 +66,13 @@ def main() -> int:
     import __spark_entry__ as e
     from catme_etl_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    # Suppress stage-progress bars: their \r frames clobber OK lines in
+    # captured transcripts (round-8 verdict: FULL_SWEEP footer said 273
+    # but only 263 OK lines survived the carriage returns).
+    spark = get_spark(
+        "check_oracle",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
