@@ -2226,7 +2226,7 @@ def _bloom_pos_sql(j: int) -> str:
     return f"({sql_hex_long('md5(text)', 8, 1 + 8 * j)} % {_BLOOM_BITS})"
 
 
-@pending_query(
+@query(
     "dedup_bloom_prefilter_audit",
     oracle=f"""
     WITH corpus AS (

@@ -1452,7 +1452,7 @@ def events_latency_log2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "events_weekly_seasonality_profile",
     oracle=f"""
     WITH h AS (
@@ -1499,7 +1499,7 @@ def events_weekly_seasonality_profile(
     )
 
 
-@pending_query(
+@query(
     "events_daily_autocorrelation",
     oracle="""
     WITH d AS (
@@ -1600,7 +1600,7 @@ def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "events_retention_halflife_fit",
     oracle="""
     WITH wk AS (
@@ -1766,7 +1766,7 @@ def events_retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@pending_query(
+@query(
     "events_volume_anomaly_by_type_week",
     oracle="""
     WITH w AS (

@@ -1408,7 +1408,7 @@ def pipeline_train_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@pending_query(
+@query(
     "quality_dup_conflicting_metadata",
     oracle="""
     WITH g AS (

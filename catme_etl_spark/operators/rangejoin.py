@@ -252,7 +252,7 @@ def join_interval_overlap_quarters(
     )
 
 
-@pending_query(
+@query(
     "events_attribution_u_shaped",
     oracle="""
     WITH c AS (

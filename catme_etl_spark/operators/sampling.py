@@ -765,7 +765,7 @@ def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "sample_epoch_shuffle_head",
     oracle=f"""
     WITH e AS (SELECT unnest(range(3)) AS epoch),
@@ -836,7 +836,7 @@ def sample_epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "sample_quality_weighted_budget",
     oracle="""
     WITH d AS (

@@ -2521,7 +2521,7 @@ sample_coreset_kcenter.__doc__ = sample_coreset_kcenter.__doc__.replace(
 _K_CURVE = (1, 3, 5)
 
 
-@pending_query(
+@query(
     "sim_recall_vs_k_curve",
     oracle=f"""
     WITH mx AS (
@@ -2643,7 +2643,7 @@ _BAND_LO_EDGE = 0.25
 _BAND_HI_EDGE = 0.55
 
 
-@pending_query(
+@query(
     "sim_cosine_band_histogram",
     oracle=f"""
     WITH p AS (

@@ -1617,7 +1617,7 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "text_diversity_length_corr",
     oracle="""
     WITH d AS (
@@ -1716,7 +1716,7 @@ def text_diversity_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "text_js_divergence_sources",
     oracle="""
     WITH tok AS (

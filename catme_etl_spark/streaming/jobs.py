@@ -942,7 +942,7 @@ def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "stream_bloom_index_maintenance",
     oracle="""
     WITH corpus AS (

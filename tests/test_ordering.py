@@ -90,20 +90,53 @@ def test_max_staleness_bound():
     budget fewer certified-code changes or grow the window,
     explicitly.
 
-    Bound arithmetic: round 7's window was 48-forced (0 spillover),
-    and round 8's 19-debut flip + similarity fixes force 30 slots —
-    18 spillover slots against a cohort of > 18 names whose last
-    green row is still round 1, so 7 rounds is the floor reachable
-    this round. RATCHET: drop this to 6 once the r01 cohort has
-    rotated through (a round with ≤ ~15 forced names clears it)."""
+    Round-9 fix (round-8 verdict item #1): assert the ACHIEVABLE
+    bound — the staleness of a fresh stalest-first emit computed NOW —
+    not the committed order's raw on-disk staleness. The raw bound
+    reddened when the driver delivered CORRECTNESS_r08.json after the
+    round's final emit (upcoming 8 → 9 with zero code change); the
+    achievable bound is what the rotation mechanism can still
+    guarantee at round entry, whenever the artifact lands.
+
+    Bound arithmetic: round 9's emit drains the 11-name r01 cohort
+    plus the stalest 19 of r02's 44; the ~25 r02 names left outside
+    read upcoming−2 = 7 going into round 10, so 7 stays the floor.
+    RATCHET: drop to 6 once the r02 cohort has fully rotated through
+    (two more ≤ ~20-forced rounds)."""
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    import tools.rotation as rotation
+
+    rep = rotation.achievable_staleness_report()
+    assert rep["max_rounds_stale_outside_window"] <= 7, rep
+
+
+def test_staleness_bound_robust_to_driver_artifact_timing(monkeypatch):
+    """The crafted round-8 failure: the driver drops a NEW
+    CORRECTNESS_r{N}.json (certifying the committed window) after the
+    builder's final run, pushing ``upcoming`` one round forward. The
+    achievable bound must stay green through that delivery — the
+    hypothetical emit absorbs whatever the new artifact made
+    stalest."""
     import __spark_entry__  # noqa: F401 — registers every query
 
     from catme_etl_spark.operators.ordering import SWEEP_ORDER
 
     import tools.rotation as rotation
 
-    rep = rotation.staleness_report(list(SWEEP_ORDER))
-    assert rep["max_rounds_stale_outside_window"] <= 7, rep
+    before = rotation.achievable_staleness_report()
+    assert before["max_rounds_stale_outside_window"] <= 7, before
+
+    certified, latest = rotation.last_certified()
+    simulated = dict(certified)
+    for n in SWEEP_ORDER[: rotation.WINDOW_SLOTS]:
+        simulated[n] = latest + 1
+
+    monkeypatch.setattr(
+        rotation, "last_certified", lambda: (simulated, latest + 1)
+    )
+    after = rotation.achievable_staleness_report()
+    assert after["max_rounds_stale_outside_window"] <= 7, after
 
 
 ROUND7_DEBUT_QUEUE = [
@@ -129,11 +162,30 @@ ROUND7_DEBUT_QUEUE = [
 ]
 
 
-def test_round7_debut_queue_flipped_live():
-    """Round 8 item #1: the 19 operators deferred by round 7's window
-    budget must now be LIVE (@query, with oracle) and inside the
-    certification window, so the driver's round-8 gate certifies every
-    one — the queue was a deferral, never a skip."""
+ROUND8_DEBUT_QUEUE = [
+    "dedup_bloom_prefilter_audit",
+    "events_weekly_seasonality_profile",
+    "events_daily_autocorrelation",
+    "events_retention_halflife_fit",
+    "events_volume_anomaly_by_type_week",
+    "quality_dup_conflicting_metadata",
+    "events_attribution_u_shaped",
+    "sample_epoch_shuffle_head",
+    "sample_quality_weighted_budget",
+    "sim_recall_vs_k_curve",
+    "sim_cosine_band_histogram",
+    "text_diversity_length_corr",
+    "text_js_divergence_sources",
+    "stream_bloom_index_maintenance",
+]
+
+
+def test_debut_queues_flipped_live():
+    """Round-N+1 item #1 each round: operators deferred by a round's
+    window budget must be LIVE next round (@query, with oracle) — the
+    queue is a deferral, never a skip. Round 7's 19 landed in round 8
+    (all green in CORRECTNESS_r08); round 8's 14 must sit inside the
+    round-9 certification window."""
     import __spark_entry__  # noqa: F401 — registers every query
 
     from catme_etl_spark.operators.ordering import SWEEP_ORDER
@@ -142,10 +194,11 @@ def test_round7_debut_queue_flipped_live():
     import tools.rotation as rotation
 
     window = set(SWEEP_ORDER[: rotation.WINDOW_SLOTS])
-    for name in ROUND7_DEBUT_QUEUE:
+    for name in ROUND7_DEBUT_QUEUE + ROUND8_DEBUT_QUEUE:
         assert name in QUERIES, f"{name} missing from live registry"
         assert name in ORACLE, f"{name} lost its oracle in the flip"
         assert name not in PENDING, f"{name} still queued"
+    for name in ROUND8_DEBUT_QUEUE:
         assert name in window, f"{name} outside the certification window"
 
 

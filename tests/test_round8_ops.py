@@ -459,3 +459,38 @@ def test_latency_log2_sketch_known_buckets(spark, tmp_path):
     # within one binary magnitude
     for hi, true in ((3, 3), ((1 << 20) - 1, 1_000_000)):
         assert true <= hi < 2 * max(true, 1)
+
+
+def test_decontamination_whitespace_anomalies(spark, tmp_path):
+    """Round-8 ADVICE pin: a train doc whose contaminating 8-gram is
+    written with a DOUBLED space (and one with leading/trailing
+    spaces) must still be caught — the Spark side collapses space runs
+    before `word_shingles` and the oracle filters empty split tokens,
+    so both engines shingle the same filtered token stream. Before the
+    fix the doubled-space doc silently shipped contaminated."""
+    from catme_etl_spark.operators.quality import (
+        pipeline_train_decontamination,
+    )
+
+    run8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    doubled = run8.replace("t4 t5", "t4  t5")  # same tokens, 2 spaces
+    docs = [
+        # train, doubled-space overlap -> must drop
+        (1, f"x1 {doubled} x2", "s", "en", 1),
+        # train, leading/trailing spaces around a clean overlap -> drop
+        (2, f" {run8} ", "s", "en", 1),
+        # train, disjoint vocabulary -> keep
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "s", "en", 1),
+        # test: the contaminating source, single-spaced
+        (9, f"z1 z2 {run8} z3", "s", "en", 1),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(pipeline_train_decontamination(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "pipeline_train_decontamination")
+    assert got == [(3, "s", "en")]

@@ -375,7 +375,8 @@ def test_volume_anomaly_oracle_equals_python_mirror(weekly):
     med = lower_median(weekly)
     devs = [abs(n - med) for n in weekly]
     mad = lower_median(devs)
-    n_anom = sum(1 for d in devs if d > 3 * 1.4826 * mad)
+    # all-integer threshold (round-8 ADVICE): 3 * 1.4826 = 44478/10000
+    n_anom = sum(1 for d in devs if 10000 * d > 44478 * mad)
     assert got == [("view", len(weekly), med, mad, n_anom)]
 
 

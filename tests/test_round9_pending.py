@@ -553,3 +553,48 @@ def test_volume_anomaly_known_spike(spark, tmp_path):
     by = {r[0]: r for r in got}
     assert by["view"] == ("view", 6, 10, 2, 1)
     assert by["click"] == ("click", 4, 5, 0, 0)
+
+
+def test_volume_anomaly_threshold_tie_is_integer_exact(spark, tmp_path):
+    """The round-8 ADVICE hazard, pinned: with MAD = 5000 the old
+    float threshold 3·1.4826·mad = 22239.000...  (an exact integer in
+    DECIMAL arithmetic, an off-by-ulps double in Spark/Python), so a
+    deviation of EXACTLY 22239 sat on the strict compare's knife edge
+    cross-engine. The all-integer form 10000·d > 44478·mad makes the
+    tie bit-identical everywhere: d = 22239 must NOT flag, d = 22240
+    must. Weekly counts (5000, 10000, 10000, 15000, 32239) give lower
+    median 10000, deviations (5000, 0, 0, 5000, 22239), MAD 5000 —
+    the 'tie' type; a second type shifts the spike week to 32240."""
+    import pandas as pd
+
+    from catme_etl_spark.operators.events import (
+        events_volume_anomaly_by_type_week,
+    )
+
+    week_us = 604_800
+    frames = []
+    for etype, spike in (("tie", 32239), ("over", 32240)):
+        for wk, n in enumerate([5000, 10000, 10000, 15000, spike]):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": 1,
+                        "ts": pd.to_datetime(
+                            [wk * week_us + i for i in range(n)], unit="s"
+                        ),
+                        "event_type": etype,
+                        "value": 1.0,
+                    }
+                )
+            )
+    pdf = pd.concat(frames, ignore_index=True)
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_volume_anomaly_by_type_week(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_volume_anomaly_by_type_week")
+    by = {r[0]: r for r in got}
+    assert by["tie"] == ("tie", 5, 10000, 5000, 0)   # 10000*22239 == 44478*5000
+    assert by["over"] == ("over", 5, 10000, 5000, 1)
