@@ -185,6 +185,21 @@ HEADLINE = [
     # round-8d: the mergeable log2 latency sketch + ORC interop
     "events_latency_log2_sketch",
     "orc_roundtrip_revenue",
+    # round-9: the 14 flipped round-8 debuts
+    "dedup_bloom_prefilter_audit",
+    "events_weekly_seasonality_profile",
+    "events_daily_autocorrelation",
+    "events_retention_halflife_fit",
+    "events_volume_anomaly_by_type_week",
+    "quality_dup_conflicting_metadata",
+    "events_attribution_u_shaped",
+    "sample_epoch_shuffle_head",
+    "sample_quality_weighted_budget",
+    "sim_recall_vs_k_curve",
+    "sim_cosine_band_histogram",
+    "text_diversity_length_corr",
+    "text_js_divergence_sources",
+    "stream_bloom_index_maintenance",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary

@@ -494,3 +494,95 @@ def test_decontamination_whitespace_anomalies(spark, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'")
     assert got == _oracle(con, "pipeline_train_decontamination")
     assert got == [(3, "s", "en")]
+
+
+def test_concurrency_hour_boundary_and_sparse_hours(spark, tmp_path):
+    """Round-8 verdict item #7: (a) a session whose last event lands
+    EXACTLY on :00 covers the new hour too (hour identity is integer
+    epoch-us division, so 01:00:00.000000 belongs to hour 1); (b) a
+    single event exactly at :00 covers only that hour; (c) a 720-hour
+    quiet stretch between two sessions emits NO filler rows — the
+    output is sparse by construction, the downstream zero-fill is
+    `ts_gapfill`'s job."""
+    import datetime as dt
+
+    from catme_etl_spark.operators.events import events_concurrency_by_hour
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(seconds):
+        return t0 + dt.timedelta(seconds=seconds)
+
+    rows = [
+        # user 1: 00:59:00 -> 01:00:00 exactly — spans hours 0 and 1
+        (1, ts(59 * 60), "view", 1.0),
+        (1, ts(3600), "view", 1.0),
+        # user 2: lone event exactly at 01:00:00 — hour 1 only
+        (2, ts(3600), "view", 1.0),
+        # user 3: one event in hour 0, next 720 hours later (gap >> 30
+        # min -> separate session); hours 1..719 must be ABSENT
+        (3, ts(600), "view", 1.0),
+        (3, ts(720 * 3600 + 5), "view", 1.0),
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(events_concurrency_by_hour(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "events_concurrency_by_hour")
+
+    hour_us = 3_600_000_000
+    import datetime as _dt
+
+    base_h = (
+        int(t0.replace(tzinfo=_dt.timezone.utc).timestamp())
+        * 1_000_000
+        // hour_us
+    )
+    expect = sorted(
+        [
+            ((base_h + 0) * hour_us, 2, 2),    # u1 spanning, u3 first
+            ((base_h + 1) * hour_us, 2, 2),    # u1 spanning, u2 lone
+            ((base_h + 720) * hour_us, 1, 1),  # u3 second session
+        ]
+    )
+    assert got == expect  # exactly 3 rows: no filler hours
+
+
+def test_orc_roundtrip_preserves_decimal_cents(spark, tmp_path):
+    """Round-8 verdict item #7: the fixture's l_extendedprice is a
+    DOUBLE, so the certified round-trip never exercised a logical
+    type parquet and ORC encode differently on purpose. A crafted
+    lineitem with DECIMAL(12,2) prices (incl. the classic
+    binary-inexact 0.10/19999999.99 endpoints) must survive
+    parquet -> JVM -> ORC -> JVM with every cent intact and agree
+    with the DuckDB oracle computed from the PARQUET source."""
+    from decimal import Decimal
+
+    from catme_etl_spark.operators.formats import orc_roundtrip_revenue
+
+    rows = [
+        ("A", Decimal("0.10")),
+        ("A", Decimal("19999999.99")),
+        ("A", Decimal("0.01")),
+        ("N", Decimal("1234567.89")),
+        ("N", Decimal("0.05")),
+        ("R", Decimal("999.99")),
+    ]
+    out = str(tmp_path / "lineitem.parquet")
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice decimal(12,2)"
+    ).coalesce(1).write.parquet(out)
+
+    got = _spark_rows(orc_roundtrip_revenue(spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{out}/*.parquet'")
+    assert got == _oracle(con, "orc_roundtrip_revenue")
+    assert got == [
+        ("A", 3, 20000000.10),
+        ("N", 2, 1234567.94),
+        ("R", 1, 999.99),
+    ]
