@@ -1000,3 +1000,162 @@ def stream_bloom_index_maintenance(
         F.expr("CAST(bit_or(b) AS BIGINT)").alias("word")
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_latency_sketch_sealed",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    s1 AS (
+      SELECT user_id, sess,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             MAX(ts) AS sess_end
+      FROM islands GROUP BY user_id, sess
+    ),
+    s3 AS (
+      SELECT s1.user_id, s1.sess, s1.v, s1.sess_end,
+             MIN(CASE WHEN i.event_type = 'purchase' AND i.ts >= s1.v
+                      THEN i.ts END) AS p
+      FROM s1 JOIN islands i
+        ON i.user_id = s1.user_id AND i.sess = s1.sess
+      GROUP BY s1.user_id, s1.sess, s1.v, s1.sess_end
+    ),
+    lat AS (
+      SELECT epoch_us(p) - epoch_us(v) AS us
+      FROM s3
+      WHERE p IS NOT NULL
+        AND sess_end + INTERVAL 30 MINUTE
+            <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    ),
+    b AS (SELECT length(bin(us)) AS bl FROM lat),
+    g AS (SELECT bl, CAST(COUNT(*) AS BIGINT) AS k FROM b GROUP BY bl),
+    c AS (
+      SELECT a.bl, CAST(SUM(bb.k) AS BIGINT) AS cum
+      FROM g a JOIN g bb ON bb.bl <= a.bl
+      GROUP BY a.bl
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+    SELECT n.n AS n_converted,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MIN(CASE WHEN 2 * cum >= n.n
+                         THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                AS BIGINT) AS p50_hi_us,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n.n
+                         THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                AS BIGINT) AS p90_hi_us,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * n.n
+                         THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                AS BIGINT) AS p99_hi_us
+    FROM c, n
+    GROUP BY n.n
+    """,
+)
+def stream_latency_sketch_sealed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The log2 latency sketch maintained ON the stream (C7) — the
+    streaming arm `events_latency_log2_sketch`'s docstring promises
+    ("mergeable across days/partitions/clusters, and streamable"),
+    built the way a live conversion-latency monitor actually runs:
+    one engine-managed streaming SESSION-WINDOW aggregation (30-min
+    gap, 1-h watermark — the certified `stream_session_sealed`
+    machinery) carries per-open-session state of exactly (first view
+    ts, purchase-ts list) across micro-batches; APPEND mode emits each
+    session once, when the watermark seals it. The sealed snapshot
+    then collapses batch-side — first-view→first-subsequent-purchase
+    microseconds via one array_min(filter(...)), binary-magnitude
+    buckets via the certified `length(bin(us))` integer idiom, and
+    the p50/p90/p99 read-off over the ≤ 64-row cumulative grid.
+
+    Certified by BATCH EQUIVALENCE against the exact `_LAT_CTES`
+    pipeline restricted to watermark-sealed sessions (sess_end +
+    30 min ≤ max(ts) − 1 h) — the same seal predicate
+    `stream_session_sealed` certifies. Sessions still open at
+    end-of-stream are absent from both sides by the append-mode
+    contract.
+
+    State shape: one row per OPEN session — (timestamp, small
+    purchase-ts array); the array is bounded by purchases-per-session
+    (not stream length), and sealed sessions leave the store at
+    watermark advance. The bucket grid itself is the ≤ 64-row
+    constant the batch sketch certifies; at 100 TB the session store
+    shards by user across executors (the same keyed-state layout
+    every stateful op here assumes) while the read-off stays a
+    64-row reduction.
+
+    Reference basis: none; contract C7 streaming family — the
+    latency sibling of `stream_bloom_index_maintenance`'s
+    filter-maintenance pattern (state the stream OWNS, snapshots the
+    batch can certify)."""
+    e = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_type")
+    )
+    agg = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("v"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("purchases"),
+    )
+    sealed = _run_to_memory(agg, "append")
+    lat = (
+        sealed.filter(F.col("v").isNotNull())
+        .select(
+            F.unix_micros("v").alias("v_us"),
+            F.expr("array_min(filter(purchases, p -> p >= unix_micros(v)))")
+            .alias("p_us"),
+        )
+        .filter(F.col("p_us").isNotNull())
+        .select((F.col("p_us") - F.col("v_us")).alias("us"))
+    )
+    b = lat.select(F.length(F.bin("us")).alias("bl"))
+    g = b.groupBy("bl").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    g2 = g.select(F.col("bl").alias("bl2"), F.col("k").alias("k2"))
+    c = (
+        g.join(F.broadcast(g2), F.col("bl2") <= F.col("bl"))
+        .groupBy("bl")
+        .agg(F.sum("k2").cast("long").alias("cum"))
+    )
+    n = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), bl) - 1")
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), hi))
+            .cast("long")
+            .alias("p50_hi_us"),
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), hi))
+            .cast("long")
+            .alias("p90_hi_us"),
+            F.min(F.when(100 * F.col("cum") >= 99 * F.col("n"), hi))
+            .cast("long")
+            .alias("p99_hi_us"),
+        )
+        .select(
+            F.col("n").alias("n_converted"),
+            "n_buckets",
+            "p50_hi_us",
+            "p90_hi_us",
+            "p99_hi_us",
+        )
+    )
