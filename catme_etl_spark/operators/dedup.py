@@ -2389,3 +2389,104 @@ def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_bloom_prefilter_audit.__doc__ = dedup_bloom_prefilter_audit.__doc__.format(
     k=_BLOOM_K, m=_BLOOM_BITS, fpp="~2"
 )
+
+
+@pending_query(
+    "dedup_near_dup_conflicting_metadata",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+    meta AS (
+      SELECT d.doc_a, d.doc_b,
+             da.lang AS lang_a, db.lang AS lang_b,
+             da.source AS src_a, db.source AS src_b
+      FROM dup d
+      JOIN documents da ON da.doc_id = d.doc_a
+      JOIN documents db ON db.doc_id = d.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+           CAST(COALESCE(SUM(CASE WHEN lang_a <> lang_b THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS pairs_lang_conflict,
+           CAST(COALESCE(SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS pairs_source_conflict,
+           CAST(COALESCE(SUM(CASE WHEN lang_a <> lang_b
+                                   AND src_a <> src_b THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS pairs_both_conflict
+    FROM meta
+    """,
+)
+def dedup_near_dup_conflicting_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-duplicate pairs whose metadata disagrees — the fuzzy
+    extension of `quality_dup_conflicting_metadata` (which only sees
+    byte-identical copies): a translated-then-lightly-edited or
+    cross-posted document pair survives exact dedup, lands in the
+    SAME near-dup pair under the certified MinHash banding
+    (Jaccard ≥ 0.5, the canonical-survivor threshold used by
+    `dedup_minhash_canonical`), and if the pair disagrees on lang or
+    source the survivor rule is about to pick one label silently —
+    the label-noise channel near-dedup opens that exact dedup's
+    conflict report cannot see. One summary row: pair count and the
+    three conflict masses.
+
+    Scale shape: the pairs side is the SHARED banded-LSH pairs
+    artifact (`_minhash_pairs`, built once per session — never
+    all-pairs); metadata arrives by two id-equi-joins against the
+    narrow (doc_id, lang, source) projection, then one summary agg.
+    The 0.5 threshold compares a ratio of exact integers against a
+    binary-exact constant — no float hazard.
+
+    Reference basis: none; contract dedup/curation family (SURVEY
+    §2.10 F-rows), completing the conflict-report pair
+    (exact: `quality_dup_conflicting_metadata`, fuzzy: this)."""
+    pairs = _minhash_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    meta = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("lang").alias("lang_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+    )
+    return meta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang_a") != F.col("lang_b"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pairs_lang_conflict"),
+        F.coalesce(
+            F.sum(F.when(F.col("src_a") != F.col("src_b"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pairs_source_conflict"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_a") != F.col("lang_b"))
+                    & (F.col("src_a") != F.col("src_b")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pairs_both_conflict"),
+    )

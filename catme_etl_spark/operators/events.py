@@ -1877,3 +1877,73 @@ def events_volume_anomaly_by_type_week(
             .alias("n_anomalous_weeks"),
         )
     )
+
+
+@pending_query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS dy,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n_days, sx AS total_events,
+           CAST((1000000 * (n_days * sxx - sx * sx)) // (n_days * sx)
+                AS BIGINT) AS fano_ppm,
+           (n_days * sxx - sx * sx) > (n_days * sx) AS is_bursty
+    FROM m
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of the DAILY event-count
+    series per type — the burstiness test an ingest pipeline runs to
+    tell Poisson-like organic traffic (Fano ≈ 1) from bursty bot/batch
+    traffic (Fano ≫ 1) and from quota-capped flatlines (Fano < 1). The
+    all-integer identity Fano = (n·Σx² − (Σx)²) / (n·Σx) over exact
+    int64 daily counts makes both the ppm value and the bursty flag
+    bit-identical cross-engine (numerator ≥ 0 by Cauchy-Schwarz, so
+    floor-vs-truncate division agrees). Days are observed days
+    (a type's quiet days don't enter its own grid — the flatline
+    signal is `events_volume_anomaly_by_type_week`'s MAD-0 case).
+
+    Scale shape: one map-side-combinable (type, day) count collapse,
+    then a |types|-row moment agg — zero data-sized state after the
+    first agg. Int64 headroom: 1e6·n·Σx² stays in range for daily
+    per-type counts up to ~5e4 over a 10-year grid; past that, drop
+    the ppm scaling to per-mille (same identity).
+
+    Reference basis: none; contract ops-quality family (SURVEY
+    §2.10), the dispersion sibling of the weekly MAD monitor."""
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("dy"),
+        )
+        .groupBy("event_type", "dy")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("sx").alias("total_events"),
+        F.expr(
+            "CAST((1000000 * (n_days * sxx - sx * sx)) div (n_days * sx)"
+            " AS BIGINT)"
+        ).alias("fano_ppm"),
+        (
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            > (F.col("n_days") * F.col("sx"))
+        ).alias("is_bursty"),
+    )

@@ -1478,3 +1478,92 @@ def quality_dup_conflicting_metadata(
         .cast("long")
         .alias("docs_lang_conflict"),
     )
+
+
+@pending_query(
+    "quality_split_balance_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_BKT_SQL} < 80 THEN 'train'
+                  WHEN {_SPLIT_BKT_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tagged GROUP BY lang, split
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+      FROM g GROUP BY lang
+    )
+    SELECT g.lang, g.split, g.n_docs,
+           CAST((1000000 * g.n_docs) // tot.lang_total AS BIGINT)
+             AS share_ppm,
+           CAST(CASE g.split WHEN 'train' THEN 800000
+                             WHEN 'val' THEN 100000
+                             ELSE 100000 END AS BIGINT) AS expected_ppm,
+           CAST(ABS((1000000 * g.n_docs) // tot.lang_total
+                    - CASE g.split WHEN 'train' THEN 800000
+                                   WHEN 'val' THEN 100000
+                                   ELSE 100000 END) AS BIGINT)
+             AS abs_dev_ppm
+    FROM g JOIN tot USING (lang)
+    """,
+)
+def quality_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the deterministic 80/10/10 content-hash split BALANCED within
+    every language? — the stratification audit a release runs before
+    trusting per-language eval numbers: the split rule hashes doc_id
+    (not lang), so per-language proportions are only statistically
+    80/10/10, and a language with few documents can land with an empty
+    or bloated eval slice that silently distorts its metrics. One row
+    per (lang, split) with the exact ppm share, the expected ppm, and
+    the absolute deviation — a release gate thresholds max(abs_dev_ppm)
+    per language against its doc count.
+
+    The split is the SAME md5-bucket rule `sample_train_val_test` and
+    `pipeline_train_decontamination` certify, so this audit certifies
+    the published convention's balance, not a reimplementation's.
+
+    Scale shape: one map-side-combinable (lang, split) count, a
+    |langs|-row rollup, one broadcast-sized join back — no data-sized
+    state after the first agg.
+
+    Reference basis: none; contract training-data-pipeline family
+    (SURVEY §2.10), the stratification sibling of
+    `quality_split_leakage_audit` (content leaks) and
+    `pipeline_train_decontamination` (n-gram leaks)."""
+    from .sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise(F.lit("test"))
+    )
+    g = (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = g.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("lang_total")
+    )
+    expected = (
+        F.when(F.col("split") == "train", 800000)
+        .otherwise(100000)
+        .cast("long")
+    )
+    j = g.join(F.broadcast(tot), "lang").withColumn(
+        "share_ppm",
+        F.expr("CAST((1000000 * n_docs) div lang_total AS BIGINT)"),
+    )
+    return j.select(
+        "lang",
+        "split",
+        "n_docs",
+        "share_ppm",
+        expected.alias("expected_ppm"),
+        F.abs(F.col("share_ppm") - expected).cast("long").alias("abs_dev_ppm"),
+    )

@@ -956,3 +956,73 @@ def sample_quality_weighted_budget(
         )
         .orderBy("source")
     )
+
+
+@pending_query(
+    "sample_importance_weights_ppm",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ),
+    t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    )
+    SELECT g.lang, g.n_docs,
+           CAST((1000000 * t.total) // (t.k * g.n_docs) AS BIGINT)
+             AS weight_ppm,
+           CAST(g.n_docs * ((1000000 * t.total) // (t.k * g.n_docs))
+                AS BIGINT) AS class_mass_ppm
+    FROM g, t
+    """,
+)
+def sample_importance_weights_ppm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class importance weights that rebalance the corpus to a
+    uniform language mix WITHOUT moving a single row — the
+    loss-weighting alternative to `sample_balanced_labels`'
+    undersampling (which discards majority-class documents) and
+    `sample_quality_weighted_budget`'s quota allocation (which
+    reassigns token budget): each document of class c trains with
+    weight total/(k·n_c), so every class contributes equal expected
+    mass while the data pipeline itself stays untouched — the
+    standard inverse-frequency scheme every imbalanced-training setup
+    ships. Weights are exact integer ppm (1e6 = weight 1.0);
+    class_mass_ppm = n_c·w_c exposes the floor-rounding loss per
+    class (≤ n_c ppm), so conservation is auditable rather than
+    assumed.
+
+    Scale shape: one map-side-combinable class count, a 1-row total,
+    one broadcast cross join — |classes| output rows, nothing
+    data-sized past the first agg; the weights table broadcasts to
+    the training-export join at any corpus size.
+
+    Reference basis: none; contract training-data-pipeline family
+    (SURVEY §2.10)."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    t = g.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn(
+            "weight_ppm",
+            F.expr("CAST((1000000 * total) div (k * n_docs) AS BIGINT)"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "weight_ppm",
+            (F.col("n_docs") * F.col("weight_ppm"))
+            .cast("long")
+            .alias("class_mass_ppm"),
+        )
+    )

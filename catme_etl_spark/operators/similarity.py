@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.texttools import hex_prefix_long, sql_hex_long
 from ..functions.vector import SQL_NORM, make_cosine_pandas_udf, sql_cosine
 from ..sources.tables import load_table
 from ._shared import (
@@ -2896,5 +2897,293 @@ def sim_pq_trained_recall_clustered(
                 >= F.col("_n_s")
                 - _CLUSTERED_STRIDE_MARGIN * F.col("_n_truth")
             ).alias("beats_stride_ok"),
+        )
+    )
+
+
+# --- relational planted-cluster corpus (round-9 queue) ----------------------
+# The SQL-expressible sibling of `_clustered_matrix`: cluster c's
+# centroid is the MIN-vec_id member of c (rank-free, so both engines
+# derive it with one groupBy instead of a global sort), assignment is
+# the 56-bit md5 slice mod NC, and the 75/25 mix + int8 quantization
+# are the same IEEE-exact double ops the certified int8 audits use —
+# the whole clustered corpus reproduces BIT-IDENTICALLY in DuckDB, so
+# recall on it certifies as a VALUE, not a bounds-form boolean.
+_CLV_SQL_CTES = f"""
+    nct AS (
+      SELECT GREATEST(16, COUNT(*) // {CLUSTER_MEMBERS}) AS nc
+      FROM embeddings
+    ),
+    asg0 AS (
+      SELECT vec_id, embedding,
+             ({sql_hex_long("md5(CAST(vec_id AS VARCHAR))", 14, 1)}) % nc
+               AS cl
+      FROM embeddings, nct
+    ),
+    cmin AS (SELECT cl, MIN(vec_id) AS cvid FROM asg0 GROUP BY cl),
+    cvec AS (
+      SELECT m.cl, a.embedding AS ce
+      FROM cmin m JOIN asg0 a ON a.vec_id = m.cvid
+    ),
+    clv AS (
+      SELECT a.vec_id,
+             list_transform(range(len(a.embedding)), j ->
+               0.75 * CAST(c.ce[j+1] AS DOUBLE)
+               + 0.25 * CAST(a.embedding[j+1] AS DOUBLE)) AS emb
+      FROM asg0 a JOIN cvec c USING (cl)
+    ),
+    mx AS (
+      SELECT MAX(list_max(list_transform(emb, v -> abs(v)))) AS max_abs
+      FROM clv
+    ),
+    qc AS (
+      SELECT vec_id,
+             list_transform(emb, v ->
+               CAST(GREATEST(-127.0, LEAST(127.0,
+                 floor(v * 127.0 / max_abs + 0.5))) AS BIGINT)) AS qv
+      FROM clv, mx
+    )
+"""
+
+
+@pending_query(
+    "sim_ivf_recall_clustered",
+    oracle=f"""
+    WITH {_CLV_SQL_CTES},
+    cent AS (
+      SELECT vec_id AS cid, qv AS cqv FROM qc
+      WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    panel AS (
+      SELECT vec_id, qv FROM (
+        SELECT vec_id, qv,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr
+        FROM qc
+      ) WHERE pr <= {PQ_PANEL_N}
+    ),
+    adist AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(len(q.qv)), j ->
+               (q.qv[j+1] - c.cqv[j+1]) * (q.qv[j+1] - c.cqv[j+1])))
+             AS BIGINT) AS d
+      FROM qc q, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM adist
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM adist
+      ) a JOIN panel p ON p.vec_id = a.vec_id
+      WHERE a.rn <= {NPROBE}
+    ),
+    icand AS (
+      SELECT pr.query_id, asg.vec_id AS neighbor_id
+      FROM probes pr JOIN assign asg ON asg.cid = pr.cid
+      WHERE asg.vec_id <> pr.query_id
+    ),
+    iscored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(len(qa.qv)), j ->
+               (qa.qv[j+1] - qb.qv[j+1]) * (qa.qv[j+1] - qb.qv[j+1])))
+             AS BIGINT) AS d
+      FROM icand c
+      JOIN qc qa ON qa.vec_id = c.query_id
+      JOIN qc qb ON qb.vec_id = c.neighbor_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d, neighbor_id) AS rank
+        FROM iscored
+      ) WHERE rank <= {TOP_K}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM panel p JOIN qc b ON b.vec_id <> p.vec_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM brute)
+             AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM brute) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf JOIN brute
+              USING (query_id, neighbor_id)) AS n_hits,
+           floor((CAST((SELECT COUNT(*) FROM ivf JOIN brute
+                          USING (query_id, neighbor_id)) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM brute)) * 1000000 + 0.5)
+             / 1000000 AS recall_at_{TOP_K}
+    """,
+)
+def sim_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT VALUE-certified recall@{TOP_K} of the stride-centroid IVF
+    tier on a PLANTED-CLUSTER corpus — the strongest form of the
+    round-8 verdict's "ANN on clustered embeddings" ask: where
+    `sim_pq_trained_recall_clustered` certifies bounds-form booleans
+    (its float k-means isn't SQL-reproducible), THIS tier's whole
+    pipeline — md5-slice cluster assignment, min-member centroids, the
+    75/25 IEEE-double mix, int8 quantization, integer-L2 assignment /
+    {NPROBE}-probe search / exact truth — reproduces bit-identically
+    in SQL, so the recall lands in the hash like any other value. The
+    cluster plant here is rank-free (centroid = min-vec_id member of
+    each md5 cluster) precisely so a relational engine derives it with
+    one groupBy; queries are the fixed {PQ_PANEL_N}-vector md5-order
+    panel, keeping the exact-truth side O(panel·corpus).
+
+    Scale shape: pure JVM DataFrame plan (no python workers): the
+    NC-row centroid/cluster tables broadcast; assignment is a
+    broadcast nested-loop over |corpus| × |centroids| (centroids =
+    corpus/{CENTROID_STRIDE} — the bounded BNL the IVF family
+    documents); candidate scoring is the inverted-list equi-join on
+    cid; the brute truth is panel-bounded. Windows partition by
+    vec_id/query_id — per-key groups, never a global sort.
+
+    Reference basis: none; contract F10/F14 ANN audit family."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nct = emb.agg(
+        F.greatest(
+            F.lit(16), (F.count(F.lit(1)) / CLUSTER_MEMBERS).cast("long")
+        ).alias("nc")
+    )
+    asg0 = emb.crossJoin(F.broadcast(nct)).select(
+        "vec_id",
+        "embedding",
+        (hex_prefix_long(F.md5(F.col("vec_id").cast("string")), 14, 1)
+         % F.col("nc")).alias("cl"),
+    )
+    cmin = asg0.groupBy("cl").agg(F.min("vec_id").alias("cvid"))
+    cvec = (
+        F.broadcast(cmin)
+        .join(asg0.select(F.col("vec_id").alias("cvid"),
+                          F.col("embedding").alias("ce")), "cvid")
+        .select("cl", "ce")
+    )
+    clv = asg0.join(F.broadcast(cvec), "cl").select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1), j ->"
+            " 0.75 * CAST(element_at(ce, j + 1) AS DOUBLE)"
+            " + 0.25 * CAST(element_at(embedding, j + 1) AS DOUBLE))"
+        ).alias("emb"),
+    )
+    mx = clv.agg(
+        F.max(F.expr("array_max(transform(emb, v -> abs(v)))")).alias(
+            "max_abs"
+        )
+    )
+    qc = clv.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        F.expr(
+            "transform(emb, v -> CAST(GREATEST(-127.0D, LEAST(127.0D,"
+            " floor(v * 127.0 / max_abs + 0.5))) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cent = qc.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    panel = (
+        qc.withColumn("_pk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_pk", "vec_id")
+        .limit(PQ_PANEL_N)
+        .drop("_pk")
+    )
+    l2 = (
+        "CAST(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v) AS BIGINT)"
+    )
+    from pyspark.sql import Window
+
+    adist = qc.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.expr(l2.format(a="qv", b="cqv")).alias("d")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d", "cid")
+    ranked = adist.withColumn("rn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter(F.col("rn") <= NPROBE)
+        .join(panel.select("vec_id"), "vec_id")
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    icand = (
+        probes.join(
+            assign.select(F.col("cid"), F.col("vec_id").alias("neighbor_id")),
+            "cid",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    iscored = (
+        icand.join(
+            qc.select(F.col("vec_id").alias("query_id"),
+                      F.col("qv").alias("qa")),
+            "query_id",
+        )
+        .join(
+            qc.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("qv").alias("qb")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(l2.format(a="qa", b="qb")).alias("d"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    ivf = (
+        iscored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    brute_scored = (
+        panel.select(F.col("vec_id").alias("query_id"),
+                     F.col("qv").alias("qa"))
+        .join(
+            qc.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("qv").alias("qb")),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(l2.format(a="qa", b="qb")).alias("d"),
+        )
+    )
+    brute = (
+        brute_scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = ivf.join(brute, ["query_id", "neighbor_id"])
+    return (
+        brute.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            (
+                F.floor(
+                    (F.col("n_hits").cast("double") / F.col("n_truth"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias(f"recall_at_{TOP_K}"),
         )
     )

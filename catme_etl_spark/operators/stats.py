@@ -1642,3 +1642,158 @@ def agg_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("ci95_hi"),
     )
+
+
+_BOOT_N = 500  # fixed md5-order sample panel (O(N·B) at any scale)
+_BOOT_B = 32   # resamples; CI reads ranks 2 and B-1 (~93.75% coverage)
+
+
+@pending_query(
+    "stats_bootstrap_ci_md5",
+    oracle=f"""
+    WITH panel AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vc,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rk
+      FROM orders
+      QUALIFY rk <= {_BOOT_N}
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM panel),
+    draws AS (
+      SELECT b.b,
+             1 + ({sql_hex_long(
+                 "md5(CAST(b.b AS VARCHAR) || '_' || CAST(i.i AS VARCHAR))",
+                 14, 1)}) % np.n AS rk
+      FROM range({_BOOT_B}) b(b), range({_BOOT_N}) i(i), np
+      WHERE i.i < np.n
+    ),
+    means AS (
+      SELECT d.b,
+             (1000000 * CAST(SUM(p.vc) AS BIGINT)) // MAX(np.n)
+               AS mean_ucents
+      FROM draws d JOIN panel p USING (rk), np
+      GROUP BY d.b
+    ),
+    ranked AS (
+      SELECT mean_ucents,
+             ROW_NUMBER() OVER (ORDER BY mean_ucents, b) AS mr
+      FROM means
+    )
+    SELECT np.n AS n_sample,
+           CAST({_BOOT_B} AS BIGINT) AS b_resamples,
+           (SELECT (1000000 * CAST(SUM(vc) AS BIGINT)) // MAX(np2.n)
+              FROM panel, np np2) AS point_mean_ucents,
+           (SELECT mean_ucents FROM ranked WHERE mr = 2) AS ci_lo_ucents,
+           (SELECT mean_ucents FROM ranked WHERE mr = {_BOOT_B - 1})
+             AS ci_hi_ucents
+    FROM np
+    """,
+)
+def stats_bootstrap_ci_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BOOTSTRAP confidence interval for mean order value
+    — the resampling sibling of `agg_jackknife_mean_se`: {_BOOT_B}
+    with-replacement resamples whose every draw is a pure md5 function
+    of (resample, position), so the "random" bootstrap is bit-identical
+    on every engine, re-run, and cluster size — the same derandomized-
+    audit discipline as the md5 query panels. Resampling runs over a
+    FIXED {_BOOT_N}-order panel in md5(o_orderkey) order (the
+    `sim_pq_recall_sampled_panel` sizing rule), so total work is
+    O(N·B) regardless of table size. Means are exact integer
+    micro-cents (floor of 1e6·Σ/n over exact cents); the interval is
+    the rank-2 / rank-{_BOOT_B - 1} resample means (~93.75% coverage
+    at B={_BOOT_B}) — a rank read-off, no interpolation rule to
+    disagree cross-engine.
+
+    Scale shape: one TakeOrderedAndProject builds the panel
+    (O(table) scan, {_BOOT_N} rows out); the {_BOOT_B}×{_BOOT_N} draw
+    grid is generated, not stored, and equi-joins the broadcast panel
+    on rank; everything after is ≤ {_BOOT_B}-row arithmetic. The two
+    tiny windows (panel rank, mean rank) run over {_BOOT_N}- and
+    {_BOOT_B}-row bounded inputs by construction.
+
+    Reference basis: none; contract statistics family (SURVEY §2.10
+    A-row extension), beside the jackknife (delete-one, SE form) and
+    the Welch/MW tests."""
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("vc"), "o_orderkey"
+    )
+    panel = (
+        o.withColumn("_pk", F.md5(F.col("o_orderkey").cast("string")))
+        .orderBy("_pk", "o_orderkey")
+        .limit(_BOOT_N)
+        .select(
+            "vc",
+            F.row_number()
+            .over(Window.orderBy("_pk", "o_orderkey"))
+            .alias("rk"),
+        )
+    )
+    np_ = panel.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        spark.range(_BOOT_B)
+        .withColumnRenamed("id", "b")
+        .crossJoin(spark.range(_BOOT_N).withColumnRenamed("id", "i"))
+        .crossJoin(F.broadcast(np_))
+        .filter(F.col("i") < F.col("n"))
+    )
+    draws = grid.select(
+        "b",
+        (
+            1
+            + hex_prefix_long(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.col("b").cast("string"), F.col("i").cast("string")
+                    )
+                ),
+                14,
+                1,
+            )
+            % F.col("n")
+        ).alias("rk"),
+    )
+    means = (
+        draws.join(F.broadcast(panel), "rk")
+        .crossJoin(F.broadcast(np_))
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "CAST((1000000 * sum(vc)) div max(n) AS BIGINT)"
+            ).alias("mean_ucents")
+        )
+    )
+    ranked = means.select(
+        "mean_ucents",
+        F.row_number().over(Window.orderBy("mean_ucents", "b")).alias("mr"),
+    )
+    point = panel.crossJoin(F.broadcast(np_)).agg(
+        F.expr("CAST((1000000 * sum(vc)) div max(n) AS BIGINT)").alias(
+            "point_mean_ucents"
+        )
+    )
+    return (
+        np_.select(F.col("n").alias("n_sample"))
+        .crossJoin(F.broadcast(point))
+        .crossJoin(
+            F.broadcast(
+                ranked.filter(F.col("mr") == 2).select(
+                    F.col("mean_ucents").alias("ci_lo_ucents")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ranked.filter(F.col("mr") == _BOOT_B - 1).select(
+                    F.col("mean_ucents").alias("ci_hi_ucents")
+                )
+            )
+        )
+        .select(
+            "n_sample",
+            F.lit(_BOOT_B).cast("long").alias("b_resamples"),
+            "point_mean_ucents",
+            "ci_lo_ucents",
+            "ci_hi_ucents",
+        )
+    )

@@ -1862,3 +1862,77 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(js * 1000000 + F.lit(0.5)) / 1000000).alias("js_nats"),
     )
+
+
+@pending_query(
+    "text_hapax_ratio_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY source, tok
+    ),
+    m AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT)  AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM c GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_ppm,
+           CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm
+    FROM m
+    """,
+)
+def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon share and type-token ratio per source — the two
+    classic lexical-richness numbers a corpus curator reads next to
+    the diversity/length correlation: a template-stamped source shows
+    a collapsing hapax share (every "rare" word repeats across stamps)
+    while scraped natural text holds hapax near half its vocabulary
+    (Zipf's tail); TTR falls with volume for organic text but stays
+    frozen for boilerplate. Both emerge as exact integer ppm from one
+    (source, token) count table — no floats anywhere.
+
+    Scale shape: one tokenize+explode (narrow), one map-side-
+    combinable (source, token) count shuffle — the same profile as
+    the certified top-tokens/vocab ops — then a |sources|-row moment
+    agg. At 100 TB the (source, token) table is the reusable artifact
+    every lexical op shares.
+
+    Reference basis: none; contract text-analysis family (SURVEY
+    §2.10), beside `text_diversity_length_corr` (per-doc diversity)
+    and `text_vocab_growth_heaps` (corpus-level vocabulary growth)."""
+    from ._shared import fan_out
+
+    t = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    c = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return m.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("CAST((1000000 * n_hapax) div n_types AS BIGINT)").alias(
+            "hapax_ppm"
+        ),
+        F.expr("CAST((1000000 * n_types) div n_tokens AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+    )

@@ -1159,3 +1159,280 @@ def stream_latency_sketch_sealed(
             "p99_hi_us",
         )
     )
+
+
+def _minhash_band_cols():
+    """Row-wise (no-explode) minhash band computation for streaming:
+    the batch path aggregates per-doc mins over an exploded shingle
+    table (two stateful steps — illegal in one streaming query), but
+    the signature is a pure per-ROW function of the text, so the
+    stream computes shingles → 56-bit hashes → 32 seeded mins →
+    8 band keys entirely inside higher-order array expressions and
+    leaves only ONE stateful agg (the index fold) for the engine.
+    Returns (shingle_count_col, band_keys_array_col) computing the
+    exact values of `_minhash_signatures`/`_minhash_bands`."""
+    from ..functions.texttools import MINHASH_P, minhash_constants
+    from ..operators.dedup import _BAND_ROWS, _N_SEEDS
+
+    shingles = (
+        "array_distinct(regexp_extract_all(text,"
+        " '(?=(?:^| )(\\\\S+ \\\\S+ \\\\S+))', 1))"
+    )
+    xs = (
+        f"transform({shingles}, g ->"
+        f" CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT)"
+        f" % {MINHASH_P}L)"
+    )
+    consts = minhash_constants(_N_SEEDS)
+    mins = [
+        f"array_min(transform(_xs, x -> ({a}L * x + {b}L) % {MINHASH_P}L))"
+        for (a, b) in consts
+    ]
+    bkeys = []
+    for b in range(_N_SEEDS // _BAND_ROWS):
+        parts = ", ".join(
+            f"CAST(_h{b * _BAND_ROWS + r} AS STRING)" for r in range(_BAND_ROWS)
+        )
+        bkeys.append(f"concat_ws(',', {parts})")
+    return xs, mins, f"array({', '.join(bkeys)})"
+
+
+from ..operators.dedup import _MINHASH_BANDS_CTES as _MH_BANDS_CTES  # noqa: E402
+
+_STREAM_MINHASH_ORACLE = f"""
+    WITH {_MH_BANDS_CTES}
+    SELECT band, bkey,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM bands GROUP BY band, bkey
+    """
+
+
+@pending_query(
+    "stream_minhash_band_index",
+    oracle=_STREAM_MINHASH_ORACLE,
+)
+def stream_minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash LSH index maintained BY the stream (C7) —
+    the near-dup sibling of `stream_bloom_index_maintenance`: corpus
+    documents arrive as micro-batches, each doc's 32-seed signature
+    and 8 band keys are computed ROW-WISE inside array expressions
+    (shingle → md5 → Carter-Wegman mins — no explode, no per-doc
+    aggregation state), and the only stateful step is the index fold:
+    a streaming groupBy(band, bkey) maintaining (n_docs, canonical =
+    min doc_id) per bucket. COUNT and MIN are both
+    commutative/associative merges, so out-of-order micro-batches
+    cannot corrupt a bucket, and the complete-mode snapshot is
+    certified row-for-row equal to the batch `_minhash_bands` index
+    aggregated the same way — an ingest stream and the nightly batch
+    build can hand the LSH index to each other at any boundary
+    (probing it is `dedup_minhash_incremental`'s certified job).
+
+    State shape: one (count, min) row per DISTINCT (band, bucket) —
+    the state IS the index, growing with corpus vocabulary, sharded
+    by bucket key across executors; per-row signature work is
+    stateless and scales out embarrassingly. Docs with < 3 tokens
+    produce no shingles and are excluded on both engines (they carry
+    no banding signal; exact dedup owns them).
+
+    Reference basis: none; contract C7 streaming family + F9 LSH."""
+    xs, mins, bkeys = _minhash_band_cols()
+    docs = _stream_docs(spark, sf_dir).select("doc_id", "text")
+    d = docs.withColumn("_xs", F.expr(xs)).filter(F.expr("size(_xs) > 0"))
+    for s, m in enumerate(mins):
+        d = d.withColumn(f"_h{s}", F.expr(m))
+    d = d.select("doc_id", F.posexplode(F.expr(bkeys)).alias("band", "bkey"))
+    agg = d.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@pending_query(
+    "stream_volume_anomaly_weekly",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS k
+      FROM w
+    ),
+    med AS (
+      SELECT event_type, CAST(MIN(n) AS BIGINT) AS m
+      FROM ranked WHERE 2 * rk >= k GROUP BY event_type
+    ),
+    dev AS (
+      SELECT w.event_type, w.n, ABS(w.n - med.m) AS d, med.m
+      FROM w JOIN med USING (event_type)
+    ),
+    dranked AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS k
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, CAST(MIN(d) AS BIGINT) AS mad
+      FROM dranked WHERE 2 * rk >= k GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_weeks,
+           CAST(MAX(dev.m) AS BIGINT) AS median_weekly,
+           CAST(MAX(mad.mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN 10000 * dev.d > 44478 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_weeks
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def stream_volume_anomaly_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The weekly ingest-volume MAD alarm fed BY the stream (C7) —
+    the streaming arm of this round's `events_volume_anomaly_by_type_
+    week` debut, the `stream_drift_gate` split of labor: the STREAM
+    maintains only the compact mergeable state (one engine-managed
+    count per (event_type, 7-day tumbling window) — Spark's epoch-
+    anchored windows land on exactly the batch op's
+    `epoch_us // 604800000000` buckets), and the robust verdict
+    (lower-median/MAD grid walks, the all-integer 10000·d > 44478·mad
+    threshold) runs batch-side on the complete-mode snapshot. Output
+    certified row-for-row equal to the batch monitor — the alarm a
+    live collector actually runs, handing the nightly batch the same
+    numbers at any boundary.
+
+    State shape: |types| × |weeks| counts — bounded by calendar ×
+    type cardinality, not stream volume; counts merge map-side per
+    micro-batch. The MAD walk costs two keyed windows over that
+    constant-size grid per evaluation.
+
+    Reference basis: none; contract C7 streaming family."""
+    from pyspark.sql import Window
+
+    e = _stream_events(spark, sf_dir)
+    agg = e.groupBy(
+        "event_type", F.window("ts", "7 days").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = _run_to_memory(agg, "complete").select("event_type", "n")
+
+    def lower_median(df, col, out):
+        wr = Window.partitionBy("event_type").orderBy(col)
+        wk_ = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(wr))
+            .withColumn("k", F.count(F.lit(1)).over(wk_))
+            .filter(2 * F.col("rk") >= F.col("k"))
+            .groupBy("event_type")
+            .agg(F.min(col).cast("long").alias(out))
+        )
+
+    med = lower_median(snap, "n", "m")
+    dev = snap.join(med, "event_type").select(
+        "event_type", "n", "m", F.abs(F.col("n") - F.col("m")).alias("d")
+    )
+    mad = lower_median(dev, "d", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.max("m").cast("long").alias("median_weekly"),
+            F.max("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(
+                    10000 * F.col("d") > 44478 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalous_weeks"),
+        )
+    )
+
+
+@pending_query(
+    "stream_concurrency_by_hour",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    g AS (
+      SELECT user_id,
+             epoch_us(MIN(ts)) // 3600000000 AS h1,
+             epoch_us(MAX(ts)) // 3600000000 AS h2,
+             MAX(ts) AS sess_end
+      FROM islands GROUP BY user_id, sess
+    ),
+    sealed AS (
+      SELECT * FROM g
+      WHERE sess_end + INTERVAL 30 MINUTE
+            <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    ),
+    covered AS (
+      SELECT user_id, unnest(range(h1, h2 + 1)) AS h FROM sealed
+    )
+    SELECT CAST(h * 3600000000 AS BIGINT)        AS hour_start_us,
+           CAST(COUNT(*) AS BIGINT)              AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM covered GROUP BY h
+    """,
+)
+def stream_concurrency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly session-concurrency curve maintained ON the stream
+    (C7) — the streaming arm of `events_concurrency_by_hour`, built
+    from the certified `stream_session_sealed` machinery: one
+    engine-managed session-window aggregation (30-min gap, 1-h
+    watermark) seals each session once in APPEND mode; the sealed
+    snapshot expands batch-side to covered hours (session_window.end
+    is last-event + gap, so last-event hour = end − 30 min) and
+    aggregates sessions + distinct users per hour. Certified by batch
+    equivalence against the gaps-and-islands sessionization under the
+    same watermark seal predicate — the capacity dashboard a live
+    platform reads, minus only the sessions still open at the query
+    instant (absent from both sides by the append contract).
+
+    State shape: one (start, end, count) row per OPEN session —
+    sealed sessions leave the store as the watermark advances; the
+    hour expansion is a bounded explode over sealed rows only.
+
+    Reference basis: none; contract C5/C7 streaming family."""
+    e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sealed = _run_to_memory(agg, "append")
+    covered = sealed.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr("unix_micros(w.start) div 3600000000"),
+                F.expr(
+                    "unix_micros(w.end - INTERVAL 30 MINUTES) div 3600000000"
+                ),
+            )
+        ).alias("h"),
+    )
+    return covered.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    ).select(
+        (F.col("h") * 3600000000).cast("long").alias("hour_start_us"),
+        "n_sessions",
+        "n_users",
+    )
