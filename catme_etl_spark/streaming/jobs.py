@@ -1332,13 +1332,23 @@ def stream_volume_anomaly_weekly(
             .agg(F.min(col).cast("long").alias(out))
         )
 
-    med = lower_median(snap, "n", "m")
-    dev = snap.join(med, "event_type").select(
+    # both sides of each join descend from the same memory-sink view,
+    # so rename the right side's key (the `_build_minhash_pairs`
+    # same-lineage self-join rule) instead of joining on the shared
+    # attribute id
+    med = lower_median(snap, "n", "m").withColumnRenamed(
+        "event_type", "et_med"
+    )
+    dev = snap.join(
+        med, F.col("event_type") == F.col("et_med")
+    ).select(
         "event_type", "n", "m", F.abs(F.col("n") - F.col("m")).alias("d")
     )
-    mad = lower_median(dev, "d", "mad")
+    mad = lower_median(dev, "d", "mad").withColumnRenamed(
+        "event_type", "et_mad"
+    )
     return (
-        dev.join(mad, "event_type")
+        dev.join(mad, F.col("event_type") == F.col("et_mad"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_weeks"),

@@ -81,6 +81,20 @@ def test_pending_queue_discipline():
     assert set(PENDING_ORACLE) & set(ORACLE) == set()
     for name, fn in PENDING.items():
         assert callable(fn), name
+    # the staged round-10 debut queue, pinned by name (evidence:
+    # PENDING_CHECK_r09.txt, tests/test_round10_pending.py)
+    assert set(PENDING) == {
+        "dedup_near_dup_conflicting_metadata",
+        "events_burstiness_fano",
+        "quality_split_balance_audit",
+        "sample_importance_weights_ppm",
+        "sim_ivf_recall_clustered",
+        "stats_bootstrap_ci_md5",
+        "stream_concurrency_by_hour",
+        "stream_minhash_band_index",
+        "stream_volume_anomaly_weekly",
+        "text_hapax_ratio_by_source",
+    }
 
 
 def test_max_staleness_bound():
