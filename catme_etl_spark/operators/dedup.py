@@ -2490,3 +2490,110 @@ def dedup_near_dup_conflicting_metadata(
         .cast("long")
         .alias("pairs_both_conflict"),
     )
+
+
+_SPLIT_CASE_SQL = (
+    "CASE WHEN (" + sql_hex_long("md5(CAST({col} AS VARCHAR))", 14, 1)
+    + " % 100) < 80 THEN 'train' WHEN ("
+    + sql_hex_long("md5(CAST({col} AS VARCHAR))", 14, 1)
+    + " % 100) < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@pending_query(
+    "quality_split_leakage_near_dup",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+    tagged AS (
+      SELECT d.doc_a, d.doc_b,
+             {_SPLIT_CASE_SQL.format(col="d.doc_a")} AS split_a,
+             {_SPLIT_CASE_SQL.format(col="d.doc_b")} AS split_b
+      FROM dup d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+           CAST(COALESCE(SUM(CASE WHEN split_a <> split_b
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS pairs_cross_split,
+           CAST(COALESCE(SUM(CASE WHEN (split_a = 'train')
+                                   <> (split_b = 'train')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS pairs_train_eval,
+           CAST(COUNT(DISTINCT CASE
+                  WHEN split_a = 'train' AND split_b <> 'train' THEN doc_a
+                  WHEN split_b = 'train' AND split_a <> 'train' THEN doc_b
+                END) AS BIGINT) AS n_train_docs_leaked
+    FROM tagged
+    """,
+)
+def quality_split_leakage_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-duplicate leakage ACROSS the train/val/test boundary — the
+    third and fuzziest tier of the split-hygiene family:
+    `quality_split_leakage_audit` counts template-level leaks,
+    `pipeline_train_decontamination` scrubs exact {8}-gram overlaps,
+    and THIS audit counts whole-document near-duplicates (certified
+    MinHash banding, Jaccard ≥ 0.5) that straddle splits — the
+    lightly-paraphrased eval document whose training twin survives
+    both earlier tiers and quietly inflates benchmark numbers.
+    `n_train_docs_leaked` is the actionable output: the training
+    documents a release would drop (or re-split) before reporting
+    eval metrics.
+
+    Scale shape: the pairs side is the SHARED banded-LSH artifact
+    (`_minhash_pairs`, one session build — never all-pairs); split
+    tags are the same md5-bucket rule every split op certifies,
+    computed inline from the pair ids (no documents re-scan); one
+    summary agg. At 100 TB this reads the materialized pairs table
+    and costs one pass over |near-dup pairs|.
+
+    Reference basis: none; contract training-data-pipeline family
+    (SURVEY §2.10)."""
+    from .sampling import hash_bucket
+
+    pairs = _minhash_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+
+    def split_of(col):
+        b = hash_bucket(F.col(col), 100)
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise(F.lit("test"))
+        )
+
+    tagged = pairs.select(
+        "doc_a",
+        "doc_b",
+        split_of("doc_a").alias("split_a"),
+        split_of("doc_b").alias("split_b"),
+    )
+    leaked_doc = F.when(
+        (F.col("split_a") == "train") & (F.col("split_b") != "train"),
+        F.col("doc_a"),
+    ).when(
+        (F.col("split_b") == "train") & (F.col("split_a") != "train"),
+        F.col("doc_b"),
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pairs_cross_split"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("split_a") == "train")
+                    != (F.col("split_b") == "train"),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pairs_train_eval"),
+        F.count_distinct(leaked_doc).cast("long").alias("n_train_docs_leaked"),
+    )

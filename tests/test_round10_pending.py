@@ -318,3 +318,34 @@ def test_ivf_clustered_single_centroid_perfect_recall(spark, tmp_path):
     con = _con("embeddings", out)
     assert got == _oracle(con, "sim_ivf_recall_clustered")
     assert got == [(8, 40, 40, 1.0)]
+
+
+def test_near_dup_split_leakage_known_buckets(spark, tmp_path):
+    """doc_ids 1,2,3 hash into the train buckets and 9 into test (the
+    pinned md5 buckets from the decontamination tests): an identical
+    pair (1, 9) is a train-eval leak exposing doc 1; pair (2, 3) is
+    train-train — a near-dup pair but not a leak."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import quality_split_leakage_near_dup
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta"
+    tb = "one two three four five six seven eight nine"
+    docs = [
+        (1, ta, "en", "s", 8),
+        (9, ta, "en", "s", 8),
+        (2, tb, "en", "s", 9),
+        (3, tb, "en", "s", 9),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(out)
+    clear_shared()
+    try:
+        got = _spark_rows(quality_split_leakage_near_dup(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "quality_split_leakage_near_dup")
+    assert got == [(2, 1, 1, 1)]
