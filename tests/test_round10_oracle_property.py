@@ -239,3 +239,152 @@ def test_bootstrap_oracle_equals_md5_mirror(cents_list):
     point = (1_000_000 * sum(panel)) // n
     expect = [(n, 32, point, ranked[1], ranked[30])]
     assert got == expect
+
+
+# --- streaming minhash band index (python third implementation) --------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["red", "blue", "green", "ox", "fox", "hen", "owl"]),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs_strategy)
+def test_minhash_band_oracle_equals_python_mirror(docs):
+    """Recompute the band index in pure Python (hashlib md5 + the
+    Carter-Wegman constants) and compare to the DuckDB oracle —
+    including docs with < 3 tokens, which must vanish on both sides."""
+    from catme_etl_spark.functions.texttools import (
+        MINHASH_P,
+        minhash_constants,
+    )
+    from catme_etl_spark.operators.dedup import _BAND_ROWS, _N_SEEDS
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": [" ".join(d) for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [1] * len(docs),
+        }
+    )
+    got = _oracle_rows("stream_minhash_band_index", documents=df)
+
+    consts = minhash_constants(_N_SEEDS)
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for doc_id, toks in enumerate(docs, start=1):
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if not sh:
+            continue
+        xs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:14], 16) % MINHASH_P
+            for g in sh
+        ]
+        sig = [min((a * x + b) % MINHASH_P for x in xs) for a, b in consts]
+        for band in range(_N_SEEDS // _BAND_ROWS):
+            bkey = ",".join(
+                str(sig[band * _BAND_ROWS + r]) for r in range(_BAND_ROWS)
+            )
+            buckets[(band, bkey)].append(doc_id)
+    expect = sorted(
+        (band, bkey, len(ids), min(ids))
+        for (band, bkey), ids in buckets.items()
+    )
+    assert got == expect
+
+
+# --- sealed-session latency sketch (python third implementation) -------------
+
+session_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),            # user
+        st.integers(min_value=0, max_value=6 * 86400),    # ts seconds
+        st.sampled_from(["view", "purchase", "click"]),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(session_strategy)
+def test_latency_sketch_oracle_equals_python_mirror(events):
+    df = pd.DataFrame(
+        {
+            "user_id": [e[0] for e in events],
+            "ts": pd.to_datetime([e[1] for e in events], unit="s"),
+            "event_type": [e[2] for e in events],
+            "value": [1.0] * len(events),
+        }
+    )
+    got = _oracle_rows("stream_latency_sketch_sealed", events=df)
+
+    # mirror: 30-min-gap sessions per user, watermark seal, first
+    # view -> first subsequent purchase, log2 buckets, rank read-offs
+    max_ts = max(e[1] for e in events)
+    seal = max_ts - 3600
+    by_user = {}
+    for u, t, k in sorted(events, key=lambda e: (e[0], e[1])):
+        by_user.setdefault(u, []).append((t, k))
+    lats = []
+    for u, evs in by_user.items():
+        sess = []
+        for t, k in evs:
+            if sess and t - sess[-1][-1][0] > 1800:
+                sess.append([(t, k)])
+            elif not sess:
+                sess = [[(t, k)]]
+            else:
+                sess[-1].append((t, k))
+        for s in sess:
+            if s[-1][0] + 1800 > seal:
+                continue  # not sealed
+            views = [t for t, k in s if k == "view"]
+            if not views:
+                continue
+            v = min(views)
+            ps = [t for t, k in s if k == "purchase" and t >= v]
+            if ps:
+                lats.append((min(ps) - v) * 1_000_000)
+    if not lats:
+        assert got == []
+        return
+    bls = sorted(len(bin(x)) - 2 for x in lats)  # bit length; bin(0)='0b0'->1
+    n = len(bls)
+    from collections import Counter
+
+    c = Counter(bls)
+    uniq = sorted(c)
+    cum = {}
+    run = 0
+    for bl in uniq:
+        run += c[bl]
+        cum[bl] = run
+
+    def pick(mult, num, den):
+        # smallest hi with den*cum >= num*n
+        for bl in uniq:
+            if den * cum[bl] >= num * n:
+                return (1 << bl) - 1
+
+    expect = [
+        (
+            n,
+            len(uniq),
+            pick(None, 1, 2),
+            pick(None, 9, 10),
+            pick(None, 99, 100),
+        )
+    ]
+    assert got == expect
