@@ -1026,3 +1026,78 @@ def sample_importance_weights_ppm(
             .alias("class_mass_ppm"),
         )
     )
+
+
+@pending_query(
+    "sample_sqrt_temperature_mix",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)))
+                  AS BIGINT) AS w
+      FROM g
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                 CAST(SUM(n_docs) AS BIGINT) AS total FROM w)
+    SELECT w.source, w.n_docs,
+           CAST((1000000 * w.n_docs) // t.total AS BIGINT) AS raw_share_ppm,
+           CAST((1000000 * w.w) // t.tw AS BIGINT) AS tempered_share_ppm
+    FROM w, t
+    """,
+)
+def sample_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root TEMPERATURE sampling of the source mix — the
+    τ = 0.5 case of the exponent-tempered multinomial every
+    multilingual/multi-source pretraining recipe publishes (mBERT,
+    XLM-R; p_i ∝ n_i^τ): head sources shrink toward the mean, tail
+    sources grow, and τ = 0.5 specifically is the one temperature an
+    exact cross-engine certification can carry, because IEEE-754
+    `sqrt` is CORRECTLY ROUNDED on every conforming platform (unlike
+    `pow(n, 0.7)`, whose libm differs across engines). Each source's
+    weight is floored to integer micro-units BEFORE the sum
+    (w_i = ⌊1e6·√n_i⌋), so the normalizing denominator is an exact
+    integer and the tempered shares are pure integer division — the
+    same per-term-floor-then-integer-sum rule as the LSH planner's
+    ppm grid. Output carries raw vs tempered ppm side by side: the
+    rebalancing a mix job applies is the difference.
+
+    Scale shape: one map-side-combinable source count, one |sources|-
+    row weight table, a 1-row total, a broadcast cross join —
+    nothing data-sized past the first agg.
+
+    Reference basis: none; contract training-data-pipeline family
+    (SURVEY §2.10), beside `sample_epoch_mix_plan` (epoch budgets)
+    and `sample_importance_weights_ppm` (uniform-target weights)."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = g.select(
+        "source",
+        "n_docs",
+        F.floor(1000000.0 * F.sqrt(F.col("n_docs").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    t = w.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.sum("n_docs").cast("long").alias("total"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST((1000000 * n_docs) div total AS BIGINT)").alias(
+                "raw_share_ppm"
+            ),
+            F.expr("CAST((1000000 * w) div tw AS BIGINT)").alias(
+                "tempered_share_ppm"
+            ),
+        )
+    )

@@ -89,6 +89,7 @@ def test_pending_queue_discipline():
         "quality_split_balance_audit",
         "sample_importance_weights_ppm",
         "quality_split_leakage_near_dup",
+        "sample_sqrt_temperature_mix",
         "sim_ivf_recall_clustered",
         "stats_bootstrap_ci_md5",
         "stream_concurrency_by_hour",

@@ -388,3 +388,50 @@ def test_latency_sketch_oracle_equals_python_mirror(events):
         )
     ]
     assert got == expect
+
+
+# --- sqrt temperature mix ----------------------------------------------------
+
+src_counts_strategy = st.dictionaries(
+    st.sampled_from(["s1", "s2", "s3", "s4", "s5"]),
+    st.integers(min_value=1, max_value=60),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(src_counts_strategy)
+def test_sqrt_temperature_oracle_equals_mirror(counts):
+    import math
+
+    rows, i = [], 0
+    for src, n in counts.items():
+        for _ in range(n):
+            i += 1
+            rows.append((i, "t", "en", src, 1))
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = _oracle_rows("sample_sqrt_temperature_mix", documents=df)
+
+    ws = {s: math.floor(1_000_000.0 * math.sqrt(float(n)))
+          for s, n in counts.items()}
+    tw = sum(ws.values())
+    total = sum(counts.values())
+    expect = sorted(
+        (
+            s,
+            n,
+            (1_000_000 * n) // total,
+            (1_000_000 * ws[s]) // tw,
+        )
+        for s, n in counts.items()
+    )
+    assert got == expect
+    # tempering must never widen the spread: tempered max share <= raw
+    if len(counts) > 1:
+        raw = {s: (1_000_000 * n) // total for s, n in counts.items()}
+        temp = {s: (1_000_000 * ws[s]) // tw for s in counts}
+        top = max(counts, key=lambda s: (counts[s], s))
+        assert temp[top] <= raw[top] + 1

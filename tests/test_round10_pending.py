@@ -349,3 +349,31 @@ def test_near_dup_split_leakage_known_buckets(spark, tmp_path):
     con = _con("documents", out)
     assert got == _oracle(con, "quality_split_leakage_near_dup")
     assert got == [(2, 1, 1, 1)]
+
+
+def test_sqrt_temperature_mix_closed_form(spark, tmp_path):
+    """Perfect squares make the tempering exact by hand: source counts
+    (1, 4, 9) give weights (1e6, 2e6, 3e6) — tempered shares 1/6, 2/6,
+    3/6 vs raw 1/14, 4/14, 9/14: the tail source triples its share."""
+    from catme_etl_spark.operators.sampling import (
+        sample_sqrt_temperature_mix,
+    )
+
+    docs, i = [], 0
+    for src, n in (("tail", 1), ("mid", 4), ("head", 9)):
+        for _ in range(n):
+            i += 1
+            docs.append((i, "t", "en", src, 1))
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(out)
+    got = _spark_rows(sample_sqrt_temperature_mix(spark, str(tmp_path)))
+    con = _con("documents", out)
+    assert got == _oracle(con, "sample_sqrt_temperature_mix")
+    assert got == [
+        ("head", 9, 642857, 500000),
+        ("mid", 4, 285714, 333333),
+        ("tail", 1, 71428, 166666),
+    ]
