@@ -142,10 +142,15 @@ HEADLINE = [
     "sim_pq_adc_recall",
     "quality_psi_drift",
     "pipeline_drift_gate",
-    # round-7 additions: the Expand-free profiler default, the trained
-    # PQ rung, the streaming PSI verdict, and the SRP-index ingest
+    # round-7 additions: the Expand-free profiler default, the
+    # streaming PSI verdict, and the SRP-index ingest.
+    # round-10 demotion (r9 verdict item #4): sim_pq_trained_recall —
+    # the opt-in ALL-PAIRS truth audit, the last disclosed quadratic in
+    # the headline — is no longer benched; its scale-safe siblings
+    # (sim_pq_recall_sampled_panel, sim_pq_trained_recall_clustered)
+    # are the tracked pair. The full form stays registered and
+    # oracle-green as evidence.
     "quality_table_profile_approx",
-    "sim_pq_trained_recall",
     "stream_drift_gate",
     "pipeline_semantic_ingest",
     # round-7b: the one new live debut (the other round-7b ops are
@@ -200,6 +205,24 @@ HEADLINE = [
     "text_diversity_length_corr",
     "text_js_divergence_sources",
     "stream_bloom_index_maintenance",
+    # round-9b: the clustered trained-PQ audit (the scale-safe sibling
+    # that replaces the demoted all-pairs form) + the sealed-session
+    # latency sketch
+    "sim_pq_trained_recall_clustered",
+    "stream_latency_sketch_sealed",
+    # round-10: the 12 flipped round-9 debuts
+    "dedup_near_dup_conflicting_metadata",
+    "quality_split_leakage_near_dup",
+    "events_burstiness_fano",
+    "quality_split_balance_audit",
+    "sample_importance_weights_ppm",
+    "sample_sqrt_temperature_mix",
+    "sim_ivf_recall_clustered",
+    "stats_bootstrap_ci_md5",
+    "text_hapax_ratio_by_source",
+    "stream_minhash_band_index",
+    "stream_volume_anomaly_weekly",
+    "stream_concurrency_by_hour",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary

@@ -2391,7 +2391,7 @@ dedup_bloom_prefilter_audit.__doc__ = dedup_bloom_prefilter_audit.__doc__.format
 )
 
 
-@pending_query(
+@query(
     "dedup_near_dup_conflicting_metadata",
     oracle=f"""
     WITH {_MINHASH_CTES},
@@ -2500,7 +2500,7 @@ _SPLIT_CASE_SQL = (
 )
 
 
-@pending_query(
+@query(
     "quality_split_leakage_near_dup",
     oracle=f"""
     WITH {_MINHASH_CTES},

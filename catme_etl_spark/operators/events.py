@@ -1879,7 +1879,7 @@ def events_volume_anomaly_by_type_week(
     )
 
 
-@pending_query(
+@query(
     "events_burstiness_fano",
     oracle="""
     WITH d AS (

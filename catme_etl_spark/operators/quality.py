@@ -1480,7 +1480,7 @@ def quality_dup_conflicting_metadata(
     )
 
 
-@pending_query(
+@query(
     "quality_split_balance_audit",
     oracle=f"""
     WITH tagged AS (

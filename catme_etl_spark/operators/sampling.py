@@ -958,7 +958,7 @@ def sample_quality_weighted_budget(
     )
 
 
-@pending_query(
+@query(
     "sample_importance_weights_ppm",
     oracle="""
     WITH g AS (
@@ -1028,7 +1028,7 @@ def sample_importance_weights_ppm(
     )
 
 
-@pending_query(
+@query(
     "sample_sqrt_temperature_mix",
     oracle="""
     WITH g AS (

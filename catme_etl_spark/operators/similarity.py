@@ -2946,7 +2946,7 @@ _CLV_SQL_CTES = f"""
 """
 
 
-@pending_query(
+@query(
     "sim_ivf_recall_clustered",
     oracle=f"""
     WITH {_CLV_SQL_CTES},

@@ -1648,7 +1648,7 @@ _BOOT_N = 500  # fixed md5-order sample panel (O(N·B) at any scale)
 _BOOT_B = 32   # resamples; CI reads ranks 2 and B-1 (~93.75% coverage)
 
 
-@pending_query(
+@query(
     "stats_bootstrap_ci_md5",
     oracle=f"""
     WITH panel AS (

@@ -1864,7 +1864,7 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query(
+@query(
     "text_hapax_ratio_by_source",
     oracle="""
     WITH t AS (

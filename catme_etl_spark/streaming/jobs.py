@@ -1208,7 +1208,7 @@ _STREAM_MINHASH_ORACLE = f"""
     """
 
 
-@pending_query(
+@query(
     "stream_minhash_band_index",
     oracle=_STREAM_MINHASH_ORACLE,
 )
@@ -1249,7 +1249,7 @@ def stream_minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-@pending_query(
+@query(
     "stream_volume_anomaly_weekly",
     oracle="""
     WITH w AS (
@@ -1365,7 +1365,7 @@ def stream_volume_anomaly_weekly(
     )
 
 
-@pending_query(
+@query(
     "stream_concurrency_by_hour",
     oracle="""
     WITH marked AS (
