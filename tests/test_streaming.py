@@ -238,3 +238,105 @@ def test_stateful_restart_recovers_state_from_checkpoint(spark, tmp_path):
     run_b = spark.read.parquet(os.path.join(out_dir, "run=b"))
     b_rows = {(r["win_us"], r["n"]) for r in run_b.collect()}
     assert (t0_us, 3) in b_rows
+
+
+def test_minhash_band_index_restart_recovers_state(spark, sf_dir, tmp_path):
+    """Kill-and-restart contract for the STREAMING LSH INDEX (round-9
+    verdict item #5): `stream_minhash_band_index` certifies its
+    complete-mode snapshot equals the batch-built band index, but that
+    alone doesn't prove the index survives a crash. Here the corpus
+    lands in two files; a first query consumes half and dies; a
+    brand-new query object with the same checkpointLocation consumes
+    ONLY the second file, and its final snapshot must still equal the
+    batch index over the FULL corpus. Buckets hit by both halves must
+    show the cumulative (n_docs, min canonical) — impossible unless
+    the (band, bkey) state store was recovered; a doc counted twice
+    (offsets lost) or dropped (state lost) changes some bucket's
+    count, and the row-set equality catches either."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.streaming.jobs import _minhash_band_cols
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+    def land(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, name + ".parquet"))
+
+    def band_index(df):
+        # the registered op's own kernel: row-wise signatures, one
+        # stateful (band, bkey) fold
+        xs, mins, bkeys = _minhash_band_cols()
+        d = df.withColumn("_xs", F.expr(xs)).filter(F.expr("size(_xs) > 0"))
+        for s, m in enumerate(mins):
+            d = d.withColumn(f"_h{s}", F.expr(m))
+        d = d.select(
+            "doc_id", F.posexplode(F.expr(bkeys)).alias("band", "bkey")
+        )
+        return d.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+
+    def run_once(tag):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        agg = band_index(stream)
+
+        def write_batch(df, batch_id):
+            # complete mode: every batch is the full snapshot; the
+            # run's final overwrite is its last word
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"run_{tag}")
+            )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.foreachBatch(write_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    land(docs.filter("doc_id % 2 = 0"), "f1")
+    run_once("a")  # consumes f1, commits offsets + index state, dies
+
+    land(docs.filter("doc_id % 2 = 1"), "f2")
+    run_once("b")  # NEW query object, same checkpoint: reads f2 ONLY
+
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    snap_a = spark.read.parquet(os.path.join(out_dir, "run_a"))
+    snap_b = spark.read.parquet(os.path.join(out_dir, "run_b"))
+    want = rows(band_index(docs))
+
+    assert rows(snap_b) == want
+    # the restart genuinely ADDED mass (run a saw only half the docs):
+    # equality above can't be explained by run b reprocessing
+    # everything from scratch unless offsets were lost — and the halves
+    # are disjoint files, so a from-scratch run b would MISS f1's docs
+    a_mass = snap_a.agg(F.sum("n_docs")).collect()[0][0]
+    b_mass = snap_b.agg(F.sum("n_docs")).collect()[0][0]
+    assert a_mass < b_mass
