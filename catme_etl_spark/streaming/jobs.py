@@ -1446,3 +1446,174 @@ def stream_concurrency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         "n_users",
     )
+
+
+_LAT_ALERT_SLA_US = 1_200_000_000  # 20-minute conversion-latency SLA
+
+
+@pending_query(
+    "stream_latency_alert_daily",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    s1 AS (
+      SELECT user_id, sess,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             MAX(ts) AS sess_end
+      FROM islands GROUP BY user_id, sess
+    ),
+    s3 AS (
+      SELECT s1.user_id, s1.sess, s1.v, s1.sess_end,
+             MIN(CASE WHEN i.event_type = 'purchase' AND i.ts >= s1.v
+                      THEN i.ts END) AS p
+      FROM s1 JOIN islands i
+        ON i.user_id = s1.user_id AND i.sess = s1.sess
+      GROUP BY s1.user_id, s1.sess, s1.v, s1.sess_end
+    ),
+    lat AS (
+      SELECT epoch_us(v) // 86400000000 AS day,
+             epoch_us(p) - epoch_us(v) AS us
+      FROM s3
+      WHERE p IS NOT NULL
+        AND sess_end + INTERVAL 30 MINUTE
+            <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    ),
+    g AS (
+      SELECT day, length(bin(us)) AS bl, CAST(COUNT(*) AS BIGINT) AS k
+      FROM lat GROUP BY 1, 2
+    ),
+    n AS (SELECT day, CAST(SUM(k) AS BIGINT) AS n FROM g GROUP BY 1),
+    c AS (
+      SELECT a.day, a.bl, CAST(SUM(b.k) AS BIGINT) AS cum
+      FROM g a JOIN g b ON b.day = a.day AND b.bl <= a.bl
+      GROUP BY 1, 2
+    ),
+    ro AS (
+      SELECT c.day, n.n AS n_converted,
+             CAST(MIN(CASE WHEN 2 * cum >= n.n
+                           THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                  AS BIGINT) AS p50_hi_us,
+             CAST(MIN(CASE WHEN 10 * cum >= 9 * n.n
+                           THEN (CAST(1 AS BIGINT) << bl) - 1 END)
+                  AS BIGINT) AS p90_hi_us
+      FROM c JOIN n ON n.day = c.day
+      GROUP BY 1, 2
+    )
+    SELECT CAST(day * 86400000000 AS BIGINT) AS day_start_us,
+           n_converted, p50_hi_us, p90_hi_us,
+           CAST(CASE WHEN p90_hi_us > {_LAT_ALERT_SLA_US}
+                     THEN 1 ELSE 0 END AS BIGINT) AS alert
+    FROM ro
+    """,
+)
+def stream_latency_alert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latency monitor's THRESHOLD-CROSSING VERDICT on the stream
+    (C8's missing half, round-9 verdict item #7a): where
+    `stream_latency_sketch_sealed` certifies the corpus-wide sketch,
+    this is what a paging monitor actually emits — per DAY of first
+    view, the sealed-session p50/p90 bucket read-off and an ALERT flag
+    the moment the day's p90 upper bound crosses the 20-minute
+    conversion SLA.
+
+    Same state/verdict split the README documents: the ONLY streaming
+    state is the engine-managed session window carrying (first view
+    ts, purchase-ts list) per OPEN session — identical to the sealed
+    sketch's store, bounded by open sessions, never corpus-sized. The
+    verdict side stays a per-day ≤ 64-row log2 grid: `length(bin(us))`
+    buckets, cumulative rank via the bounded bl≤bl self-join, integer
+    cross-multiplication for the percentile ranks (2·cum ≥ n,
+    10·cum ≥ 9·n — no division), and the alert compares the bucket's
+    exact 2^bl − 1 upper bound against the SLA constant, so the
+    verdict is integer-exact on both engines. A day with ANY
+    conversions always reads a p90 bucket (the top bucket's cum = n
+    satisfies every rank), so no NULL-verdict branch exists.
+
+    At 100 TB the session store shards by user; the verdict side is
+    (days × ≤64) rows regardless of corpus size, and because the grid
+    is mergeable the same read-off runs per-hour or per-region by
+    swapping the group key.
+
+    Reference basis: none; contract C7/C8 streaming family —
+    completes the state-on-stream / verdict-batch-side split with the
+    threshold decision itself certified.
+    """
+    e = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_type")
+    )
+    agg = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("v"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("purchases"),
+    )
+    sealed = _run_to_memory(agg, "append")
+    lat = (
+        sealed.filter(F.col("v").isNotNull())
+        .select(
+            F.expr("unix_micros(v) div 86400000000").alias("day"),
+            F.unix_micros("v").alias("v_us"),
+            F.expr("array_min(filter(purchases, p -> p >= unix_micros(v)))")
+            .alias("p_us"),
+        )
+        .filter(F.col("p_us").isNotNull())
+        .select("day", (F.col("p_us") - F.col("v_us")).alias("us"))
+    )
+    b = lat.select("day", F.length(F.bin("us")).alias("bl"))
+    g = b.groupBy("day", "bl").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    g2 = g.select(
+        F.col("day").alias("day2"),
+        F.col("bl").alias("bl2"),
+        F.col("k").alias("k2"),
+    )
+    c = (
+        g.join(
+            g2,
+            (F.col("day2") == F.col("day")) & (F.col("bl2") <= F.col("bl")),
+        )
+        .groupBy("day", "bl")
+        .agg(F.sum("k2").cast("long").alias("cum"))
+    )
+    n = b.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), bl) - 1")
+    ro = (
+        c.join(n, "day")
+        .groupBy("day", "n")
+        .agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), hi))
+            .cast("long")
+            .alias("p50_hi_us"),
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), hi))
+            .cast("long")
+            .alias("p90_hi_us"),
+        )
+    )
+    return ro.select(
+        (F.col("day") * 86400000000).cast("long").alias("day_start_us"),
+        F.col("n").alias("n_converted"),
+        "p50_hi_us",
+        "p90_hi_us",
+        F.when(F.col("p90_hi_us") > F.lit(_LAT_ALERT_SLA_US), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alert"),
+    )
