@@ -2597,3 +2597,341 @@ def quality_split_leakage_near_dup(
         .alias("pairs_train_eval"),
         F.count_distinct(leaked_doc).cast("long").alias("n_train_docs_leaked"),
     )
+
+
+from .quality import _DECON_GRAM_SQL as _REL_GRAM_SQL  # noqa: E402
+from .quality import DECON_K as _REL_DECON_K  # noqa: E402
+
+_RELEASE_GUARD = "corpus release is empty: nothing survived the scrub"
+
+_RELEASE_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    nd AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+    tagged AS (
+      SELECT doc_id, source, text,
+             {_SPLIT_CASE_SQL.format(col="doc_id")} AS split
+      FROM documents
+    ),
+    eval_g AS (
+      SELECT DISTINCT md5(unnest({_REL_GRAM_SQL})) AS gh
+      FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM tagged WHERE split <> 'train') x
+    ),
+    train_g AS (
+      SELECT DISTINCT doc_id, md5(unnest({_REL_GRAM_SQL})) AS gh
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM tagged WHERE split = 'train') x
+    ),
+    dirty AS (
+      SELECT DISTINCT t.doc_id FROM train_g t JOIN eval_g e USING (gh)
+    ),
+    surv0 AS (
+      SELECT doc_id, source, text FROM tagged
+      WHERE split = 'train'
+        AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    ndu AS (SELECT doc_a AS d, doc_b AS o FROM nd
+            UNION ALL SELECT doc_b AS d, doc_a AS o FROM nd),
+    leak AS (
+      SELECT DISTINCT s.doc_id FROM surv0 s JOIN ndu ON ndu.d = s.doc_id
+      WHERE {_SPLIT_CASE_SQL.format(col="ndu.o")} <> 'train'
+    ),
+    within AS (
+      SELECT DISTINCT nd.doc_b AS doc_id
+      FROM nd JOIN surv0 a ON a.doc_id = nd.doc_a
+              JOIN surv0 b ON b.doc_id = nd.doc_b
+    ),
+    drops AS (SELECT doc_id FROM leak UNION SELECT doc_id FROM within),
+    final AS (
+      SELECT * FROM surv0
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_raw
+            FROM tagged WHERE split = 'train' GROUP BY 1),
+    s0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_surv0
+           FROM surv0 GROUP BY 1),
+    fin AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final
+            FROM final GROUP BY 1),
+    ftok AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                                           t -> t <> ''))) AS ndt
+      FROM final
+    ),
+    g AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN nt BETWEEN 20 AND 80
+                            AND CAST(ndt AS DOUBLE) / nt > 0.25
+                           THEN nt ELSE 0 END) AS BIGINT) AS passing_tokens
+      FROM ftok GROUP BY 1
+    ),
+    m AS (
+      SELECT raw.source, raw.n_train_raw,
+             raw.n_train_raw - COALESCE(s0.n_surv0, 0) AS n_dropped_decon,
+             COALESCE(s0.n_surv0, 0) - COALESCE(fin.n_final, 0)
+               AS n_dropped_neardup,
+             COALESCE(fin.n_final, 0) AS n_train_final,
+             COALESCE(g.passing_tokens, 0) AS passing_tokens
+      FROM raw LEFT JOIN s0 USING (source) LEFT JOIN fin USING (source)
+               LEFT JOIN g USING (source)
+    ),
+    t AS (SELECT CAST(SUM(n_train_raw) AS BIGINT) AS total_raw,
+                 CAST(SUM(n_train_final) AS BIGINT) AS total_final,
+                 CAST(SUM(passing_tokens) AS BIGINT) AS total_passing
+          FROM m),
+    b AS (
+      SELECT m.*,
+             (1000000 * m.n_train_raw) // t.total_raw AS share_before_ppm,
+             CASE WHEN t.total_final = 0
+                  THEN CAST(error('{_RELEASE_GUARD}') AS BIGINT)
+                  ELSE (1000000 * m.n_train_final) // t.total_final
+              END AS share_after_ppm,
+             CASE WHEN t.total_passing = 0
+                  THEN CAST(error('{_RELEASE_GUARD}') AS BIGINT)
+                  ELSE (1000000 * m.passing_tokens) // t.total_passing
+              END AS fshare,
+             CASE WHEN t.total_passing = 0 THEN 0
+                  ELSE (1000000 * m.passing_tokens) % t.total_passing
+              END AS rem
+      FROM m, t
+    ),
+    lo AS (SELECT 1000000 - CAST(SUM(fshare) AS BIGINT) AS leftover FROM b),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) - 1 AS sb
+      FROM b
+    )
+    SELECT source,
+           CAST(n_train_raw AS BIGINT) AS n_train_raw,
+           CAST(n_dropped_decon AS BIGINT) AS n_dropped_decon,
+           CAST(n_dropped_neardup AS BIGINT) AS n_dropped_neardup,
+           CAST(n_train_final AS BIGINT) AS n_train_final,
+           CAST(share_before_ppm AS BIGINT) AS share_before_ppm,
+           CAST(share_after_ppm AS BIGINT) AS share_after_ppm,
+           CAST(passing_tokens AS BIGINT) AS passing_tokens,
+           CAST(fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM r, lo
+    ORDER BY source
+    """
+
+
+@pending_query("pipeline_corpus_release", oracle=_RELEASE_ORACLE)
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus RELEASE manifest (round-9 verdict item
+    #7b) — the sign-off artifact a training-data release ships,
+    composing four individually-certified stages into ONE lineage
+    whose hash certifies the composition:
+
+    1. **Decontamination** — the registered
+       `pipeline_train_decontamination` callable itself (GPT-3-style
+       {_REL_DECON_K}-gram scrub of the md5-bucketed 80/10/10 train
+       split against val/test).
+    2. **Near-dup scrub** over the decon survivors, on the shared
+       banded-LSH pairs artifact (`_minhash_pairs`, Jaccard ≥ 0.5):
+       drop every survivor near-duplicate of ANY eval-split document
+       (`quality_split_leakage_near_dup`'s actionable list), and the
+       GREATER doc_id of every survivor-survivor pair (deterministic
+       keep-first canonicalization — no transitive closure needed for
+       a pairwise-defined scrub).
+    3. **Balance audit** — per-source corpus share in exact floor-ppm
+       BEFORE vs AFTER the scrub, so a scrub that silently skews the
+       source mix is visible in the manifest itself.
+    4. **Budget** — the certified quality-weighted largest-remainder
+       allocation (`sample_quality_weighted_budget`'s rule: 20-80
+       token band, distinct-ratio > 0.25, Σ alloc == 1e6 EXACTLY)
+       re-run over the RELEASED corpus, ties by source name.
+
+    The released corpus then ships through the 2PC `sheetdir` sink —
+    `tests/test_round11_pending.py` drives this manifest through the
+    staged-write/atomic-manifest-commit path and re-reads it through
+    the DataSource, completing the export leg (a side-effecting write
+    cannot live inside the certified query itself).
+
+    An empty release (total_final or total_passing = 0) raises
+    LOUDLY on both engines (`raise_error` ↔ `error()`): a release
+    manifest full of NULL shares is how an empty corpus ships
+    unnoticed (DuckDB integer division by zero is silent NULL —
+    round-8 ADVICE class).
+
+    Scale shape: the decon stage's gram join and the pairs artifact
+    are the two heavy legs, both individually certified and sized in
+    SCALING.md; everything downstream is |survivors|-row joins
+    collapsing to |sources| rows, and the remainder rank is the
+    module's broadcast triangular self-join (no single-partition
+    WindowExec). At 100 TB the eval gram set and the pairs table are
+    the materialized artifacts every release job reuses.
+
+    Reference basis: none; contract training-data pipeline family
+    (SURVEY §2.10) — the capstone above `pipeline_training_export`,
+    which packs sequences for a TRAINING RUN, where this signs off a
+    CORPUS RELEASE."""
+    from .quality import pipeline_train_decontamination
+    from .sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    surv0 = pipeline_train_decontamination(spark, sf_dir).select(
+        "doc_id", "source"
+    )
+    nd = (
+        _minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+    ndu = nd.select(
+        F.col("doc_a").alias("dd"), F.col("doc_b").alias("o")
+    ).unionAll(nd.select(F.col("doc_b").alias("dd"), F.col("doc_a").alias("o")))
+    leak = (
+        surv0.select("doc_id")
+        .join(ndu, F.col("doc_id") == F.col("dd"))
+        .filter(hash_bucket(F.col("o"), 100) >= 80)
+        .select("doc_id")
+        .distinct()
+    )
+    within = (
+        nd.join(surv0.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .join(surv0.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    drops = leak.unionAll(within).distinct()
+    final = surv0.join(drops, "doc_id", "left_anti")
+
+    train_raw = d.filter(hash_bucket(F.col("doc_id"), 100) < 80)
+    raw = train_raw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_raw")
+    )
+    s0 = surv0.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_surv0")
+    )
+    fin = final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final")
+    )
+
+    toks = tokens("text")
+    ft = final.join(d.select("doc_id", "text"), "doc_id").select(
+        "source",
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("ndt"),
+    )
+    passing = (
+        F.col("nt").between(20, 80)
+        & (F.col("ndt").cast("double") / F.col("nt") > 0.25)
+    )
+    g = ft.groupBy("source").agg(
+        F.sum(F.when(passing, F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("passing_tokens")
+    )
+
+    m = (
+        raw.join(s0, "source", "left")
+        .join(fin, "source", "left")
+        .join(g, "source", "left")
+        .select(
+            "source",
+            "n_train_raw",
+            (F.col("n_train_raw") - F.coalesce(F.col("n_surv0"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_decon"),
+            (
+                F.coalesce(F.col("n_surv0"), F.lit(0))
+                - F.coalesce(F.col("n_final"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dropped_neardup"),
+            F.coalesce(F.col("n_final"), F.lit(0))
+            .cast("long")
+            .alias("n_train_final"),
+            F.coalesce(F.col("passing_tokens"), F.lit(0))
+            .cast("long")
+            .alias("passing_tokens"),
+        )
+    )
+    t = m.agg(
+        F.sum("n_train_raw").cast("long").alias("total_raw"),
+        F.sum("n_train_final").cast("long").alias("total_final"),
+        F.sum("passing_tokens").cast("long").alias("total_passing"),
+    )
+    b = m.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_train_raw",
+        "n_dropped_decon",
+        "n_dropped_neardup",
+        "n_train_final",
+        "passing_tokens",
+        F.expr("(1000000 * n_train_raw) div total_raw").alias(
+            "share_before_ppm"
+        ),
+        F.when(
+            F.col("total_final") > 0,
+            F.expr("(1000000 * n_train_final) div total_final"),
+        )
+        .otherwise(F.expr(f"raise_error('{_RELEASE_GUARD}')"))
+        .cast("long")
+        .alias("share_after_ppm"),
+        F.when(
+            F.col("total_passing") > 0,
+            F.expr("(1000000 * passing_tokens) div total_passing"),
+        )
+        .otherwise(F.expr(f"raise_error('{_RELEASE_GUARD}')"))
+        .cast("long")
+        .alias("fshare"),
+        F.when(
+            F.col("total_passing") > 0,
+            (1000000 * F.col("passing_tokens")) % F.col("total_passing"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rem"),
+    )
+    lo = b.agg((1000000 - F.sum("fshare")).cast("long").alias("leftover"))
+    other = b.select(
+        F.col("source").alias("source2"), F.col("rem").alias("rem2")
+    )
+    keep = [
+        "source",
+        "n_train_raw",
+        "n_dropped_decon",
+        "n_dropped_neardup",
+        "n_train_final",
+        "share_before_ppm",
+        "share_after_ppm",
+        "passing_tokens",
+        "fshare",
+    ]
+    sb_ = (
+        b.join(
+            F.broadcast(other),
+            (F.col("rem2") > F.col("rem"))
+            | (
+                (F.col("rem2") == F.col("rem"))
+                & (F.col("source2") < F.col("source"))
+            ),
+            "left",
+        )
+        .groupBy(*keep)
+        .agg(F.count("source2").alias("sbr"))
+    )
+    return (
+        sb_.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_train_raw",
+            "n_dropped_decon",
+            "n_dropped_neardup",
+            "n_train_final",
+            "share_before_ppm",
+            "share_after_ppm",
+            "passing_tokens",
+            (
+                F.col("fshare")
+                + F.when(F.col("sbr") < F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -87,3 +87,115 @@ def test_latency_alert_unsealed_day_absent(spark, tmp_path):
     con = _con("events", out)
     assert got == _oracle(con, "stream_latency_alert_daily")
     assert got == []
+
+
+def _write_docs(spark, tmp_path, docs):
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(out)
+    return out
+
+
+def test_corpus_release_manifest_closed_form(spark, tmp_path):
+    """Every stage exercised with pinned md5 buckets (1,2,3,5,6,7
+    train; 9,25,27 test) and hand-computed manifest rows:
+    - s1: doc 1 decon-dropped (8-gram shared with test doc 9), docs
+      2/3 are a within-train identical pair -> greater id 3 scrubbed;
+      survivor 2 has 9 tokens (below the 20-token gate) -> 0 passing.
+    - s2: doc 6 is a 7-token identical twin of test doc 25 — invisible
+      to the 8-gram decon, caught by the near-dup LEAK scrub; doc 5
+      (24 distinct tokens) survives and carries all passing tokens.
+    - s3: its only train doc 7 decon-dropped -> zero final docs, zero
+      passing, share_after 0 — the COALESCE/zero-remainder path."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import pipeline_corpus_release
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    tb = "one two three four five six seven eight nine"  # 9 tokens
+    t5 = " ".join(f"w{i}" for i in range(24))  # 24 distinct tokens
+    t6 = "red orange yellow green blue indigo violet"  # 7 tokens
+    te = "ant bee cat dog elk fox gnu hen"  # 8 tokens
+    docs = [
+        (1, ta, "en", "s1", 1),
+        (9, ta, "en", "s1", 1),   # test twin: decon-drops doc 1
+        (2, tb, "en", "s1", 1),
+        (3, tb, "en", "s1", 1),   # within-train pair: drop 3
+        (5, t5, "en", "s2", 1),
+        (6, t6, "en", "s2", 1),
+        (25, t6, "en", "s2", 1),  # test twin, <8 tokens: leak-drops 6
+        (7, te, "en", "s3", 1),
+        (27, te, "en", "s3", 1),  # test twin: decon-drops doc 7
+    ]
+    out = _write_docs(spark, tmp_path, docs)
+    clear_shared()
+    try:
+        got = _spark_rows(pipeline_corpus_release(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "pipeline_corpus_release")
+    assert got == [
+        ("s1", 3, 1, 1, 1, 500000, 500000, 0, 0),
+        ("s2", 2, 0, 1, 1, 333333, 500000, 24, 1000000),
+        ("s3", 1, 1, 0, 0, 166666, 0, 0, 0),
+    ]
+
+
+def test_corpus_release_empty_is_loud(spark, tmp_path):
+    """A release where NOTHING survives must raise on BOTH engines
+    (raise_error / error()) — DuckDB integer division by zero is a
+    silent NULL, and a manifest of NULL shares is how an empty corpus
+    ships unnoticed."""
+    import pytest
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import pipeline_corpus_release
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, ta, "en", "s1", 1), (9, ta, "en", "s1", 1)]
+    out = _write_docs(spark, tmp_path, docs)
+    clear_shared()
+    try:
+        with pytest.raises(Exception, match="release is empty"):
+            pipeline_corpus_release(spark, str(tmp_path)).collect()
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    import duckdb as _ddb
+
+    with pytest.raises(_ddb.Error, match="release is empty"):
+        _oracle(con, "pipeline_corpus_release")
+
+
+def test_corpus_release_2pc_export(spark, sf_dir, tmp_path):
+    """The export leg: the release manifest ships through the 2PC
+    `sheetdir` sink (staged parts -> atomic manifest commit) and reads
+    back through the same DataSource with every row intact and no
+    staging residue."""
+    import glob
+    import os
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import pipeline_corpus_release
+    from catme_etl_spark.sources.pydatasource import SheetDirDataSource
+
+    spark.dataSource.register(SheetDirDataSource)
+    clear_shared()
+    try:
+        rel = pipeline_corpus_release(spark, sf_dir)
+        n = rel.count()
+        out = str(tmp_path / "release")
+        rel.write.format("sheetdir").mode("overwrite").save(out)
+    finally:
+        clear_shared()
+    assert n > 0
+    manifest = os.path.join(out, "_SUCCESS")
+    assert os.path.exists(manifest)
+    with open(manifest) as f:
+        entries = [ln for ln in f.read().splitlines() if ln]
+    assert sum(int(e.split(",")[1]) for e in entries) == n
+    assert glob.glob(os.path.join(out, "*_wip*")) == []
+    back = spark.read.format("sheetdir").load(out)
+    assert back.count() == n
