@@ -3187,3 +3187,387 @@ def sim_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+IVFPQ_CW_STRIDE = 100  # coarser PQ codebook than the flat-PQ tier's
+# {PQ_STRIDE}: the composed audit re-ranks only the probed inverted
+# lists, so the codebook can be 10x smaller and the oracle's encode
+# CTE stays tractable at sf0.1 (|corpus/100| codewords per subspace).
+
+
+def _clv_int8_corpus(bc):
+    """Numpy replica of the RELATIONAL cluster plant (`_CLV_SQL_CTES`):
+    56-bit md5-slice cluster assignment over nc = max(16, n/8)
+    clusters, centroid = the MIN-vec_id member (ids ascending, so the
+    first occurrence of each cluster), 0.75/0.25 IEEE double mix in
+    the same per-element op order, shared max-abs int8 quantization —
+    bit-identical to the `qc` CTE both engines certify, so every
+    int64 kernel downstream lands in the oracle hash. Distinct from
+    `_clustered_matrix` (the bounds-form plant: full-md5 assignment,
+    first-NC centroids), which is NOT SQL-reproducible."""
+    import hashlib
+
+    import numpy as np
+
+    bids, bmat, _ = bc.value
+    order = np.argsort(bids, kind="stable")
+    ids = bids[order]
+    M = bmat[order]
+    nc = max(16, len(ids) // CLUSTER_MEMBERS)
+    cl = np.array(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:14], 16) % nc
+            for i in ids
+        ],
+        dtype=np.int64,
+    )
+    first: dict = {}
+    for pos, c in enumerate(cl):
+        if int(c) not in first:
+            first[int(c)] = pos
+    cent_idx = np.array([first[int(c)] for c in cl], dtype=np.int64)
+    M2 = 0.75 * M[cent_idx] + 0.25 * M
+    max_abs = _quant_max_abs(M2)
+    Q = np.clip(np.floor(M2 * 127.0 / max_abs + 0.5), -127, 127).astype(
+        np.int64
+    )
+    return ids, Q
+
+
+def _ivfpq_artifacts(bc):
+    """Fit-once/broadcast-artifacts (the round-8 trained-PQ lesson):
+    the IVF assignment of every corpus vector and its PQ codes over
+    the stride codebook are pure functions of the corpus — computing
+    them once driver-side and shipping (ids, Q, assign, codes, cids,
+    C, wids, W) beats re-deriving them inside every scan task. All
+    int64 matmul-identity arithmetic (q² + c² − 2qc — exact for
+    int8-range values), argmin first-tie = lowest id because both the
+    centroid and codeword arrays are ascending-id slices."""
+    import numpy as np
+
+    ids, Q = _clv_int8_corpus(bc)
+    cmask = ids % CENTROID_STRIDE == 0
+    if not cmask.any():
+        raise ValueError(
+            "ivfpq audit: no stride centroids (no vec_id % "
+            f"{CENTROID_STRIDE} == 0) — corpus too small for the IVF tier"
+        )
+    cids, C = ids[cmask], Q[cmask]
+    d = (
+        (Q * Q).sum(axis=1)[:, None]
+        + (C * C).sum(axis=1)[None, :]
+        - 2 * (Q @ C.T)
+    )
+    assign = cids[d.argmin(axis=1)]
+    wmask = ids % IVFPQ_CW_STRIDE == 0
+    if not wmask.any():
+        raise ValueError(
+            "ivfpq audit: no PQ codewords (no vec_id % "
+            f"{IVFPQ_CW_STRIDE} == 0) — corpus too small for the PQ tier"
+        )
+    wids, W = ids[wmask], Q[wmask]
+    codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+        Qm, Wm = Q[:, lo:hi], W[:, lo:hi]
+        dm = (
+            (Qm * Qm).sum(axis=1)[:, None]
+            + (Wm * Wm).sum(axis=1)[None, :]
+            - 2 * (Qm @ Wm.T)
+        )
+        codes[:, m] = dm.argmin(axis=1)
+    return ids, Q, assign, codes, cids, C, wids, W
+
+
+def _ivfpq_gen(art_bc):
+    """mapInPandas generator over panel-query batches: per query,
+    probe the NPROBE nearest coarse centroids, gather their inverted
+    lists as candidates, rank candidates BOTH ways — exact int64 L2
+    ('ivf') and the PQ ADC lookup-table sum ('ivfpq') — and emit the
+    exact full-corpus truth ('truth') for the recall denominators."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, Q, assign, codes, cids, C, wids, W = art_bc.value
+        BIG = np.int64(1 << 62)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["vec_id"].to_numpy()
+            pos = np.searchsorted(ids, ia)
+            qa = Q[pos]
+            dq = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (qa @ C.T)
+            )
+            # stable argsort: ties keep position order = ascending cid
+            probes = cids[
+                np.argsort(dq, axis=1, kind="stable")[:, :NPROBE]
+            ]
+            luts = []
+            for m in range(PQ_M):
+                lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+                qm, Wm = qa[:, lo:hi], W[:, lo:hi]
+                luts.append(
+                    (qm * qm).sum(axis=1)[:, None]
+                    + (Wm * Wm).sum(axis=1)[None, :]
+                    - 2 * (qm @ Wm.T)
+                )
+            dt = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (Q * Q).sum(axis=1)[None, :]
+                - 2 * (qa @ Q.T)
+            )
+            dt = np.where(ia[:, None] == ids[None, :], BIG, dt)
+            out_q, out_n, out_t = [], [], []
+
+            def take(q_id, nbr, tier):
+                out_q.extend([q_id] * len(nbr))
+                out_n.extend(int(v) for v in nbr)
+                out_t.extend([tier] * len(nbr))
+
+            for r in range(len(ia)):
+                cand = np.isin(assign, probes[r])
+                cand[pos[r]] = False
+                cidx = np.nonzero(cand)[0]
+                nbr = ids[cidx]
+                adc = np.zeros(len(cidx), dtype=np.int64)
+                for m in range(PQ_M):
+                    adc += luts[m][r][codes[cidx, m]]
+                take(int(ia[r]), nbr[np.lexsort((nbr, adc))[:TOP_K]], "ivfpq")
+                de = dt[r][cidx]
+                take(int(ia[r]), nbr[np.lexsort((nbr, de))[:TOP_K]], "ivf")
+                take(
+                    int(ia[r]),
+                    ids[np.lexsort((ids, dt[r]))[:TOP_K]],
+                    "truth",
+                )
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "tier": out_t}
+            )
+
+    return gen
+
+
+@pending_query(
+    "sim_ivfpq_recall_clustered",
+    oracle=f"""
+    WITH {_CLV_SQL_CTES},
+    cent AS (
+      SELECT vec_id AS cid, qv AS cqv FROM qc
+      WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    panel AS (
+      SELECT vec_id, qv FROM (
+        SELECT vec_id, qv,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr
+        FROM qc
+      ) WHERE pr <= {PQ_PANEL_N}
+    ),
+    adist AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(len(q.qv)), j ->
+               (q.qv[j+1] - c.cqv[j+1]) * (q.qv[j+1] - c.cqv[j+1])))
+             AS BIGINT) AS d
+      FROM qc q, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM adist
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM adist
+      ) a JOIN panel p ON p.vec_id = a.vec_id
+      WHERE a.rn <= {NPROBE}
+    ),
+    icand AS (
+      SELECT pr.query_id, asg.vec_id AS neighbor_id
+      FROM probes pr JOIN assign asg ON asg.cid = pr.cid
+      WHERE asg.vec_id <> pr.query_id
+    ),
+    sub AS (SELECT UNNEST(range({PQ_M})) AS m),
+    cw AS (SELECT vec_id AS wid, qv AS wqv FROM qc
+           WHERE vec_id % {IVFPQ_CW_STRIDE} = 0),
+    nn AS (SELECT DISTINCT neighbor_id FROM icand),
+    nsub AS (
+      SELECT q.vec_id, sub.m, cw.wid,
+             CAST(list_sum(list_transform(range({PQ_SUB}), i ->
+               (q.qv[sub.m * {PQ_SUB} + i + 1]
+                - cw.wqv[sub.m * {PQ_SUB} + i + 1])
+               * (q.qv[sub.m * {PQ_SUB} + i + 1]
+                  - cw.wqv[sub.m * {PQ_SUB} + i + 1])))
+             AS BIGINT) AS d
+      FROM nn JOIN qc q ON q.vec_id = nn.neighbor_id, sub, cw
+    ),
+    codes AS (
+      SELECT vec_id, m, wid FROM (
+        SELECT vec_id, m, wid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, wid) AS rn
+        FROM nsub
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT p.vec_id, sub.m, cw.wid,
+             CAST(list_sum(list_transform(range({PQ_SUB}), i ->
+               (p.qv[sub.m * {PQ_SUB} + i + 1]
+                - cw.wqv[sub.m * {PQ_SUB} + i + 1])
+               * (p.qv[sub.m * {PQ_SUB} + i + 1]
+                  - cw.wqv[sub.m * {PQ_SUB} + i + 1])))
+             AS BIGINT) AS d
+      FROM panel p, sub, cw
+    ),
+    adc AS (
+      SELECT ic.query_id, ic.neighbor_id,
+             CAST(SUM(qs.d) AS BIGINT) AS adc_d
+      FROM icand ic
+      JOIN codes c ON c.vec_id = ic.neighbor_id
+      JOIN qsub qs ON qs.vec_id = ic.query_id
+                  AND qs.m = c.m AND qs.wid = c.wid
+      GROUP BY 1, 2
+    ),
+    pqtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d, neighbor_id) AS rk
+        FROM adc
+      ) WHERE rk <= {TOP_K}
+    ),
+    iscored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(len(qa.qv)), j ->
+               (qa.qv[j+1] - qb.qv[j+1]) * (qa.qv[j+1] - qb.qv[j+1])))
+             AS BIGINT) AS d
+      FROM icand c
+      JOIN qc qa ON qa.vec_id = c.query_id
+      JOIN qc qb ON qb.vec_id = c.neighbor_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d, neighbor_id) AS rank
+        FROM iscored
+      ) WHERE rank <= {TOP_K}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM panel p JOIN qc b ON b.vec_id <> p.vec_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM brute)
+             AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM brute) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf JOIN brute
+              USING (query_id, neighbor_id)) AS n_hits_ivf,
+           floor((CAST((SELECT COUNT(*) FROM ivf JOIN brute
+                          USING (query_id, neighbor_id)) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM brute)) * 1000000 + 0.5)
+             / 1000000 AS recall_ivf_at_{TOP_K},
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pqtop JOIN brute
+              USING (query_id, neighbor_id)) AS n_hits_ivfpq,
+           floor((CAST((SELECT COUNT(*) FROM pqtop JOIN brute
+                          USING (query_id, neighbor_id)) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM brute)) * 1000000 + 0.5)
+             / 1000000 AS recall_ivfpq_at_{TOP_K}
+    """,
+)
+def sim_ivfpq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT VALUE-certified recall@{TOP_K} of the COMPOSED IVF-PQ
+    index — the actual production ANN shape (a coarse quantizer prunes
+    to NPROBE inverted lists, product-quantized codes rank the
+    survivors) — on the SQL-reproducible planted-cluster corpus. Two
+    recalls side by side from the SAME probed candidate set: 'ivf'
+    ranks candidates by exact int64 L2 (the ceiling the probe list
+    allows — `sim_ivf_recall_clustered`'s number) and 'ivfpq' ranks
+    them by the {PQ_M}-subspace ADC lookup-table sum over a
+    {IVFPQ_CW_STRIDE}-stride codebook; the gap IS the compression
+    cost, measured inside the exact same candidate generation. By
+    construction recall_ivfpq <= recall_ivf (the exact ranking of a
+    candidate set maximizes truth hits over any re-ranking of it) —
+    `tests/test_round11_pending.py` asserts the invariant.
+
+    Everything after the shared int8 quantization is int64 (matmul
+    identity q² + c² − 2qc, argmin ties to the lowest id), so encode,
+    probing, ADC, and the exact truth reproduce bit-identically in
+    DuckDB and the recalls land in the hash. Queries are the fixed
+    {PQ_PANEL_N}-vector md5-order panel (truth O(panel·corpus)).
+
+    Scale shape: the round-8 "fit once, broadcast the model" rule —
+    IVF assignment and PQ codes are computed ONCE driver-side from
+    the shared corpus broadcast (O(corpus·centroids) +
+    O(corpus·codewords) integer kernels, the same artifacts a real
+    index build materializes) and shipped to the panel's scan tasks,
+    which then do only per-query work: probe selection, a
+    {PQ_M}×|codewords| LUT, ADC gathers over ~|corpus|/|centroids|
+    × NPROBE candidates, and the panel-bounded truth row.
+
+    Reference basis: none; contract F10/F14 ANN audit family — the
+    composition rung above `sim_ivf_recall_clustered` (coarse-only)
+    and `sim_pq_adc_recall` (PQ-only, unpruned)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    panel = (
+        emb.withColumn("_pk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_pk", "vec_id")
+        .limit(PQ_PANEL_N)
+        .select("vec_id")
+    )
+    rows = fan_out(panel, spark).mapInPandas(
+        _ivfpq_gen(art), schema="query_id long, neighbor_id long, tier string"
+    )
+    truth = rows.filter(F.col("tier") == "truth").select(
+        "query_id", "neighbor_id"
+    )
+    ivf = rows.filter(F.col("tier") == "ivf").select(
+        "query_id", "neighbor_id"
+    )
+    pq = rows.filter(F.col("tier") == "ivfpq").select(
+        "query_id", "neighbor_id"
+    )
+    hits_i = ivf.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits_ivf")
+    )
+    hits_p = pq.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits_ivfpq")
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        truth.agg(
+            F.count_distinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+        )
+        .crossJoin(F.broadcast(hits_i))
+        .crossJoin(F.broadcast(hits_p))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits_ivf",
+            r6(F.col("n_hits_ivf").cast("double") / F.col("n_truth")).alias(
+                f"recall_ivf_at_{TOP_K}"
+            ),
+            "n_hits_ivfpq",
+            r6(
+                F.col("n_hits_ivfpq").cast("double") / F.col("n_truth")
+            ).alias(f"recall_ivfpq_at_{TOP_K}"),
+        )
+    )

@@ -199,3 +199,38 @@ def test_corpus_release_2pc_export(spark, sf_dir, tmp_path):
     assert glob.glob(os.path.join(out, "*_wip*")) == []
     back = spark.read.format("sheetdir").load(out)
     assert back.count() == n
+
+
+def test_ivfpq_single_centroid_and_codeword(spark, tmp_path):
+    """64-dim corpus with one stride centroid AND one PQ codeword
+    (only vec_id 0 hits either stride): every vector shares the single
+    inverted list, so the exact-ranked arm sees the whole corpus and
+    reads recall 1.0; the single-codeword ADC distance is constant
+    across neighbors, so the PQ arm degenerates to id-order ranking —
+    the compression-cost floor. Cross-engine equal, and the
+    by-construction invariant recall_ivfpq <= recall_ivf holds."""
+    import math
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import (
+        sim_ivfpq_recall_clustered,
+    )
+
+    vecs = []
+    for i in range(10):
+        vecs.append((i, [math.sin(i * 1.7 + j * 0.3) for j in range(64)]))
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(out)
+    clear_shared()
+    try:
+        got = _spark_rows(sim_ivfpq_recall_clustered(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = _con("embeddings", out)
+    assert got == _oracle(con, "sim_ivfpq_recall_clustered")
+    (nq, nt, hi, ri, hp, rp) = got[0]
+    assert (nq, nt) == (10, 50)
+    assert ri == 1.0  # single list -> exact arm sees everything
+    assert rp <= ri
