@@ -1797,3 +1797,213 @@ def stats_bootstrap_ci_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_ucents",
         )
     )
+
+
+_PERM_B = 32  # label permutations; exact p floor is 1/(B+1)
+_PERM_GUARD = (
+    "permutation test undefined: a group is empty in the panel"
+)
+
+
+@pending_query(
+    "stats_permutation_test_md5",
+    oracle=f"""
+    WITH panel AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vc,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS grp,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rk
+      FROM orders
+      QUALIFY rk <= {_BOOT_N}
+    ),
+    sz AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(grp) AS BIGINT) AS na,
+             CAST(COUNT(*) - SUM(grp) AS BIGINT) AS nb
+      FROM panel
+    ),
+    guard AS (
+      SELECT CASE WHEN na = 0 OR nb = 0
+                  THEN CAST(error('{_PERM_GUARD}') AS BIGINT)
+                  ELSE na END AS na, nb, n
+      FROM sz
+    ),
+    obs AS (
+      SELECT abs(g.nb * SUM(CASE WHEN p.grp = 1 THEN p.vc ELSE 0 END)
+                  - g.na * SUM(CASE WHEN p.grp = 0 THEN p.vc ELSE 0 END))
+               AS t_obs
+      FROM panel p, guard g GROUP BY g.na, g.nb
+    ),
+    hashes AS (
+      SELECT b.b, p.rk, p.vc,
+             ({sql_hex_long(
+                 "md5(CAST(b.b AS VARCHAR) || '_' || CAST(p.rk AS VARCHAR))",
+                 14, 1)}) AS h
+      FROM range({_PERM_B}) b(b), panel p
+    ),
+    perm AS (
+      SELECT b, vc,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY b ORDER BY h, rk)
+                       <= (SELECT na FROM guard)
+                  THEN 1 ELSE 0 END AS grp
+      FROM hashes
+    ),
+    stats AS (
+      SELECT pm.b,
+             abs(g.nb * SUM(CASE WHEN pm.grp = 1 THEN pm.vc ELSE 0 END)
+                 - g.na * SUM(CASE WHEN pm.grp = 0 THEN pm.vc ELSE 0 END))
+               AS t
+      FROM perm pm, guard g GROUP BY pm.b, g.na, g.nb
+    )
+    SELECT g.na AS n_a, g.nb AS n_b,
+           CAST(o.t_obs AS BIGINT) AS t_obs,
+           CAST({_PERM_B} AS BIGINT) AS b_perms,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM stats s, obs oo
+             WHERE s.t >= oo.t_obs) AS n_ge,
+           (SELECT CAST((1000000 * (1 + COUNT(*))) // ({_PERM_B} + 1)
+                   AS BIGINT)
+              FROM stats s, obs oo WHERE s.t >= oo.t_obs) AS p_ppm
+    FROM guard g, obs o
+    """,
+)
+def stats_permutation_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-sample PERMUTATION TEST for mean order value,
+    finished ('F') vs open/pending orders — the exact-inference rung of
+    the testing family (Welch t assumes normality, Mann-Whitney tests
+    ranks; the permutation test uses the data's own label-exchange
+    null). Every one of the {_PERM_B} label permutations is a pure md5
+    function of (permutation, panel rank): permutation b assigns group
+    A to the n_A panel positions with the smallest md5(b‖rk) values —
+    a uniform random n_A-subset under the md5 model, bit-identical on
+    every engine, re-run, and cluster size (the derandomized-audit
+    discipline of the bootstrap/epoch-shuffle family).
+
+    The statistic is the CROSS-MULTIPLIED absolute mean gap
+    |n_B·ΣA − n_A·ΣB| over exact integer cents — equal to
+    n_A·n_B·|mean_A − mean_B| — so no division ever happens and every
+    comparison is exact int64. p = (1 + #{{T_b ≥ T_obs}}) / (B+1)
+    reported as floor-ppm plus the raw counts (the exact rational).
+    An empty group raises LOUDLY on both engines. Like all fixed-B
+    permutation tests the p-value floor is 1/(B+1) ≈ 0.03 — the audit
+    certifies the machinery, production raises B.
+
+    Scale shape: one TakeOrderedAndProject builds the {_BOOT_N}-row
+    panel; the {_PERM_B}×{_BOOT_N} hash grid is generated, not
+    stored; per-permutation ranking windows partition by b over
+    panel-sized groups; everything downstream is ≤ {_PERM_B} rows.
+    O(B·N log N) at ANY table size.
+
+    Reference basis: none; contract statistics family (SURVEY §2.10
+    A-row extension) beside Welch t, Mann-Whitney, jackknife, and the
+    md5 bootstrap."""
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("vc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("grp"),
+        "o_orderkey",
+    )
+    panel = (
+        o.withColumn("_pk", F.md5(F.col("o_orderkey").cast("string")))
+        .orderBy("_pk", "o_orderkey")
+        .limit(_BOOT_N)
+        .select(
+            "vc",
+            "grp",
+            F.row_number()
+            .over(Window.orderBy("_pk", "o_orderkey"))
+            .alias("rk"),
+        )
+    )
+    sz = panel.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("grp").cast("long").alias("na"),
+        (F.count(F.lit(1)) - F.sum("grp")).cast("long").alias("nb"),
+    )
+    guard = sz.select(
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0), F.col("na")
+        )
+        .otherwise(F.expr(f"raise_error('{_PERM_GUARD}')"))
+        .cast("long")
+        .alias("na"),
+        "nb",
+        "n",
+    )
+    obs = (
+        panel.crossJoin(F.broadcast(guard))
+        .groupBy("na", "nb")
+        .agg(
+            F.abs(
+                F.col("nb") * F.sum(F.when(F.col("grp") == 1, F.col("vc")).otherwise(0))
+                - F.col("na")
+                * F.sum(F.when(F.col("grp") == 0, F.col("vc")).otherwise(0))
+            )
+            .cast("long")
+            .alias("t_obs")
+        )
+        .select("t_obs")
+    )
+    hashes = (
+        spark.range(_PERM_B)
+        .withColumnRenamed("id", "b")
+        .crossJoin(F.broadcast(panel))
+        .select(
+            "b",
+            "rk",
+            "vc",
+            hex_prefix_long(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("b").cast("string"),
+                        F.col("rk").cast("string"),
+                    )
+                ),
+                14,
+                1,
+            ).alias("h"),
+        )
+    )
+    wb = Window.partitionBy("b").orderBy("h", "rk")
+    perm = hashes.crossJoin(F.broadcast(guard.select("na"))).select(
+        "b",
+        "vc",
+        F.when(F.row_number().over(wb) <= F.col("na"), 1)
+        .otherwise(0)
+        .alias("pgrp"),
+    )
+    stats = (
+        perm.crossJoin(F.broadcast(guard.select(F.col("na").alias("gna"),
+                                                F.col("nb").alias("gnb"))))
+        .groupBy("b", "gna", "gnb")
+        .agg(
+            F.abs(
+                F.col("gnb")
+                * F.sum(F.when(F.col("pgrp") == 1, F.col("vc")).otherwise(0))
+                - F.col("gna")
+                * F.sum(F.when(F.col("pgrp") == 0, F.col("vc")).otherwise(0))
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .select("b", "t")
+    )
+    nge = (
+        stats.crossJoin(F.broadcast(obs))
+        .filter(F.col("t") >= F.col("t_obs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ge"))
+    )
+    return (
+        guard.select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
+        .crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(nge))
+        .select(
+            "n_a",
+            "n_b",
+            "t_obs",
+            F.lit(_PERM_B).cast("long").alias("b_perms"),
+            "n_ge",
+            F.expr(f"CAST((1000000 * (1 + n_ge)) div ({_PERM_B} + 1) AS BIGINT)")
+            .alias("p_ppm"),
+        )
+    )

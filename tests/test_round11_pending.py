@@ -234,3 +234,64 @@ def test_ivfpq_single_centroid_and_codeword(spark, tmp_path):
     assert (nq, nt) == (10, 50)
     assert ri == 1.0  # single list -> exact arm sees everything
     assert rp <= ri
+
+
+def _write_orders(spark, tmp_path, rows):
+    out = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).coalesce(1).write.parquet(out)
+    return out
+
+
+def test_permutation_test_all_equal_p_is_one(spark, tmp_path):
+    """When every order value is identical, every permutation statistic
+    equals the observed 0, so n_ge = B and p_ppm = 1e6 exactly — the
+    no-signal closed form."""
+    from catme_etl_spark.operators.stats import stats_permutation_test_md5
+
+    rows = [(i, "F" if i % 2 == 0 else "O", 50.0) for i in range(1, 9)]
+    out = _write_orders(spark, tmp_path, rows)
+    got = _spark_rows(stats_permutation_test_md5(spark, str(tmp_path)))
+    con = _con("orders", out)
+    assert got == _oracle(con, "stats_permutation_test_md5")
+    assert got == [(4, 4, 0, 32, 32, 1000000)]
+
+
+def test_permutation_test_signal_and_guard(spark, tmp_path):
+    """A 1000x mean gap between groups: cross-engine equal, observed
+    statistic is the hand value 2*|sumF*nO - sumO*nF| form, and the
+    p-value is strictly below 1. All-one-group raises LOUDLY on both
+    engines."""
+    import pytest
+
+    from catme_etl_spark.operators.stats import stats_permutation_test_md5
+
+    rows = [
+        (1, "F", 1000.0),
+        (2, "F", 1000.0),
+        (3, "O", 1.0),
+        (4, "O", 1.0),
+    ]
+    out = _write_orders(spark, tmp_path, rows)
+    got = _spark_rows(stats_permutation_test_md5(spark, str(tmp_path)))
+    con = _con("orders", out)
+    assert got == _oracle(con, "stats_permutation_test_md5")
+    (na, nb, t_obs, bp, n_ge, p_ppm) = got[0]
+    assert (na, nb, bp) == (2, 2, 32)
+    assert t_obs == abs(2 * 200000 - 2 * 200)
+    assert 0 <= n_ge <= 32
+    assert p_ppm < 1000000
+
+    one_group = [(i, "F", float(i)) for i in range(1, 6)]
+    import os
+
+    os.makedirs(str(tmp_path / "g2"), exist_ok=True)
+    out2 = _write_orders(spark, tmp_path / "g2", one_group)
+    with pytest.raises(Exception, match="permutation test undefined"):
+        stats_permutation_test_md5(spark, str(tmp_path / "g2")).collect()
+    con2 = _con("orders", out2)
+    import duckdb as _ddb
+
+    with pytest.raises(_ddb.Error, match="permutation test undefined"):
+        _oracle(con2, "stats_permutation_test_md5")
