@@ -1947,3 +1947,171 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             > (F.col("n_days") * F.col("sx"))
         ).alias("is_bursty"),
     )
+
+
+_CHANGEPOINT_GUARD = "changepoint undefined: fewer than 2 observed days"
+
+
+@pending_query(
+    "events_changepoint_max_meanshift",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(MAX(day) AS BIGINT) AS last_day
+      FROM d
+    ),
+    g AS (
+      SELECT CASE WHEN nd < 2
+                  THEN CAST(error('{_CHANGEPOINT_GUARD}') AS BIGINT)
+                  ELSE nd END AS nd, s, last_day
+      FROM tot
+    ),
+    cand AS (
+      SELECT c.day,
+             CAST(COUNT(o.day) AS BIGINT) AS nl,
+             g.nd - COUNT(o.day) AS nr,
+             CAST(SUM(o.n) AS BIGINT) AS sl,
+             g.s - SUM(o.n) AS sr
+      FROM d c JOIN d o ON o.day <= c.day, g
+      WHERE c.day < g.last_day
+      GROUP BY c.day, g.nd, g.s
+    ),
+    scored AS (
+      SELECT day, nl, nr, sl, sr,
+             abs(nr * sl - nl * sr) AS a,
+             nl * nr AS b
+      FROM cand
+    ),
+    rk AS (
+      SELECT c.day, COUNT(o.day) AS beat
+      FROM scored c LEFT JOIN scored o
+        ON (o.a * c.b > c.a * o.b)
+        OR (o.a * c.b = c.a * o.b AND o.day < c.day)
+      GROUP BY c.day
+    ),
+    win AS (
+      SELECT s.* FROM scored s JOIN rk ON rk.day = s.day
+      WHERE rk.beat = 0
+    )
+    SELECT g.nd AS n_days,
+           CAST(win.day * 86400000000 AS BIGINT) AS split_after_day_us,
+           win.nl AS n_left_days,
+           win.nr AS n_right_days,
+           CAST((1000000 * win.a) // win.b AS BIGINT) AS gap_ppm,
+           CAST(CASE WHEN win.nr * win.sl - win.nl * win.sr < 0 THEN 1
+                     WHEN win.nr * win.sl - win.nl * win.sr > 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS step_sign
+    FROM win, g
+    """,
+)
+def events_changepoint_max_meanshift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-changepoint detection on the daily event-count series —
+    the first split of binary segmentation, the localization sibling
+    of `ts_cusum_max_deviation` (CUSUM says HOW FAR the series drifts
+    from its mean; this says WHERE the level shifts and by how much):
+    the split day k maximizing the absolute mean gap
+    |mean(days ≤ k) − mean(days > k)|, reported with the gap in
+    floor-ppm events/day and the step direction.
+
+    Exactness end to end: daily counts are exact integers; the gap
+    comparison is the cross-multiplied rational form — candidate k
+    scores a(k)/b(k) with a = |n_R·S_L − n_L·S_R|, b = n_L·n_R, and
+    the argmax compares a_i·b_j vs a_j·b_i in int64 (products bounded
+    by days²·Σn — fine at any realistic horizon), ties to the
+    earliest day. No division until the final floor-ppm read-out, so
+    the winner is bit-identical cross-engine. Fewer than 2 observed
+    days raises LOUDLY on both engines. Defined over OBSERVED days
+    (a day with zero events contributes no row — the ingest-volume
+    monitors own gap detection).
+
+    Scale shape: the raw scan collapses to |days| rows in one
+    map-side-combinable agg; prefix sums and the argmax are bounded
+    triangular self-joins on that tiny series (|days|² pairs, no
+    single-partition window); one output row.
+
+    Reference basis: none; contract ops-analytics/time-series family
+    beside CUSUM, autocorrelation, and the Fano burstiness index."""
+    d = (
+        _events(spark, sf_dir)
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s"),
+        F.max("day").cast("long").alias("last_day"),
+    )
+    g = tot.select(
+        F.when(F.col("nd") >= 2, F.col("nd"))
+        .otherwise(F.expr(f"raise_error('{_CHANGEPOINT_GUARD}')"))
+        .cast("long")
+        .alias("nd"),
+        "s",
+        "last_day",
+    )
+    o = d.select(F.col("day").alias("oday"), F.col("n").alias("onn"))
+    cand = (
+        d.crossJoin(F.broadcast(g))
+        .filter(F.col("day") < F.col("last_day"))
+        .join(F.broadcast(o), F.col("oday") <= F.col("day"))
+        .groupBy("day", "nd", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nl"),
+            F.sum("onn").cast("long").alias("sl"),
+        )
+        .select(
+            "day",
+            "nl",
+            (F.col("nd") - F.col("nl")).cast("long").alias("nr"),
+            "sl",
+            (F.col("s") - F.col("sl")).cast("long").alias("sr"),
+        )
+    )
+    scored = cand.select(
+        "day",
+        "nl",
+        "nr",
+        "sl",
+        "sr",
+        F.abs(F.col("nr") * F.col("sl") - F.col("nl") * F.col("sr"))
+        .cast("long")
+        .alias("a"),
+        (F.col("nl") * F.col("nr")).cast("long").alias("b"),
+    )
+    other = scored.select(
+        F.col("day").alias("jday"), F.col("a").alias("ja"), F.col("b").alias("jb")
+    )
+    rk = (
+        scored.join(
+            F.broadcast(other),
+            (F.col("ja") * F.col("b") > F.col("a") * F.col("jb"))
+            | (
+                (F.col("ja") * F.col("b") == F.col("a") * F.col("jb"))
+                & (F.col("jday") < F.col("day"))
+            ),
+            "left",
+        )
+        .groupBy("day", "nl", "nr", "sl", "sr", "a", "b")
+        .agg(F.count("jday").alias("beat"))
+        .filter(F.col("beat") == 0)
+    )
+    return rk.crossJoin(F.broadcast(g.select("nd"))).select(
+        F.col("nd").alias("n_days"),
+        (F.col("day") * 86400000000).cast("long").alias("split_after_day_us"),
+        F.col("nl").alias("n_left_days"),
+        F.col("nr").alias("n_right_days"),
+        F.expr("CAST((1000000 * a) div b AS BIGINT)").alias("gap_ppm"),
+        F.when(F.col("nr") * F.col("sl") - F.col("nl") * F.col("sr") < 0, 1)
+        .when(F.col("nr") * F.col("sl") - F.col("nl") * F.col("sr") > 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("step_sign"),
+    )

@@ -295,3 +295,66 @@ def test_permutation_test_signal_and_guard(spark, tmp_path):
 
     with pytest.raises(_ddb.Error, match="permutation test undefined"):
         _oracle(con2, "stats_permutation_test_md5")
+
+
+def test_changepoint_step_and_tie(spark, tmp_path):
+    """A clean level shift [10,10,10,10,50,50,50,50] splits exactly at
+    the boundary with gap 40 events/day upward; the symmetric series
+    [5,9,5] ties two splits (both score 4/2) and the EARLIEST day must
+    win. Single-day series raise loudly on both engines."""
+    import pytest
+
+    from catme_etl_spark.operators.events import (
+        events_changepoint_max_meanshift,
+    )
+
+    day = 86400
+    d0 = dt.datetime(2024, 1, 1)
+    day_us = 86_400_000_000
+
+    def day_start_us(offset):
+        e = int(d0.replace(tzinfo=dt.timezone.utc).timestamp()) + offset * day
+        return (e * 1_000_000 // day_us) * day_us
+
+    rows = []
+    for dd, n in enumerate([10, 10, 10, 10, 50, 50, 50, 50]):
+        for i in range(n):
+            rows.append(
+                (1, d0 + dt.timedelta(seconds=dd * day + i), "view", 1.0)
+            )
+    out = _write_events(spark, tmp_path, rows)
+    got = _spark_rows(events_changepoint_max_meanshift(spark, str(tmp_path)))
+    con = _con("events", out)
+    assert got == _oracle(con, "events_changepoint_max_meanshift")
+    assert got == [(8, day_start_us(3), 4, 4, 40_000_000, 1)]
+
+    import os
+
+    os.makedirs(str(tmp_path / "tie"), exist_ok=True)
+    rows2 = []
+    for dd, n in enumerate([5, 9, 5]):
+        for i in range(n):
+            rows2.append(
+                (1, d0 + dt.timedelta(seconds=dd * day + i), "view", 1.0)
+            )
+    out2 = _write_events(spark, tmp_path / "tie", rows2)
+    got2 = _spark_rows(
+        events_changepoint_max_meanshift(spark, str(tmp_path / "tie"))
+    )
+    con2 = _con("events", out2)
+    assert got2 == _oracle(con2, "events_changepoint_max_meanshift")
+    assert got2 == [(3, day_start_us(0), 1, 2, 2_000_000, 1)]
+
+    os.makedirs(str(tmp_path / "one"), exist_ok=True)
+    out3 = _write_events(
+        spark, tmp_path / "one", [(1, d0, "view", 1.0), (2, d0, "view", 1.0)]
+    )
+    with pytest.raises(Exception, match="changepoint undefined"):
+        events_changepoint_max_meanshift(
+            spark, str(tmp_path / "one")
+        ).collect()
+    con3 = _con("events", out3)
+    import duckdb as _ddb
+
+    with pytest.raises(_ddb.Error, match="changepoint undefined"):
+        _oracle(con3, "events_changepoint_max_meanshift")
