@@ -2935,3 +2935,144 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+WINNOW_K = 16  # char k-gram length (MOSS used 5-char tokens over code;
+# 16 chars ~ 2-3 words keeps the guarantee threshold t = K + W - 1 = 23
+# chars: any shared substring of >= 23 chars is ALWAYS detected)
+WINNOW_W = 8  # winnowing window (fingerprint density ~ 2/(W+1))
+WINNOW_T = 2  # pairs must share >= T distinct fingerprints
+WINNOW_DF_CAP = 64  # stop-fingerprint cap: a k-gram in > CAP docs is
+# boilerplate, not evidence of copying (the stop-shingle device)
+
+
+@pending_query(
+    "dedup_winnowing_fingerprint_pairs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, len(text) - {WINNOW_K} + 1 AS ng
+      FROM documents WHERE len(text) >= {WINNOW_K}
+    ),
+    grams AS (
+      SELECT doc_id, ng, UNNEST(range(ng)) AS i FROM docs
+    ),
+    hashed AS (
+      SELECT g.doc_id, g.ng, g.i,
+             {sql_hex_long(
+                 f"md5(substring(d.text, g.i + 1, {WINNOW_K}))", 14, 1
+             )} AS h
+      FROM grams g JOIN docs d USING (doc_id)
+    ),
+    wmin AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashed
+      QUALIFY i <= ng - {WINNOW_W}
+    ),
+    fp AS (SELECT DISTINCT doc_id, fp FROM wmin),
+    live AS (
+      SELECT fp FROM fp GROUP BY fp
+      HAVING COUNT(*) <= {WINNOW_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN live l ON l.fp = a.fp
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {WINNOW_T}
+    )
+    SELECT doc_a, doc_b, n_shared_fp FROM pairs
+    """,
+)
+def dedup_winnowing_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WINNOWING document fingerprinting (Schleimer-Wilkerson-Aiken,
+    the MOSS algorithm) — the CHARACTER-level partial-overlap detector
+    the token-shingle family can't replace: MinHash/SimHash estimate
+    WHOLE-document similarity and the containment tier needs token
+    boundaries, but a copied paragraph inside an otherwise-different
+    document moves every whole-doc score toward noise. Winnowing
+    guarantees any shared substring of >= K + W - 1 = {WINNOW_K
+    + WINNOW_W - 1} characters produces at least one SHARED
+    fingerprint, while storing only ~2/(W+1) of the k-gram hashes:
+    per doc, hash every {WINNOW_K}-char k-gram (56-bit md5 slice) and
+    keep the MINIMUM of each {WINNOW_W}-hash window (full windows
+    only); docs sharing >= {WINNOW_T} distinct fingerprints pair with
+    their shared-fingerprint count — the plagiarism/quote-reuse
+    report beside the whole-doc near-dup families.
+
+    Fingerprints occurring in > {WINNOW_DF_CAP} documents are dropped
+    as boilerplate (the stop-shingle device): a universal header is
+    evidence of a template, not of copying — and the cap is what
+    bounds the pair join's Σ df² at corpus scale. Docs shorter than
+    K + W - 1 chars produce no full window and exit (exact dedup owns
+    short docs).
+
+    Scale shape: one narrow pass explodes char positions (O(chars)
+    rows — same order as the shingle builders), the window minimum
+    partitions BY DOC (per-key groups, never a global sort), DISTINCT
+    collapses to the ~2/(W+1)-density fingerprint set, and the pair
+    join runs on the df-capped inverted index exactly like the banded
+    LSH join. At 100 TB the fingerprint set is the materialized
+    artifact; the guarantee threshold (23 chars) and density are the
+    published winnowing trade-off.
+
+    Reference basis: none; contract dedup family (SURVEY §2.10 F8/F9
+    extension) — the char-level rung under the token-level ladder."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", (F.length("text") - WINNOW_K + 1).alias("ng"))
+        .filter(F.col("ng") >= 1)
+    )
+    hashed = (
+        fan_out(d, spark)
+        .select(
+            "doc_id",
+            "ng",
+            "text",
+            F.posexplode(F.expr(f"sequence(0, ng - 1)")).alias("_p", "i"),
+        )
+        .select(
+            "doc_id",
+            "ng",
+            "i",
+            hex_prefix_long(
+                F.md5(F.expr(f"substring(text, i + 1, {WINNOW_K})")), 14, 1
+            ).alias("h"),
+        )
+    )
+    wmin = (
+        hashed.withColumn(
+            "fp",
+            F.min("h").over(
+                Window.partitionBy("doc_id")
+                .orderBy("i")
+                .rowsBetween(0, WINNOW_W - 1)
+            ),
+        )
+        .filter(F.col("i") <= F.col("ng") - WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    live = (
+        wmin.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    idx = wmin.join(live, "fp")
+    pairs = (
+        idx.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(idx.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= WINNOW_T)
+    )
+    return pairs

@@ -358,3 +358,44 @@ def test_changepoint_step_and_tie(spark, tmp_path):
 
     with pytest.raises(_ddb.Error, match="changepoint undefined"):
         _oracle(con3, "events_changepoint_max_meanshift")
+
+
+def test_winnowing_shared_substring_pairs(spark, tmp_path):
+    """The winnowing guarantee, exercised: docs 1/2 share only a long
+    middle substring inside otherwise-different text (the whole-doc
+    similarity families score them low; the char-level fingerprints
+    must pair them); doc 4 is byte-identical to doc 1 (maximal
+    overlap); doc 3 shares nothing; doc 5 is shorter than the K+W-1
+    guarantee threshold and exits. Cross-engine equal."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import (
+        dedup_winnowing_fingerprint_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    t1 = "alpha start block " + shared + " omega finish one"
+    t2 = "completely different preamble " + shared + " unrelated tail two"
+    t3 = "nothing here matches anything else in this tiny corpus at all"
+    docs = [
+        (1, t1, "en", "s", 1),
+        (2, t2, "en", "s", 1),
+        (3, t3, "en", "s", 1),
+        (4, t1, "en", "s", 1),
+        (5, "short text", "en", "s", 1),
+    ]
+    out = _write_docs(spark, tmp_path, docs)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            dedup_winnowing_fingerprint_pairs(spark, str(tmp_path))
+        )
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "dedup_winnowing_fingerprint_pairs")
+    by_pair = {(a, b): n for a, b, n in got}
+    assert (1, 4) in by_pair  # identical docs: maximal overlap
+    assert (1, 2) in by_pair  # shared substring caught cross-document
+    assert by_pair[(1, 2)] == by_pair.get((2, 4))  # same shared region
+    assert by_pair[(1, 4)] > by_pair[(1, 2)]
+    assert all(3 not in p and 5 not in p for p in by_pair)
