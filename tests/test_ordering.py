@@ -82,9 +82,17 @@ def test_pending_queue_discipline():
     for name, fn in PENDING.items():
         assert callable(fn), name
     # round 10 flipped the 12-op round-9 queue live as its first act
-    # (evidence: PENDING_CHECK_r09.txt, tests/test_round10_pending.py);
-    # the round-11 queue accumulates here as the round progresses.
-    assert set(PENDING) == set()
+    # (evidence: PENDING_CHECK_r09.txt, tests/test_round10_pending.py).
+    # The staged round-11 debut queue, pinned by name (evidence:
+    # PENDING_CHECK_r10.txt, tests/test_round11_pending.py):
+    assert set(PENDING) == {
+        "stream_latency_alert_daily",
+        "pipeline_corpus_release",
+        "sim_ivfpq_recall_clustered",
+        "stats_permutation_test_md5",
+        "events_changepoint_max_meanshift",
+        "dedup_winnowing_fingerprint_pairs",
+    }
 
 
 def test_max_staleness_bound():

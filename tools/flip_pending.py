@@ -33,7 +33,10 @@ PKG_GLOBS = [
 def flip_sites() -> dict[str, list[str]]:
     """path -> query names whose decoration would flip."""
     out: dict[str, list[str]] = {}
-    pat = re.compile(r'@pending_query\(\s*\n\s*"([a-zA-Z0-9_]+)"')
+    # name on the next line (the module convention) OR inline on the
+    # decorator line — \s* spans newlines, so both forms flip (a
+    # formatting drift the sync test caught in round 10)
+    pat = re.compile(r'@pending_query\(\s*"([a-zA-Z0-9_]+)"')
     for g in PKG_GLOBS:
         for path in sorted(glob.glob(g)):
             names = pat.findall(open(path).read())
@@ -62,6 +65,7 @@ def main() -> int:
     for path in sites:
         src = open(path).read()
         src = src.replace("@pending_query(\n", "@query(\n")
+        src = src.replace('@pending_query("', '@query("')
         open(path, "w").write(src)
     print(f"\nflipped {total} registrations live — now run:")
     print("  python tools/rotation.py emit --write")
