@@ -1952,9 +1952,7 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHANGEPOINT_GUARD = "changepoint undefined: fewer than 2 observed days"
 
 
-@pending_query(
-    "events_changepoint_max_meanshift",
-    oracle=f"""
+_CHANGEPOINT_ORACLE = f"""
     WITH d AS (
       SELECT epoch_us(ts) // 86400000000 AS day,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -2007,7 +2005,12 @@ _CHANGEPOINT_GUARD = "changepoint undefined: fewer than 2 observed days"
                      WHEN win.nr * win.sl - win.nl * win.sr > 0 THEN -1
                      ELSE 0 END AS BIGINT) AS step_sign
     FROM win, g
-    """,
+    """
+
+
+@pending_query(
+    "events_changepoint_max_meanshift",
+    oracle=_CHANGEPOINT_ORACLE,
 )
 def events_changepoint_max_meanshift(
     spark: SparkSession, sf_dir: str
@@ -2044,6 +2047,16 @@ def events_changepoint_max_meanshift(
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return changepoint_verdict(d)
+
+
+def changepoint_verdict(d: DataFrame) -> DataFrame:
+    """The batch-side changepoint verdict over a (day, n) daily-count
+    series — factored out so the streaming arm
+    (`stream_changepoint_daily`) runs the IDENTICAL argmax on its
+    complete-mode snapshot and certifies byte-equality to the batch
+    operator. See `events_changepoint_max_meanshift` for the exact
+    rational-comparison semantics."""
     tot = d.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("n").cast("long").alias("s"),

@@ -1617,3 +1617,42 @@ def stream_latency_alert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alert"),
     )
+
+
+from ..operators.events import _CHANGEPOINT_ORACLE  # noqa: E402
+from ..operators.events import changepoint_verdict  # noqa: E402
+
+
+@pending_query(
+    "stream_changepoint_daily",
+    oracle=_CHANGEPOINT_ORACLE,
+)
+def stream_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changepoint monitor's STREAMING ARM (C7) — the state/verdict
+    split applied to `events_changepoint_max_meanshift`: the stream
+    owns only the mergeable daily-count state (epoch-anchored 1-day
+    tumbling windows in complete mode — COUNT is
+    commutative/associative, so out-of-order micro-batches cannot
+    corrupt a day), and the batch-side verdict runs the IDENTICAL
+    cross-multiplied rational argmax (`changepoint_verdict`, the
+    factored kernel the batch operator itself calls) on the snapshot.
+    Certified against the SAME oracle as the batch op, so the stream
+    and the nightly batch produce byte-identical split verdicts at any
+    handoff boundary — the level-shift alarm a live ingest dashboard
+    reads beside the weekly MAD monitor (that one flags magnitude
+    outliers; this one localizes WHEN the regime changed).
+
+    State shape: one (day, count) row per observed day — bounded by
+    the stream's horizon, not its volume; the verdict side is the
+    |days|² bounded triangular argmax.
+
+    Reference basis: none; contract C5/C7 streaming family."""
+    e = _stream_events(spark, sf_dir)
+    agg = e.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    snap = _run_to_memory(agg, "complete")
+    d = snap.select(
+        F.expr("unix_micros(w.start) div 86400000000").alias("day"), "n"
+    )
+    return changepoint_verdict(d)

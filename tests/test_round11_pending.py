@@ -399,3 +399,30 @@ def test_winnowing_shared_substring_pairs(spark, tmp_path):
     assert by_pair[(1, 2)] == by_pair.get((2, 4))  # same shared region
     assert by_pair[(1, 4)] > by_pair[(1, 2)]
     assert all(3 not in p and 5 not in p for p in by_pair)
+
+
+def test_stream_changepoint_equals_batch(spark, tmp_path):
+    """The streaming changepoint arm must emit exactly the batch
+    verdict on the same data (complete-mode daily counts equal batch
+    daily counts): reuse the clean-step series."""
+    from catme_etl_spark.operators.events import (
+        events_changepoint_max_meanshift,
+    )
+    from catme_etl_spark.streaming.jobs import stream_changepoint_daily
+
+    day = 86400
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for dd, n in enumerate([10, 10, 10, 50, 50]):
+        for i in range(n):
+            rows.append(
+                (1, d0 + dt.timedelta(seconds=dd * day + i), "view", 1.0)
+            )
+    out = _write_events(spark, tmp_path, rows)
+    got = _spark_rows(stream_changepoint_daily(spark, str(tmp_path)))
+    con = _con("events", out)
+    assert got == _oracle(con, "stream_changepoint_daily")
+    assert got == _spark_rows(
+        events_changepoint_max_meanshift(spark, str(tmp_path))
+    )
+    assert got[0][2:] == (3, 2, 40_000_000, 1)
