@@ -369,3 +369,172 @@ def events_attribution_u_shaped(spark, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credited_clicks"),
         F.round(F.sum("credit") / 100.0, 2).alias("attributed_value"),
     )
+
+
+DECAY_LOOKBACK = 16  # credited touches per conversion: the dyadic
+# weight of the 17th-from-last click is < 0.002% — beyond it clicks
+# carry zero credit, and the 2^k terms stay far inside int64.
+
+
+@pending_query(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.click_id, c.ts AS cts, p.purchase_id, p.cents
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+    ),
+    r AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY cts, click_id) AS rk
+      FROM j
+    ),
+    cred AS (
+      SELECT * FROM (
+        SELECT *, LEAST(n, {DECAY_LOOKBACK}) AS m,
+               rk - (n - LEAST(n, {DECAY_LOOKBACK})) AS k
+        FROM r
+      ) WHERE k >= 1
+    ),
+    w AS (
+      SELECT *,
+             (cents * (CAST(1 AS BIGINT) << (k - 1)))
+               // ((CAST(1 AS BIGINT) << m) - 1) AS fl,
+             (cents * (CAST(1 AS BIGINT) << (k - 1)))
+               % ((CAST(1 AS BIGINT) << m) - 1) AS rem
+      FROM cred
+    ),
+    loss AS (
+      SELECT purchase_id,
+             CAST(MAX(cents) - SUM(fl) AS BIGINT) AS loss
+      FROM w GROUP BY purchase_id
+    ),
+    rkd AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                   ORDER BY rem DESC, k DESC) - 1 AS pr
+      FROM w
+    ),
+    cr AS (
+      SELECT rkd.click_id, rkd.cts,
+             rkd.fl + CASE WHEN rkd.pr < loss.loss THEN 1 ELSE 0 END
+               AS credit
+      FROM rkd JOIN loss USING (purchase_id)
+    )
+    SELECT (CAST(floor(epoch(cts) / 3600) AS BIGINT) * 3600) * 1000000
+               AS hour_us,
+           COUNT(*) AS n_credited_clicks,
+           ROUND(SUM(credit) / 100.0, 2) AS attributed_value
+    FROM cr GROUP BY 1
+    """,
+)
+def events_attribution_time_decay(spark, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution with EXACT DYADIC weights —
+    the third standard model beside `events_attribution_linear`
+    (equal credit) and `events_attribution_u_shaped` (discovery +
+    closing): credit doubles with each step closer to the purchase,
+    position k of the credited window taking 2^(k-1)/(2^m - 1) of the
+    value. The canonical model uses continuous e^(-Δt/τ) weights —
+    libm-dependent, uncertifiable cross-engine; the dyadic
+    half-per-step ladder keeps the decay SHAPE with pure integer
+    arithmetic (shifts, div, mod), so every credit is bit-identical
+    on both engines and Σcredit = cents per purchase is an identity
+    via the penny ledger (floor shares + largest-remainder pennies,
+    ties to the latest click).
+
+    Only the LAST {DECAY_LOOKBACK} clicks of a window are credited:
+    the 17th-from-last click's weight is < 0.002% of the value (zero
+    cents at any realistic price), and the cap keeps cents·2^(k-1)
+    far inside int64 for arbitrarily clicky users. Clicks beyond the
+    look-back carry zero credit and are excluded from
+    n_credited_clicks.
+
+    Scale shape: identical to the certified siblings — the banded
+    click↔purchase equi-join, purchase-keyed windows (per-key groups,
+    never a global sort), hour-count-sized rollup.
+
+    Reference basis: none; contract event-analytics family."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = banded_interval_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        max_delta_us=1_800_000_000,
+    ).filter(
+        (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts")))
+        .between(0, 1_800_000_000)
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("ts", "click_id")
+    r = j.select(
+        "purchase_id",
+        "click_id",
+        F.col("ts").alias("cts"),
+        "cents",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    cred = r.select(
+        "purchase_id",
+        "click_id",
+        "cts",
+        "cents",
+        F.least(F.col("n"), F.lit(DECAY_LOOKBACK)).alias("m"),
+        (
+            F.col("rk")
+            - (F.col("n") - F.least(F.col("n"), F.lit(DECAY_LOOKBACK)))
+        ).alias("k"),
+    ).filter(F.col("k") >= 1)
+    w = cred.select(
+        "purchase_id",
+        "click_id",
+        "cts",
+        "cents",
+        "k",
+        F.expr(
+            "(cents * shiftleft(CAST(1 AS BIGINT), k - 1))"
+            " div (shiftleft(CAST(1 AS BIGINT), m) - 1)"
+        ).alias("fl"),
+        F.expr(
+            "(cents * shiftleft(CAST(1 AS BIGINT), k - 1))"
+            " % (shiftleft(CAST(1 AS BIGINT), m) - 1)"
+        ).alias("rem"),
+    )
+    loss = w.groupBy("purchase_id").agg(
+        (F.max("cents") - F.sum("fl")).cast("long").alias("loss")
+    )
+    wp = Window.partitionBy("purchase_id").orderBy(
+        F.col("rem").desc(), F.col("k").desc()
+    )
+    rkd = w.withColumn("pr", F.row_number().over(wp) - 1)
+    cr = rkd.join(loss, "purchase_id").select(
+        "click_id",
+        "cts",
+        (
+            F.col("fl")
+            + F.when(F.col("pr") < F.col("loss"), 1).otherwise(0)
+        ).alias("credit"),
+    )
+    hour = (F.floor(F.unix_seconds(F.col("cts")) / 3600) * 3600) * 1_000_000
+    return cr.groupBy(hour.alias("hour_us")).agg(
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        F.round(F.sum("credit") / 100.0, 2).alias("attributed_value"),
+    )

@@ -426,3 +426,55 @@ def test_stream_changepoint_equals_batch(spark, tmp_path):
         events_changepoint_max_meanshift(spark, str(tmp_path))
     )
     assert got[0][2:] == (3, 2, 40_000_000, 1)
+
+
+def test_time_decay_dyadic_credits_and_lookback(spark, tmp_path):
+    """Hand-computed dyadic ledger: three clicks (two in hour 0, one in
+    hour 1) before a $1.00 purchase split 1/7, 2/7, 4/7 -> floor
+    credits 14/28/57 with the single lost penny going to the largest
+    remainder (k=2, rem 4): hour 0 reads $0.43, hour 1 $0.57 —
+    conservation is exact. A second user fires 18 clicks: only the
+    LAST 16 are credited (n_credited = 16), value still fully
+    conserved."""
+    from catme_etl_spark.operators.rangejoin import (
+        events_attribution_time_decay,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        # user 1: trio straddling the hour boundary
+        (101, 1, t0 + dt.timedelta(minutes=50), "click", 0.0),
+        (102, 1, t0 + dt.timedelta(minutes=55), "click", 0.0),
+        (103, 1, t0 + dt.timedelta(minutes=65), "click", 0.0),
+        (104, 1, t0 + dt.timedelta(minutes=70), "purchase", 1.00),
+    ]
+    # user 2: 18 clicks, only last 16 credited (far-away day)
+    t2 = dt.datetime(2024, 6, 5, 3, 0, 0)
+    for i in range(18):
+        rows.append((200 + i, 2, t2 + dt.timedelta(minutes=i), "click", 0.0))
+    rows.append((299, 2, t2 + dt.timedelta(minutes=18), "purchase", 1.00))
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    ).coalesce(1).write.parquet(out)
+    got = _spark_rows(events_attribution_time_decay(spark, str(tmp_path)))
+    con = _con("events", out)
+    assert got == _oracle(con, "events_attribution_time_decay")
+
+    def hr_us(base, mins):
+        e = int(
+            (base + dt.timedelta(minutes=mins))
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+        )
+        return (e // 3600) * 3600 * 1_000_000
+
+    assert got == sorted(
+        [
+            (hr_us(t0, 50), 2, 0.43),   # 14 + (28+1 penny)
+            (hr_us(t0, 65), 1, 0.57),   # floor(400/7)
+            (hr_us(t2, 0), 16, 1.0),    # lookback cap, conserved
+        ]
+    )
