@@ -153,7 +153,12 @@ def main() -> None:
             "streaming DAG. BNL/cartesian > 0 is acceptable only for\n"
             "deliberately bounded inputs (cross-grid, levenshtein blocking,\n"
             "broadcast scalar thresholds / one-row global aggregates, the\n"
-            "27-row generated quarter dim in the interval-overlap join).\n"
+            "27-row generated quarter dim in the interval-overlap join,\n"
+            "and the planted-cluster recall audits' static lineage — their\n"
+            "BNL count is the one-row nct/max-abs broadcasts and the\n"
+            "|centroids|-bounded assignment loop repeated through the\n"
+            "unshared qc CTE lineage; the corpus never self-joins and the\n"
+            "ladder reads the family at e <= +0.22).\n"
             "Queries consuming a\n"
             "session-materialized builder (`operators/_shared.py`:\n"
             "MinHash/SimHash verified pairs) show the post-checkpoint plan —\n"
