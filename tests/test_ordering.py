@@ -92,6 +92,8 @@ def test_pending_queue_discipline():
         "stats_permutation_test_md5",
         "events_changepoint_max_meanshift",
         "dedup_winnowing_fingerprint_pairs",
+        "stream_changepoint_daily",
+        "events_attribution_time_decay",
     }
 
 
