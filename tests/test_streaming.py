@@ -340,3 +340,112 @@ def test_minhash_band_index_restart_recovers_state(spark, sf_dir, tmp_path):
     a_mass = snap_a.agg(F.sum("n_docs")).collect()[0][0]
     b_mass = snap_b.agg(F.sum("n_docs")).collect()[0][0]
     assert a_mass < b_mass
+
+
+def test_session_window_restart_recovers_open_sessions(spark, tmp_path):
+    """Kill-and-restart contract for ENGINE-MANAGED SESSION-WINDOW
+    state (the C8 latency family's store): a session's view arrives in
+    file 1, the query dies, and its purchase arrives in file 2
+    processed by a brand-new query object on the same checkpoint. The
+    sealed append-mode output must contain ONE merged session carrying
+    both halves — impossible unless the open-session state (and the
+    watermark) survived the restart — and no session may emit twice
+    (offsets recovered)."""
+    import datetime as dtm
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    os.makedirs(out_dir)
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def land(rows, name):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, name + ".parquet"))
+
+    def run_once(tag):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+            .withWatermark("ts", "1 hour")
+        )
+        agg = stream.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        ).agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("v"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("purchases"),
+        )
+
+        def write_batch(df, batch_id):
+            df.select(
+                "user_id", F.unix_micros("v").alias("v_us"), "purchases"
+            ).write.mode("append").parquet(os.path.join(out_dir, f"run_{tag}"))
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.foreachBatch(write_batch)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    land(
+        [
+            (1, t0, "view"),
+            (3, t0 + dtm.timedelta(minutes=5), "view"),
+        ],
+        "f1",
+    )
+    run_once("a")  # nothing sealed: watermark far before the sessions
+
+    land(
+        [
+            (1, t0 + dtm.timedelta(minutes=10), "purchase"),
+            (9, dtm.datetime(2024, 1, 3), "click"),  # watermark anchor
+        ],
+        "f2",
+    )
+    run_once("b")  # NEW query, same checkpoint: f2 only
+
+    def rows(tag):
+        path = os.path.join(out_dir, f"run_{tag}")
+        if not glob.glob(os.path.join(path, "part-*.parquet")):
+            return []
+        return [
+            (r["user_id"], r["v_us"], tuple(r["purchases"]))
+            for r in spark.read.parquet(path).collect()
+        ]
+
+    assert rows("a") == []  # nothing sealed before the anchor
+    got = sorted(rows("b"))
+    t0_us = int(t0.replace(tzinfo=dtm.timezone.utc).timestamp()) * 1_000_000
+    # user 1: view from f1 MERGED with purchase from f2 in one session;
+    # user 3: view-only session sealed by the recovered watermark
+    assert got == [
+        (1, t0_us, (t0_us + 600_000_000,)),
+        (3, t0_us + 300_000_000, ()),
+    ]
