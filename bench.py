@@ -223,6 +223,17 @@ HEADLINE = [
     "stream_minhash_band_index",
     "stream_volume_anomaly_weekly",
     "stream_concurrency_by_hour",
+    # round-11 (pre-staged): the 8 queued debuts — names absent from
+    # queries() are skipped, so these are inert until the flip lands
+    # and then enter the bench automatically
+    "stream_latency_alert_daily",
+    "pipeline_corpus_release",
+    "sim_ivfpq_recall_clustered",
+    "stats_permutation_test_md5",
+    "events_changepoint_max_meanshift",
+    "dedup_winnowing_fingerprint_pairs",
+    "stream_changepoint_daily",
+    "events_attribution_time_decay",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary
