@@ -1656,3 +1656,102 @@ def stream_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(w.start) div 86400000000").alias("day"), "n"
     )
     return changepoint_verdict(d)
+
+
+from ..functions.texttools import sql_hex_long  # noqa: E402
+from ..operators.dedup import WINNOW_K as _WK  # noqa: E402
+from ..operators.dedup import WINNOW_W as _WW  # noqa: E402
+
+_WINNOW_SHARD = 64  # this stream owns fp-space slice fp % 64 == 0; a
+# production deployment runs 64 such workers, each with 1/64 of the
+# index as its state — sharding by FINGERPRINT keeps every posting of
+# a fingerprint on one worker, so counts and canonicals stay exact.
+
+_WINNOW_FP_ROWWISE = (
+    f"array_distinct(transform(sequence(0, ng - {_WW}), i ->"
+    f" array_min(slice(_hs, i + 1, {_WW}))))"
+)
+
+
+@pending_query(
+    "stream_winnowing_shard_index",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, len(text) - {_WK} + 1 AS ng
+      FROM documents WHERE len(text) >= {_WK + _WW - 1}
+    ),
+    hashed AS (
+      SELECT doc_id, ng,
+             list_transform(range(ng), i ->
+               {sql_hex_long(f"md5(substring(text, i + 1, {_WK}))", 14, 1)}
+             ) AS hs
+      FROM docs
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_distinct(list_transform(range(ng - {_WW} + 1), i ->
+          list_min(hs[i + 1 : i + {_WW}])))
+      ) AS fp
+      FROM hashed
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM fps WHERE fp % {_WINNOW_SHARD} = 0
+    GROUP BY fp
+    """,
+)
+def stream_winnowing_shard_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One SHARD of the winnowing fingerprint index maintained BY the
+    stream (C7) — the char-level sibling of
+    `stream_minhash_band_index`, completing the streaming-index family
+    (Bloom filter, LSH band index, winnowing fp index): each arriving
+    document's {_WK}-char k-gram hashes, window-of-{_WW} minima, and
+    shard filter are computed ROW-WISE inside higher-order array
+    expressions (transform → array_min(slice) → array_distinct —
+    no explode, no per-doc aggregation state), leaving ONE stateful
+    fold: a streaming groupBy(fp) maintaining (n_docs, canonical =
+    min doc_id) per fingerprint. COUNT and MIN are
+    commutative/associative merges, and the complete-mode snapshot is
+    certified row-for-row equal to the batch index aggregated the same
+    way.
+
+    This stream owns fingerprint-space slice fp % {_WINNOW_SHARD} = 0;
+    a deployment runs {_WINNOW_SHARD} such workers. Sharding by
+    FINGERPRINT (not by document) keeps every posting of a fingerprint
+    on one worker, so its count and canonical are exact without any
+    cross-worker merge — exactly how a distributed inverted index
+    scales, and what bounds this op's state to 1/{_WINNOW_SHARD} of
+    the index at any corpus size. Docs shorter than the K + W - 1
+    guarantee threshold produce no full window and are absent on both
+    engines.
+
+    Reference basis: none; contract C7 streaming family + the F75
+    winnowing rung."""
+    docs = (
+        _stream_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            (F.length("text") - _WK + 1).alias("ng"),
+        )
+        .filter(F.col("ng") >= _WW)
+    )
+    hs = (
+        f"transform(sequence(0, ng - 1), i -> "
+        f"CAST(conv(substring(md5(substring(text, i + 1, {_WK})), 1, 14),"
+        f" 16, 10) AS BIGINT))"
+    )
+    d = docs.withColumn("_hs", F.expr(hs)).select(
+        "doc_id", F.explode(F.expr(_WINNOW_FP_ROWWISE)).alias("fp")
+    )
+    agg = (
+        d.filter(F.col("fp") % _WINNOW_SHARD == 0)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+    )
+    return _run_to_memory(agg, "complete")

@@ -478,3 +478,31 @@ def test_time_decay_dyadic_credits_and_lookback(spark, tmp_path):
             (hr_us(t2, 0), 16, 1.0),    # lookback cap, conserved
         ]
     )
+
+
+def test_stream_winnowing_shard_equals_batch(spark, tmp_path):
+    """The streaming fp-shard index must emit exactly the batch index
+    rows on the same corpus (complete-mode fold equals batch groupBy):
+    identical docs 1/4 post the same fingerprints, so every shard row
+    they touch reads n_docs >= 2 with canonical 1. Every emitted fp is
+    in this worker's shard (fp % 64 == 0)."""
+    from catme_etl_spark.streaming.jobs import (
+        _WINNOW_SHARD,
+        stream_winnowing_shard_index,
+    )
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))  # ~280 chars
+    docs = [
+        (1, base, "en", "s", 1),
+        (4, base, "en", "s", 1),
+        (2, "completely different material " * 8, "en", "s", 1),
+        (5, "tiny", "en", "s", 1),  # below K+W-1: absent
+    ]
+    out = _write_docs(spark, tmp_path, docs)
+    got = _spark_rows(stream_winnowing_shard_index(spark, str(tmp_path)))
+    con = _con("documents", out)
+    assert got == _oracle(con, "stream_winnowing_shard_index")
+    assert all(fp % _WINNOW_SHARD == 0 for fp, _, _ in got)
+    dup_rows = [r for r in got if r[2] == 1]
+    assert all(n >= 2 for _, n, _ in dup_rows)  # doc 4 merged into 1's
+    assert all(c in (1, 2) for _, _, c in got)  # doc 5 never posts
