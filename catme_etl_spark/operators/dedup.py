@@ -2946,6 +2946,58 @@ WINNOW_DF_CAP = 64  # stop-fingerprint cap: a k-gram in > CAP docs is
 # boilerplate, not evidence of copying (the stop-shingle device)
 
 
+def _winnow_live_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped winnowing fingerprint index (doc_id, fp) — one
+    narrow char-position pass, per-doc window minima, DISTINCT, then
+    the stop-fingerprint cap. Shared by the pairs report and the
+    containment report (one build, two consumers — the materialized
+    artifact at corpus scale)."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", (F.length("text") - WINNOW_K + 1).alias("ng"))
+        .filter(F.col("ng") >= 1)
+    )
+    hashed = (
+        fan_out(d, spark)
+        .select(
+            "doc_id",
+            "ng",
+            "text",
+            F.posexplode(F.expr("sequence(0, ng - 1)")).alias("_p", "i"),
+        )
+        .select(
+            "doc_id",
+            "ng",
+            "i",
+            hex_prefix_long(
+                F.md5(F.expr(f"substring(text, i + 1, {WINNOW_K})")), 14, 1
+            ).alias("h"),
+        )
+    )
+    wmin = (
+        hashed.withColumn(
+            "fp",
+            F.min("h").over(
+                Window.partitionBy("doc_id")
+                .orderBy("i")
+                .rowsBetween(0, WINNOW_W - 1)
+            ),
+        )
+        .filter(F.col("i") <= F.col("ng") - WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    live = (
+        wmin.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    return wmin.join(live, "fp")
+
+
 @pending_query(
     "dedup_winnowing_fingerprint_pairs",
     oracle=f"""
@@ -3023,50 +3075,7 @@ def dedup_winnowing_fingerprint_pairs(
 
     Reference basis: none; contract dedup family (SURVEY §2.10 F8/F9
     extension) — the char-level rung under the token-level ladder."""
-    from pyspark.sql import Window
-
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", (F.length("text") - WINNOW_K + 1).alias("ng"))
-        .filter(F.col("ng") >= 1)
-    )
-    hashed = (
-        fan_out(d, spark)
-        .select(
-            "doc_id",
-            "ng",
-            "text",
-            F.posexplode(F.expr(f"sequence(0, ng - 1)")).alias("_p", "i"),
-        )
-        .select(
-            "doc_id",
-            "ng",
-            "i",
-            hex_prefix_long(
-                F.md5(F.expr(f"substring(text, i + 1, {WINNOW_K})")), 14, 1
-            ).alias("h"),
-        )
-    )
-    wmin = (
-        hashed.withColumn(
-            "fp",
-            F.min("h").over(
-                Window.partitionBy("doc_id")
-                .orderBy("i")
-                .rowsBetween(0, WINNOW_W - 1)
-            ),
-        )
-        .filter(F.col("i") <= F.col("ng") - WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    live = (
-        wmin.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= WINNOW_DF_CAP)
-        .select("fp")
-    )
-    idx = wmin.join(live, "fp")
+    idx = _winnow_live_index(spark, sf_dir)
     pairs = (
         idx.select("fp", F.col("doc_id").alias("doc_a"))
         .join(idx.select("fp", F.col("doc_id").alias("doc_b")), "fp")
@@ -3076,3 +3085,136 @@ def dedup_winnowing_fingerprint_pairs(
         .filter(F.col("n_shared_fp") >= WINNOW_T)
     )
     return pairs
+
+
+@pending_query(
+    "dedup_winnowing_containment",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, len(text) - {WINNOW_K} + 1 AS ng
+      FROM documents WHERE len(text) >= {WINNOW_K}
+    ),
+    grams AS (
+      SELECT doc_id, ng, UNNEST(range(ng)) AS i FROM docs
+    ),
+    hashed AS (
+      SELECT g.doc_id, g.ng, g.i,
+             {sql_hex_long(
+                 f"md5(substring(d.text, g.i + 1, {WINNOW_K}))", 14, 1
+             )} AS h
+      FROM grams g JOIN docs d USING (doc_id)
+    ),
+    wmin AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashed
+      QUALIFY i <= ng - {WINNOW_W}
+    ),
+    fp AS (SELECT DISTINCT doc_id, fp FROM wmin),
+    live AS (
+      SELECT fp FROM fp GROUP BY fp
+      HAVING COUNT(*) <= {WINNOW_DF_CAP}
+    ),
+    idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN live l ON l.fp = f.fp),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM idx GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {WINNOW_T}
+    ),
+    ct AS (
+      SELECT p.doc_a, p.doc_b, p.n_shared_fp,
+             sa.nf AS na, sb.nf AS nb
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT CASE WHEN na < nb THEN doc_a
+                WHEN nb < na THEN doc_b
+                ELSE GREATEST(doc_a, doc_b) END AS doc_contained,
+           CASE WHEN na < nb THEN doc_b
+                WHEN nb < na THEN doc_a
+                ELSE LEAST(doc_a, doc_b) END AS doc_container,
+           n_shared_fp,
+           LEAST(na, nb) AS n_fp_contained,
+           CAST((1000000 * n_shared_fp) // LEAST(na, nb) AS BIGINT)
+             AS containment_ppm
+    FROM ct
+    WHERE 2 * n_shared_fp >= LEAST(na, nb)
+    """,
+)
+def dedup_winnowing_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTAINMENT over the winnowing fingerprint index — the
+    actionable drop list on top of `dedup_winnowing_fingerprint_pairs`
+    (which reports raw shared-fingerprint pairs): for each pair, score
+    shared / |smaller fingerprint set| — the char-level analogue of
+    the token containment tier — and report pairs where at least HALF
+    of the smaller document's fingerprints appear in the larger one
+    (integer inequality 2·shared ≥ min, no division until the final
+    floor-ppm read-out). ``doc_contained`` is the smaller-set member
+    (ties → the greater doc_id), i.e. the quote-within-an-article /
+    excerpt-reuse drop candidate that whole-document Jaccard scores
+    miss entirely (the containing document dilutes the union).
+
+    Sizes count LIVE (df-capped) fingerprints — the index a release
+    job actually holds — so boilerplate fingerprints neither inflate
+    the denominator nor manufacture containment. Both endpoints of
+    any reported pair carry ≥ {WINNOW_T} live fingerprints by the
+    pair threshold, so the denominator is never zero.
+
+    Scale shape: one shared `_winnow_live_index` build (the same
+    artifact the pairs report reads), a |docs|-row size agg, and the
+    df-capped inverted self-join — identical join budget to the pairs
+    op, plus two broadcast-sized joins to sizes.
+
+    Reference basis: none; contract dedup family (SURVEY §2.10 F8/F9
+    extension) — the decision tier of the winnowing rung."""
+    idx = _winnow_live_index(spark, sf_dir)
+    sizes = idx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    pairs = (
+        idx.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(idx.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= WINNOW_T)
+    )
+    ct = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+    )
+    mn = F.least(F.col("na"), F.col("nb"))
+    contained = (
+        F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+        .when(F.col("nb") < F.col("na"), F.col("doc_b"))
+        .otherwise(F.greatest(F.col("doc_a"), F.col("doc_b")))
+    )
+    container = (
+        F.when(F.col("na") < F.col("nb"), F.col("doc_b"))
+        .when(F.col("nb") < F.col("na"), F.col("doc_a"))
+        .otherwise(F.least(F.col("doc_a"), F.col("doc_b")))
+    )
+    return ct.filter(2 * F.col("n_shared_fp") >= mn).select(
+        contained.cast("long").alias("doc_contained"),
+        container.cast("long").alias("doc_container"),
+        "n_shared_fp",
+        mn.cast("long").alias("n_fp_contained"),
+        F.expr("CAST((1000000 * n_shared_fp) div least(na, nb) AS BIGINT)")
+        .alias("containment_ppm"),
+    )

@@ -506,3 +506,35 @@ def test_stream_winnowing_shard_equals_batch(spark, tmp_path):
     dup_rows = [r for r in got if r[2] == 1]
     assert all(n >= 2 for _, n, _ in dup_rows)  # doc 4 merged into 1's
     assert all(c in (1, 2) for _, _, c in got)  # doc 5 never posts
+
+
+def test_winnowing_containment_excerpt(spark, tmp_path):
+    """An excerpt document (a contiguous chunk of a bigger one plus a
+    short unique tail) must be reported CONTAINED in its source with
+    containment >= 0.5, while whole-doc similarity would read low; an
+    unrelated doc never pairs. Cross-engine equal."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import dedup_winnowing_containment
+
+    words = [f"word{i:03d}" for i in range(60)]
+    a = " ".join(words)
+    b = " ".join(words[10:30] + ["uniq1", "uniq2", "uniq3"])
+    c = " ".join(f"other{i:03d}" for i in range(40))
+    docs = [
+        (1, a, "en", "s", 1),
+        (2, b, "en", "s", 1),
+        (3, c, "en", "s", 1),
+    ]
+    out = _write_docs(spark, tmp_path, docs)
+    clear_shared()
+    try:
+        got = _spark_rows(dedup_winnowing_containment(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "dedup_winnowing_containment")
+    assert len(got) == 1
+    (contained, container, shared, nmin, ppm) = got[0]
+    assert (contained, container) == (2, 1)
+    assert ppm >= 500000
+    assert shared <= nmin
