@@ -94,6 +94,8 @@ def test_pending_queue_discipline():
         "dedup_winnowing_fingerprint_pairs",
         "stream_changepoint_daily",
         "events_attribution_time_decay",
+        "stream_winnowing_shard_index",
+        "dedup_winnowing_containment",
     }
 
 
