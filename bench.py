@@ -234,6 +234,8 @@ HEADLINE = [
     "dedup_winnowing_fingerprint_pairs",
     "stream_changepoint_daily",
     "events_attribution_time_decay",
+    "stream_winnowing_shard_index",
+    "dedup_winnowing_containment",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary
