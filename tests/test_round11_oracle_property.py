@@ -175,3 +175,119 @@ def test_winnowing_oracle_equals_python_mirror(texts):
             if shared >= T:
                 expect.append((a, b, shared))
     assert got == sorted(expect)
+
+
+# --- time-decay attribution ----------------------------------------------------
+
+decay_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=28),  # click minute
+    ),
+    min_size=0,
+    max_size=22,
+).flatmap(
+    lambda clicks: st.tuples(
+        st.just([m for (m,) in clicks]),
+        st.integers(min_value=1, max_value=99999),  # purchase cents
+    )
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(decay_strategy)
+def test_time_decay_oracle_equals_ledger_mirror(case):
+    minutes, cents = case
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    rows = []
+    for i, m in enumerate(minutes):
+        rows.append((100 + i, 1, base + pd.Timedelta(minutes=m), "click", 0.0))
+    rows.append((999, 1, base + pd.Timedelta(minutes=29), "purchase",
+                 cents / 100.0))
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    got = _oracle_rows("events_attribution_time_decay", events=df)
+
+    LOOKBACK = 16
+    # pair order: by (click ts, click id); credited suffix of length m
+    clicks = sorted(
+        (base + pd.Timedelta(minutes=m), 100 + i)
+        for i, m in enumerate(minutes)
+    )
+    n = len(clicks)
+    if n == 0:
+        assert got == []
+        return
+    m = min(n, LOOKBACK)
+    denom = (1 << m) - 1
+    cred = clicks[n - m :]
+    fl = [(cents * (1 << k)) // denom for k in range(m)]
+    rem = [(cents * (1 << k)) % denom for k in range(m)]
+    loss = cents - sum(fl)
+    order = sorted(range(m), key=lambda k: (-rem[k], -k))
+    credit = list(fl)
+    for j in range(loss):
+        credit[order[j]] += 1
+    by_hour: dict[int, list[int]] = {}
+    for k, (cts, _) in enumerate(cred):
+        h = (int(cts.timestamp()) // 3600) * 3600 * 1_000_000
+        by_hour.setdefault(h, []).append(credit[k])
+    expect = sorted(
+        (h, len(cs), round(sum(cs) / 100.0, 2))
+        for h, cs in by_hour.items()
+    )
+    assert got == expect
+
+
+# --- winnowing containment -----------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts_strategy)
+def test_containment_oracle_equals_python_mirror(texts):
+    K, W, T, CAP = 16, 8, 2, 64
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    got = _oracle_rows("dedup_winnowing_containment", documents=df)
+
+    fps: dict[int, set[int]] = {}
+    for doc_id, t in enumerate(texts, start=1):
+        ng = len(t) - K + 1
+        if ng < W:
+            continue
+        hs = [_md5_56(t[i : i + K]) for i in range(ng)]
+        fps[doc_id] = {min(hs[i : i + W]) for i in range(ng - W + 1)}
+    df_count: dict[int, int] = {}
+    for s in fps.values():
+        for f in s:
+            df_count[f] = df_count.get(f, 0) + 1
+    live = {f for f, c in df_count.items() if c <= CAP}
+    idx = {d: s & live for d, s in fps.items()}
+    expect = []
+    docs = sorted(idx)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            shared = len(idx[a] & idx[b])
+            if shared < T:
+                continue
+            na, nb = len(idx[a]), len(idx[b])
+            mn = min(na, nb)
+            if 2 * shared < mn:
+                continue
+            if na < nb:
+                small, big = a, b
+            elif nb < na:
+                small, big = b, a
+            else:
+                small, big = max(a, b), min(a, b)
+            expect.append(
+                (small, big, shared, mn, (1_000_000 * shared) // mn)
+            )
+    assert got == sorted(expect)
