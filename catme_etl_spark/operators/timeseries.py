@@ -870,3 +870,115 @@ def ts_cross_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("corr"),
     )
+
+
+from .registry import pending_query  # noqa: E402
+
+_HOLT_GUARD = "holt forecast undefined: fewer than 2 observed days"
+
+
+@pending_query(
+    "ts_holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ser AS (
+      SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
+    ),
+    g AS (
+      SELECT CASE WHEN COUNT(*) < 2
+                  THEN CAST(error('{_HOLT_GUARD}') AS BIGINT)
+                  ELSE CAST(COUNT(*) AS BIGINT) END AS nd,
+             CAST(MAX(day) AS BIGINT) AS last_day
+      FROM ser
+    ),
+    rec AS (
+      SELECT 1 AS i,
+             CAST(s1.n AS BIGINT) AS l,
+             CAST(s2.n - s1.n AS BIGINT) AS b
+      FROM (SELECT n FROM ser WHERE i = 1) s1,
+           (SELECT n FROM ser WHERE i = 2) s2
+      UNION ALL
+      SELECT r.i + 1,
+             CAST(floor((s.n + r.l + r.b) / 2.0) AS BIGINT),
+             CAST(floor((r.b
+                         + CAST(floor((s.n + r.l + r.b) / 2.0) AS BIGINT)
+                         - r.l) / 2.0) AS BIGINT)
+      FROM rec r JOIN ser s ON s.i = r.i + 1
+    ),
+    fin AS (SELECT rec.l, rec.b FROM rec, g WHERE rec.i = g.nd)
+    SELECT CAST(t.h AS BIGINT) AS h,
+           CAST((g.last_day + t.h) * 86400000000 AS BIGINT)
+             AS forecast_day_us,
+           CAST(fin.l + t.h * fin.b AS BIGINT) AS forecast_events
+    FROM fin, g, range(1, 8) t(h)
+    """,
+)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt LINEAR-TREND forecast of the daily event volume, 7 days
+    ahead — the trend rung of the forecasting family (the flagship q6
+    variant fits one global line; this tracks a RECURSIVE level+trend
+    state, so a recent regime change dominates old history): with
+    dyadic smoothing α = β = 1/2 and the floored recursion
+
+        l_t = floor((x_t + l_(t-1) + b_(t-1)) / 2)
+        b_t = floor((b_(t-1) + l_t - l_(t-1)) / 2)
+
+    seeded l_1 = x_1, b_1 = x_2 − x_1, forecasting f_h = l_n + h·b_n.
+    Division by 2 is EXACT in binary floating point and floor is
+    exact below 2^52, so `floor(x / 2.0)` is the one floor-division
+    spelling with identical semantics (toward −inf, negatives
+    included — trends go negative) on Spark, pandas, and DuckDB: the
+    whole recursion is integer-exact with zero libm dependence, the
+    same reason the τ=0.5 temperature mix is the certifiable one. A
+    perfectly linear series reproduces its own line exactly (crafted
+    test); fewer than 2 observed days raises LOUDLY on both engines.
+
+    Scale shape: the scan collapses to |days| rows in one map-side-
+    combinable agg; the inherently sequential recursion runs at the
+    `grouped_map_user_ewma` rung — one applyInPandas group over the
+    horizon-bounded series (DuckDB mirrors it as WITH RECURSIVE) — and
+    the output is 7 rows. At 100 TB the recursion input is still just
+    |days| rows; only the count agg scales.
+
+    Reference basis: none; contract ops-analytics/time-series family
+    beside CUSUM, the changepoint, and the interpolators."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day")
+        xs = [int(v) for v in pdf["n"]]
+        days = [int(v) for v in pdf["day"]]
+        if len(xs) < 2:
+            raise ValueError(_HOLT_GUARD)
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            l_new = math.floor((x + l + b) / 2.0)
+            b = math.floor((b + l_new - l) / 2.0)
+            l = l_new
+        last_day = days[-1]
+        return pd.DataFrame(
+            {
+                "h": list(range(1, 8)),
+                "forecast_day_us": [
+                    (last_day + h) * 86_400_000_000 for h in range(1, 8)
+                ],
+                "forecast_events": [l + h * b for h in range(1, 8)],
+            }
+        )
+
+    return d.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        holt, "h long, forecast_day_us long, forecast_events long"
+    )

@@ -538,3 +538,55 @@ def test_winnowing_containment_excerpt(spark, tmp_path):
     assert (contained, container) == (2, 1)
     assert ppm >= 500000
     assert shared <= nmin
+
+
+def test_holt_forecast_linear_series_exact(spark, tmp_path):
+    """A perfectly linear daily series must forecast its own line
+    exactly (l = last value, b = slope, zero floor loss); a declining
+    series forecasts negative honestly; a single-day series raises
+    loudly on both engines."""
+    import pytest
+
+    from catme_etl_spark.operators.timeseries import ts_holt_linear_forecast
+
+    day = 86400
+    d0 = dt.datetime(2024, 2, 1)
+
+    def series(path, counts):
+        rows = []
+        for dd, n in enumerate(counts):
+            for i in range(n):
+                rows.append(
+                    (1, d0 + dt.timedelta(seconds=dd * day + i), "view", 1.0)
+                )
+        import os
+
+        os.makedirs(str(path), exist_ok=True)
+        return _write_events(spark, path, rows)
+
+    out = series(tmp_path / "lin", [5, 10, 15, 20])
+    got = _spark_rows(ts_holt_linear_forecast(spark, str(tmp_path / "lin")))
+    con = _con("events", out)
+    assert got == _oracle(con, "ts_holt_linear_forecast")
+    day_us = 86_400_000_000
+    e3 = (
+        int(d0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+        // day_us
+        + 3
+    ) * day_us
+    assert got == [(h, e3 + h * day_us, 20 + 5 * h) for h in range(1, 8)]
+
+    out2 = series(tmp_path / "dec", [10, 8, 6])
+    got2 = _spark_rows(ts_holt_linear_forecast(spark, str(tmp_path / "dec")))
+    con2 = _con("events", out2)
+    assert got2 == _oracle(con2, "ts_holt_linear_forecast")
+    assert [f for _, _, f in got2] == [4, 2, 0, -2, -4, -6, -8]
+
+    out3 = series(tmp_path / "one", [4])
+    with pytest.raises(Exception, match="holt forecast undefined"):
+        ts_holt_linear_forecast(spark, str(tmp_path / "one")).collect()
+    con3 = _con("events", out3)
+    import duckdb as _ddb
+
+    with pytest.raises(_ddb.Error, match="holt forecast undefined"):
+        _oracle(con3, "ts_holt_linear_forecast")
