@@ -236,6 +236,8 @@ HEADLINE = [
     "events_attribution_time_decay",
     "stream_winnowing_shard_index",
     "dedup_winnowing_containment",
+    "ts_holt_linear_forecast",
+    "stream_holt_forecast_daily",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary

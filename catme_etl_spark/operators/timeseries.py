@@ -877,9 +877,7 @@ from .registry import pending_query  # noqa: E402
 _HOLT_GUARD = "holt forecast undefined: fewer than 2 observed days"
 
 
-@pending_query(
-    "ts_holt_linear_forecast",
-    oracle=f"""
+_HOLT_ORACLE = f"""
     WITH RECURSIVE d AS (
       SELECT epoch_us(ts) // 86400000000 AS day,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -915,7 +913,12 @@ _HOLT_GUARD = "holt forecast undefined: fewer than 2 observed days"
              AS forecast_day_us,
            CAST(fin.l + t.h * fin.b AS BIGINT) AS forecast_events
     FROM fin, g, range(1, 8) t(h)
-    """,
+    """
+
+
+@pending_query(
+    "ts_holt_linear_forecast",
+    oracle=_HOLT_ORACLE,
 )
 def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt LINEAR-TREND forecast of the daily event volume, 7 days
@@ -954,6 +957,16 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return holt_forecast_verdict(d)
+
+
+def holt_forecast_verdict(d: DataFrame) -> DataFrame:
+    """The batch-side Holt recursion over a (day, n) series — factored
+    so the streaming arm (`stream_holt_forecast_daily`) runs the
+    IDENTICAL forecast on its complete-mode snapshot and certifies
+    byte-equality to the batch operator. See `ts_holt_linear_forecast`
+    for the exact dyadic-floor semantics."""
+    import pandas as pd
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         import math

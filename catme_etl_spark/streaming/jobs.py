@@ -1755,3 +1755,40 @@ def stream_winnowing_shard_index(
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+
+from ..operators.timeseries import _HOLT_ORACLE  # noqa: E402
+from ..operators.timeseries import holt_forecast_verdict  # noqa: E402
+
+
+@pending_query(
+    "stream_holt_forecast_daily",
+    oracle=_HOLT_ORACLE,
+)
+def stream_holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt forecast's STREAMING ARM (C7) — the same state/verdict
+    split as `stream_changepoint_daily`: the stream owns only the
+    mergeable epoch-anchored daily-count state (1-day tumbling
+    windows, complete mode), and the batch side runs the IDENTICAL
+    dyadic-floor Holt recursion (`holt_forecast_verdict`, the factored
+    kernel the batch operator itself calls) on the snapshot. Certified
+    against the SAME oracle, so the live forecast a capacity dashboard
+    reads is byte-identical to the nightly batch forecast at any
+    handoff boundary. Every daily-series verdict now has its streaming
+    arm: the MAD anomaly monitor, the changepoint localizer, and the
+    trend forecast.
+
+    State shape: one (day, count) row per observed day; the verdict is
+    the horizon-bounded recursion plus 7 output rows.
+
+    Reference basis: none; contract C5/C7 streaming family."""
+    e = _stream_events(spark, sf_dir)
+    agg = e.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    snap = _run_to_memory(agg, "complete")
+    d = snap.select(
+        F.expr("unix_micros(w.start) div 86400000000").alias("day"), "n"
+    )
+    return holt_forecast_verdict(d)

@@ -96,6 +96,8 @@ def test_pending_queue_discipline():
         "events_attribution_time_decay",
         "stream_winnowing_shard_index",
         "dedup_winnowing_containment",
+        "ts_holt_linear_forecast",
+        "stream_holt_forecast_daily",
     }
 
 

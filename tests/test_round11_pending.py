@@ -590,3 +590,26 @@ def test_holt_forecast_linear_series_exact(spark, tmp_path):
 
     with pytest.raises(_ddb.Error, match="holt forecast undefined"):
         _oracle(con3, "ts_holt_linear_forecast")
+
+
+def test_stream_holt_equals_batch(spark, tmp_path):
+    """The streaming Holt arm must emit exactly the batch forecast on
+    the same data — reuse the linear series whose forecast is its own
+    line."""
+    from catme_etl_spark.operators.timeseries import ts_holt_linear_forecast
+    from catme_etl_spark.streaming.jobs import stream_holt_forecast_daily
+
+    day = 86400
+    d0 = dt.datetime(2024, 2, 1)
+    rows = []
+    for dd, n in enumerate([5, 10, 15, 20]):
+        for i in range(n):
+            rows.append(
+                (1, d0 + dt.timedelta(seconds=dd * day + i), "view", 1.0)
+            )
+    out = _write_events(spark, tmp_path, rows)
+    got = _spark_rows(stream_holt_forecast_daily(spark, str(tmp_path)))
+    con = _con("events", out)
+    assert got == _oracle(con, "stream_holt_forecast_daily")
+    assert got == _spark_rows(ts_holt_linear_forecast(spark, str(tmp_path)))
+    assert [f for _, _, f in got] == [25, 30, 35, 40, 45, 50, 55]
