@@ -223,9 +223,7 @@ HEADLINE = [
     "stream_minhash_band_index",
     "stream_volume_anomaly_weekly",
     "stream_concurrency_by_hour",
-    # round-11 (pre-staged): the 8 queued debuts — names absent from
-    # queries() are skipped, so these are inert until the flip lands
-    # and then enter the bench automatically
+    # round-11: the 12 flipped round-10 debuts (live as of r11 flip)
     "stream_latency_alert_daily",
     "pipeline_corpus_release",
     "sim_ivfpq_recall_clustered",

@@ -2717,7 +2717,7 @@ _RELEASE_ORACLE = f"""
     """
 
 
-@pending_query("pipeline_corpus_release", oracle=_RELEASE_ORACLE)
+@query("pipeline_corpus_release", oracle=_RELEASE_ORACLE)
 def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus RELEASE manifest (round-9 verdict item
     #7b) — the sign-off artifact a training-data release ships,
@@ -2998,7 +2998,7 @@ def _winnow_live_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wmin.join(live, "fp")
 
 
-@pending_query(
+@query(
     "dedup_winnowing_fingerprint_pairs",
     oracle=f"""
     WITH docs AS (
@@ -3087,7 +3087,7 @@ def dedup_winnowing_fingerprint_pairs(
     return pairs
 
 
-@pending_query(
+@query(
     "dedup_winnowing_containment",
     oracle=f"""
     WITH docs AS (

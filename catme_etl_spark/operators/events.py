@@ -2008,7 +2008,7 @@ _CHANGEPOINT_ORACLE = f"""
     """
 
 
-@pending_query(
+@query(
     "events_changepoint_max_meanshift",
     oracle=_CHANGEPOINT_ORACLE,
 )

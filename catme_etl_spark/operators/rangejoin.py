@@ -376,7 +376,7 @@ DECAY_LOOKBACK = 16  # credited touches per conversion: the dyadic
 # carry zero credit, and the 2^k terms stay far inside int64.
 
 
-@pending_query(
+@query(
     "events_attribution_time_decay",
     oracle=f"""
     WITH c AS (

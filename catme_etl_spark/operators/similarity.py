@@ -3352,7 +3352,7 @@ def _ivfpq_gen(art_bc):
     return gen
 
 
-@pending_query(
+@query(
     "sim_ivfpq_recall_clustered",
     oracle=f"""
     WITH {_CLV_SQL_CTES},

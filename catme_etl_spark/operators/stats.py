@@ -1805,7 +1805,7 @@ _PERM_GUARD = (
 )
 
 
-@pending_query(
+@query(
     "stats_permutation_test_md5",
     oracle=f"""
     WITH panel AS (

@@ -916,7 +916,7 @@ _HOLT_ORACLE = f"""
     """
 
 
-@pending_query(
+@query(
     "ts_holt_linear_forecast",
     oracle=_HOLT_ORACLE,
 )

@@ -1451,7 +1451,7 @@ def stream_concurrency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAT_ALERT_SLA_US = 1_200_000_000  # 20-minute conversion-latency SLA
 
 
-@pending_query(
+@query(
     "stream_latency_alert_daily",
     oracle=f"""
     WITH marked AS (
@@ -1623,7 +1623,7 @@ from ..operators.events import _CHANGEPOINT_ORACLE  # noqa: E402
 from ..operators.events import changepoint_verdict  # noqa: E402
 
 
-@pending_query(
+@query(
     "stream_changepoint_daily",
     oracle=_CHANGEPOINT_ORACLE,
 )
@@ -1673,7 +1673,7 @@ _WINNOW_FP_ROWWISE = (
 )
 
 
-@pending_query(
+@query(
     "stream_winnowing_shard_index",
     oracle=f"""
     WITH docs AS (
@@ -1762,7 +1762,7 @@ from ..operators.timeseries import _HOLT_ORACLE  # noqa: E402
 from ..operators.timeseries import holt_forecast_verdict  # noqa: E402
 
 
-@pending_query(
+@query(
     "stream_holt_forecast_daily",
     oracle=_HOLT_ORACLE,
 )

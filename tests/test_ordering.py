@@ -81,24 +81,10 @@ def test_pending_queue_discipline():
     assert set(PENDING_ORACLE) & set(ORACLE) == set()
     for name, fn in PENDING.items():
         assert callable(fn), name
-    # round 10 flipped the 12-op round-9 queue live as its first act
-    # (evidence: PENDING_CHECK_r09.txt, tests/test_round10_pending.py).
-    # The staged round-11 debut queue, pinned by name (evidence:
-    # PENDING_CHECK_r10.txt, tests/test_round11_pending.py):
-    assert set(PENDING) == {
-        "stream_latency_alert_daily",
-        "pipeline_corpus_release",
-        "sim_ivfpq_recall_clustered",
-        "stats_permutation_test_md5",
-        "events_changepoint_max_meanshift",
-        "dedup_winnowing_fingerprint_pairs",
-        "stream_changepoint_daily",
-        "events_attribution_time_decay",
-        "stream_winnowing_shard_index",
-        "dedup_winnowing_containment",
-        "ts_holt_linear_forecast",
-        "stream_holt_forecast_daily",
-    }
+    # round 11 flipped the 12-op round-10 queue live as its first act
+    # (evidence: PENDING_CHECK_r10.txt, tests/test_round11_pending.py);
+    # the round-12 debut queue grows at the round-11 tail.
+    assert set(PENDING) == set()
 
 
 def test_max_staleness_bound():
@@ -237,13 +223,29 @@ ROUND9_DEBUT_QUEUE = [
 ]
 
 
+ROUND10_DEBUT_QUEUE = [
+    "stream_latency_alert_daily",
+    "pipeline_corpus_release",
+    "sim_ivfpq_recall_clustered",
+    "stats_permutation_test_md5",
+    "events_changepoint_max_meanshift",
+    "dedup_winnowing_fingerprint_pairs",
+    "stream_changepoint_daily",
+    "events_attribution_time_decay",
+    "stream_winnowing_shard_index",
+    "dedup_winnowing_containment",
+    "ts_holt_linear_forecast",
+    "stream_holt_forecast_daily",
+]
+
+
 def test_debut_queues_flipped_live():
     """Round-N+1 item #1 each round: operators deferred by a round's
     window budget must be LIVE next round (@query, with oracle) — the
     queue is a deferral, never a skip. Round 7's 19 landed in round 8
     (all green in CORRECTNESS_r08); round 8's 14 in round 9
-    (CORRECTNESS_r09); round 9's 12 must sit inside the round-10
-    certification window."""
+    (CORRECTNESS_r09); round 9's 12 in round 10 (CORRECTNESS_r10);
+    round 10's 12 must sit inside the round-11 certification window."""
     import __spark_entry__  # noqa: F401 — registers every query
 
     from catme_etl_spark.operators.ordering import SWEEP_ORDER
@@ -252,11 +254,16 @@ def test_debut_queues_flipped_live():
     import tools.rotation as rotation
 
     window = set(SWEEP_ORDER[: rotation.WINDOW_SLOTS])
-    for name in ROUND7_DEBUT_QUEUE + ROUND8_DEBUT_QUEUE + ROUND9_DEBUT_QUEUE:
+    for name in (
+        ROUND7_DEBUT_QUEUE
+        + ROUND8_DEBUT_QUEUE
+        + ROUND9_DEBUT_QUEUE
+        + ROUND10_DEBUT_QUEUE
+    ):
         assert name in QUERIES, f"{name} missing from live registry"
         assert name in ORACLE, f"{name} lost its oracle in the flip"
         assert name not in PENDING, f"{name} still queued"
-    for name in ROUND9_DEBUT_QUEUE:
+    for name in ROUND10_DEBUT_QUEUE:
         assert name in window, f"{name} outside the certification window"
 
 
