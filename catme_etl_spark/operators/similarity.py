@@ -3042,137 +3042,49 @@ def sim_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy; queries are the fixed {PQ_PANEL_N}-vector md5-order
     panel, keeping the exact-truth side O(panel·corpus).
 
-    Scale shape: pure JVM DataFrame plan (no python workers): the
-    NC-row centroid/cluster tables broadcast; assignment is a
-    broadcast nested-loop over |corpus| × |centroids| (centroids =
-    corpus/{CENTROID_STRIDE} — the bounded BNL the IVF family
-    documents); candidate scoring is the inverted-list equi-join on
-    cid; the brute truth is panel-bounded. Windows partition by
-    vec_id/query_id — per-key groups, never a global sort.
+    Scale shape (round-11 migration, same oracle/hash): the original
+    relational form assigned every corpus vector to its centroid via a
+    broadcast nested-loop of |corpus| x |corpus/{CENTROID_STRIDE}| —
+    correct but genuinely quadratic at 100x (the round-10 verdict's
+    one flagged scale-killer). Now it rides the round-8 "fit once,
+    broadcast the model" rule: the IVF assignment is fitted ONCE
+    driver-side as part of the SHARED `ivfpq_artifacts` broadcast
+    (one int64 matmul-identity kernel, amortized with
+    `sim_ivfpq_recall_clustered`), and the panel's scan tasks do only
+    per-query work — probe selection, candidate gathers over
+    ~{CLUSTER_MEMBERS}·{CENTROID_STRIDE}·{NPROBE} inverted-list rows,
+    and the panel-bounded exact-truth row. All ranking arithmetic is
+    the same int64 (ties to lowest id via stable sorts), so the
+    recall still lands in the oracle hash bit-identically.
 
     Reference basis: none; contract F10/F14 ANN audit family."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    nct = emb.agg(
-        F.greatest(
-            F.lit(16), (F.count(F.lit(1)) / CLUSTER_MEMBERS).cast("long")
-        ).alias("nc")
-    )
-    asg0 = emb.crossJoin(F.broadcast(nct)).select(
-        "vec_id",
-        "embedding",
-        (hex_prefix_long(F.md5(F.col("vec_id").cast("string")), 14, 1)
-         % F.col("nc")).alias("cl"),
-    )
-    cmin = asg0.groupBy("cl").agg(F.min("vec_id").alias("cvid"))
-    cvec = (
-        F.broadcast(cmin)
-        .join(asg0.select(F.col("vec_id").alias("cvid"),
-                          F.col("embedding").alias("ce")), "cvid")
-        .select("cl", "ce")
-    )
-    clv = asg0.join(F.broadcast(cvec), "cl").select(
-        "vec_id",
-        F.expr(
-            "transform(sequence(0, size(embedding) - 1), j ->"
-            " 0.75 * CAST(element_at(ce, j + 1) AS DOUBLE)"
-            " + 0.25 * CAST(element_at(embedding, j + 1) AS DOUBLE))"
-        ).alias("emb"),
-    )
-    mx = clv.agg(
-        F.max(F.expr("array_max(transform(emb, v -> abs(v)))")).alias(
-            "max_abs"
-        )
-    )
-    qc = clv.crossJoin(F.broadcast(mx)).select(
-        "vec_id",
-        F.expr(
-            "transform(emb, v -> CAST(GREATEST(-127.0D, LEAST(127.0D,"
-            " floor(v * 127.0 / max_abs + 0.5))) AS BIGINT))"
-        ).alias("qv"),
-    )
-    cent = qc.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
     )
     panel = (
-        qc.withColumn("_pk", F.md5(F.col("vec_id").cast("string")))
+        emb.withColumn("_pk", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_pk", "vec_id")
         .limit(PQ_PANEL_N)
-        .drop("_pk")
+        .select("vec_id")
     )
-    l2 = (
-        "CAST(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-        " 0L, (acc, v) -> acc + v) AS BIGINT)"
+    rows = fan_out(panel, spark).mapInPandas(
+        _ivf_gen(art), schema="query_id long, neighbor_id long, tier string"
     )
-    from pyspark.sql import Window
-
-    adist = qc.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", F.expr(l2.format(a="qv", b="cqv")).alias("d")
+    truth = rows.filter(F.col("tier") == "truth").select(
+        "query_id", "neighbor_id"
     )
-    wv = Window.partitionBy("vec_id").orderBy("d", "cid")
-    ranked = adist.withColumn("rn", F.row_number().over(wv))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
-    probes = (
-        ranked.filter(F.col("rn") <= NPROBE)
-        .join(panel.select("vec_id"), "vec_id")
-        .select(F.col("vec_id").alias("query_id"), "cid")
+    ivf = rows.filter(F.col("tier") == "ivf").select("query_id", "neighbor_id")
+    hits = ivf.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
     )
-    icand = (
-        probes.join(
-            assign.select(F.col("cid"), F.col("vec_id").alias("neighbor_id")),
-            "cid",
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
-    iscored = (
-        icand.join(
-            qc.select(F.col("vec_id").alias("query_id"),
-                      F.col("qv").alias("qa")),
-            "query_id",
-        )
-        .join(
-            qc.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("qv").alias("qb")),
-            "neighbor_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr(l2.format(a="qa", b="qb")).alias("d"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    ivf = (
-        iscored.withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    brute_scored = (
-        panel.select(F.col("vec_id").alias("query_id"),
-                     F.col("qv").alias("qa"))
-        .join(
-            qc.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("qv").alias("qb")),
-            F.col("neighbor_id") != F.col("query_id"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr(l2.format(a="qa", b="qb")).alias("d"),
-        )
-    )
-    brute = (
-        brute_scored.withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    hits = ivf.join(brute, ["query_id", "neighbor_id"])
     return (
-        brute.agg(
-            F.count_distinct("query_id").alias("n_queries"),
-            F.count(F.lit(1)).alias("n_truth"),
+        truth.agg(
+            F.count_distinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
         )
-        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .crossJoin(F.broadcast(hits))
         .select(
             "n_queries",
             "n_truth",
@@ -3187,6 +3099,66 @@ def sim_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+def _ivf_gen(art_bc):
+    """mapInPandas generator over panel-query batches — the lean
+    coarse-only sibling of `_ivfpq_gen` (no PQ LUT/ADC work): per
+    query, probe the NPROBE nearest coarse centroids, rank the probed
+    inverted lists' members by exact int64 L2 ('ivf'), and emit the
+    exact full-corpus truth ('truth') for the recall denominators.
+    Stable sorts keep every tie on the lowest id — byte-identical to
+    the oracle's `ORDER BY d, cid` / `ORDER BY d, neighbor_id`."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, Q, assign, _codes, cids, C, _wids, _W = art_bc.value
+        BIG = np.int64(1 << 62)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["vec_id"].to_numpy()
+            pos = np.searchsorted(ids, ia)
+            qa = Q[pos]
+            dq = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (qa @ C.T)
+            )
+            # stable argsort: ties keep position order = ascending cid
+            probes = cids[np.argsort(dq, axis=1, kind="stable")[:, :NPROBE]]
+            dt = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (Q * Q).sum(axis=1)[None, :]
+                - 2 * (qa @ Q.T)
+            )
+            dt = np.where(ia[:, None] == ids[None, :], BIG, dt)
+            out_q, out_n, out_t = [], [], []
+
+            def take(q_id, nbr, tier):
+                out_q.extend([q_id] * len(nbr))
+                out_n.extend(int(v) for v in nbr)
+                out_t.extend([tier] * len(nbr))
+
+            for r in range(len(ia)):
+                cand = np.isin(assign, probes[r])
+                cand[pos[r]] = False
+                cidx = np.nonzero(cand)[0]
+                nbr = ids[cidx]
+                de = dt[r][cidx]
+                take(int(ia[r]), nbr[np.lexsort((nbr, de))[:TOP_K]], "ivf")
+                take(
+                    int(ia[r]),
+                    ids[np.lexsort((ids, dt[r]))[:TOP_K]],
+                    "truth",
+                )
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "tier": out_t}
+            )
+
+    return gen
 
 
 IVFPQ_CW_STRIDE = 100  # coarser PQ codebook than the flat-PQ tier's
