@@ -965,13 +965,26 @@ def holt_forecast_verdict(d: DataFrame) -> DataFrame:
     so the streaming arm (`stream_holt_forecast_daily`) runs the
     IDENTICAL forecast on its complete-mode snapshot and certifies
     byte-equality to the batch operator. See `ts_holt_linear_forecast`
-    for the exact dyadic-floor semantics."""
+    for the exact dyadic-floor semantics.
+
+    A NULL sentinel row is unioned in BEFORE the grouping (and dropped
+    inside the kernel) so the single applyInPandas group ALWAYS
+    exists: on a fully empty input, zero groups would otherwise mean
+    the <2-day guard never runs and Spark silently returns an empty
+    frame while the DuckDB oracle's COUNT(*)<2 guard raises — the
+    round-10 ADVICE cross-engine divergence. With the sentinel, both
+    engines raise loudly on empty input too."""
     import pandas as pd
+
+    sentinel = d.sparkSession.range(1).select(
+        F.lit(None).cast("long").alias("day"),
+        F.lit(None).cast("long").alias("n"),
+    )
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
-        pdf = pdf.sort_values("day")
+        pdf = pdf.dropna(subset=["day", "n"]).sort_values("day")
         xs = [int(v) for v in pdf["n"]]
         days = [int(v) for v in pdf["day"]]
         if len(xs) < 2:
@@ -992,6 +1005,11 @@ def holt_forecast_verdict(d: DataFrame) -> DataFrame:
             }
         )
 
-    return d.groupBy(F.lit(1).alias("_g")).applyInPandas(
-        holt, "h long, forecast_day_us long, forecast_events long"
+    return (
+        d.select("day", "n")
+        .unionByName(sentinel)
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            holt, "h long, forecast_day_us long, forecast_events long"
+        )
     )

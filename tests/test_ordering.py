@@ -113,6 +113,18 @@ def test_max_staleness_bound():
     assert (
         rep["max_rounds_stale_outside_window"] <= sustainable["bound"]
     ), (rep, sustainable)
+    # Round-10 ADVICE: both sides above derive from the same live
+    # state, and the sustainable bound loosens as the forced set
+    # grows — so an ABSOLUTE ceiling must also hold or unbounded
+    # forced-set / registry growth can no longer redden the suite.
+    # README round-10 notes: steady-state bound <= 10 at <= 330 names;
+    # 12 is that plus the documented next lever's trigger margin.
+    assert sustainable["bound"] <= 12, sustainable
+    # A forced set that eats the whole spillover destroys the rotation
+    # guarantee entirely (bound degenerates to N_outside + 2) — keep
+    # >= 20 spillover slots so a full debut-queue flip (<= 12 by the
+    # README cadence rule) plus re-certs still drains a stale cohort.
+    assert sustainable["spillover_per_round"] >= 20, sustainable
 
 
 def test_staleness_bound_robust_to_driver_artifact_timing(monkeypatch):
@@ -279,3 +291,41 @@ def test_flip_tool_finds_every_pending_site():
 
     found = {n for names in flip.flip_sites().values() for n in names}
     assert found == set(PENDING)
+
+
+def test_flip_tool_rewrites_every_discovered_form(tmp_path):
+    """The rewriter must flip EVERY decoration form the discovery scan
+    counts — round-10 ADVICE: a site spelled '@pending_query( "x")'
+    (spaces before the quote) was counted but survived the two exact
+    string replacements, reported flipped while staying pending. The
+    rewrite now uses the discovery pattern itself plus a post-replace
+    assert; this pins all three spellings."""
+    import re
+
+    import tools.flip_pending as flip
+
+    src = (
+        '@pending_query("inline_form", oracle="SELECT 1")\n'
+        "def a():\n    pass\n\n"
+        "@pending_query(\n"
+        '    "nextline_form",\n'
+        '    oracle="SELECT 2",\n'
+        ")\n"
+        "def b():\n    pass\n\n"
+        '@pending_query(   "spaced_form", oracle="SELECT 3")\n'
+        "def c():\n    pass\n"
+    )
+    pat = re.compile(r'@pending_query\(\s*"([a-zA-Z0-9_]+)"')
+    assert pat.findall(src) == [
+        "inline_form",
+        "nextline_form",
+        "spaced_form",
+    ]
+    site_pat = re.compile(r"@pending_query\((\s*)(?=\")")
+    out = src.replace("@pending_query(\n", "@query(\n")
+    out = site_pat.sub(lambda m: "@query(" + m.group(1), out)
+    assert not re.search(r'@pending_query\(\s*"', out)
+    assert out.count("@query(") == 3
+    # main()'s rewrite is this exact sequence — keep them in sync
+    body = open(flip.__file__).read()
+    assert '@pending_query\\((\\s*)(?=\\")' in body

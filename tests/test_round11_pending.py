@@ -591,6 +591,17 @@ def test_holt_forecast_linear_series_exact(spark, tmp_path):
     with pytest.raises(_ddb.Error, match="holt forecast undefined"):
         _oracle(con3, "ts_holt_linear_forecast")
 
+    # Fully EMPTY events: zero applyInPandas groups would silently
+    # return an empty frame while the oracle raises (round-10 ADVICE
+    # divergence) — the NULL-sentinel union keeps the guard on the
+    # Spark path too, so BOTH engines raise.
+    out4 = series(tmp_path / "zero", [])
+    with pytest.raises(Exception, match="holt forecast undefined"):
+        ts_holt_linear_forecast(spark, str(tmp_path / "zero")).collect()
+    con4 = _con("events", out4)
+    with pytest.raises(_ddb.Error, match="holt forecast undefined"):
+        _oracle(con4, "ts_holt_linear_forecast")
+
 
 def test_stream_holt_equals_batch(spark, tmp_path):
     """The streaming Holt arm must emit exactly the batch forecast on

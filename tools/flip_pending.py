@@ -62,10 +62,18 @@ def main() -> int:
     if not args.write:
         print(f"\n{total} pending registrations (dry run; --write to flip)")
         return 0
+    # rewrite with the SAME pattern the discovery scan uses — the two
+    # exact string spellings previously replaced here could miss a
+    # site the scan counted (e.g. spaces before the quote), reporting
+    # it flipped while it stayed pending (round-10 ADVICE)
+    site_pat = re.compile(r"@pending_query\((\s*)(?=\")")
     for path in sites:
         src = open(path).read()
         src = src.replace("@pending_query(\n", "@query(\n")
-        src = src.replace('@pending_query("', '@query("')
+        src = site_pat.sub(lambda m: "@query(" + m.group(1), src)
+        assert not re.search(
+            r'@pending_query\(\s*"', src
+        ), f"unflipped pending site survived the rewrite in {path}"
         open(path, "w").write(src)
     print(f"\nflipped {total} registrations live — now run:")
     print("  python tools/rotation.py emit --write")
