@@ -16,6 +16,7 @@ the shape of a production write job.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -279,6 +280,29 @@ HEAVY_PREFIXES = (
 )
 
 
+def _load_local_record():
+    """Latest committed BENCH_r*_local.json — the controlled 3-run
+    detached reading this host's numbers are adjudicated against
+    (round-10 verdict item #4: a hot driver host must be readable
+    from the artifact alone)."""
+    import glob as _glob
+
+    recs = sorted(
+        _glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*_local.json",
+            )
+        )
+    )
+    if not recs:
+        return None, None
+    try:
+        return json.load(open(recs[-1])), os.path.basename(recs[-1])
+    except Exception:
+        return None, None
+
+
 def _plan_family(name: str, df) -> str:
     if name.startswith("stream_"):
         return "heavy"
@@ -351,6 +375,9 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
+    local_rec, local_name = _load_local_record()
+    local_q = (local_rec or {}).get("queries", {})
+
     def timed_query(name: str) -> float:
         # min of two cold runs; if the two samples disagree >1.5x the
         # host was visibly unstable during one of them — take a third
@@ -360,7 +387,16 @@ def main() -> None:
         if max(a, b) / max(min(a, b), 1e-9) > 1.5:
             c = cold_run(name)
             return round(sorted((a, b, c))[1], 3)
-        return round(min(a, b), 3)
+        val = min(a, b)
+        # round-10 verdict item #4: a reading that disagrees >1.3x
+        # with the committed local record gets the median-of-3
+        # treatment, so one contended run on the driver host can't be
+        # the recorded number for a shared query.
+        ref = local_q.get(name)
+        if ref and val > 1.3 * ref:
+            c = cold_run(name)
+            val = sorted((a, b, c))[1]
+        return round(val, 3)
 
     # Host-drift correction (round-6 item #2, family-shaped in round
     # 7): a micro-canary runs COLD immediately before every headline
@@ -423,6 +459,24 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    # Adjudication context (round-10 verdict item #4): per-query ratio
+    # vs the committed local record plus its geomean over the shared
+    # set — a hot host reads as a uniform >1.15x ratio with inflated
+    # canary_ref_sec; a genuine per-query regression reads as one
+    # outlier ratio with clean canaries.
+    shared = [n for n in names if n in local_q and local_q[n] > 0]
+    vs_local = {n: round(times[n] / local_q[n], 3) for n in shared}
+    geo = (
+        round(
+            math.exp(
+                sum(math.log(max(v, 1e-9)) for v in vs_local.values())
+                / len(vs_local)
+            ),
+            3,
+        )
+        if vs_local
+        else None
+    )
     print(
         json.dumps(
             {
@@ -437,6 +491,11 @@ def main() -> None:
                 "canary_ratio": ratios,
                 "queries_normalized": normalized,
                 "normalized_total": round(sum(normalized.values()), 3),
+                "local_record": local_name,
+                "vs_local_geomean_shared": geo,
+                "vs_local_flagged": {
+                    n: v for n, v in vs_local.items() if v > 1.3
+                },
                 "sf": sf,
             }
         )
