@@ -2768,7 +2768,6 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     which packs sequences for a TRAINING RUN, where this signs off a
     CORPUS RELEASE."""
     from .quality import pipeline_train_decontamination
-    from .sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents")
     surv0 = pipeline_train_decontamination(spark, sf_dir).select(
@@ -2779,6 +2778,21 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
+    return _release_manifest(d, surv0, nd)
+
+
+def _release_manifest(d: DataFrame, surv0: DataFrame, nd: DataFrame):
+    """Stages 2-4 of the corpus-release pipeline over EXPLICIT inputs
+    (documents table, decontamination survivors, near-dup pairs) —
+    factored out of `pipeline_corpus_release` so a release built over
+    a different document set (the release-diff family's PRIOR release:
+    the same corpus minus a train-only ingest slice) runs the
+    identical certified lineage with filtered inputs. Near-dup pairs
+    of a document subset are exactly the full corpus's pairs
+    restricted to subset x subset (banded LSH candidacy is pairwise),
+    so the shared `_minhash_pairs` artifact filters instead of
+    rebuilding."""
+    from .sampling import hash_bucket
 
     ndu = nd.select(
         F.col("doc_a").alias("dd"), F.col("doc_b").alias("o")
