@@ -1101,3 +1101,167 @@ def sample_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_NEYMAN_GUARD = (
+    "neyman allocation undefined: zero total weight (all strata constant)"
+)
+
+_NEYMAN_ORACLE = f"""
+    WITH x AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS v
+      FROM orders
+    ),
+    g AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2
+      FROM x GROUP BY 1
+    ),
+    vv AS (
+      SELECT stratum, n_rows, n_rows * s2 - s1 * s1 AS vh FROM g
+    ),
+    s0 AS (
+      SELECT *, CAST(floor(sqrt(CAST(vh AS DOUBLE))) AS BIGINT) AS r0
+      FROM vv
+    ),
+    w AS (
+      SELECT stratum, n_rows, vh,
+             r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= vh THEN 1 ELSE 0 END)
+                - (CASE WHEN r0 * r0 > vh THEN 1 ELSE 0 END) AS wt
+      FROM s0
+    ),
+    t AS (
+      SELECT CASE WHEN SUM(wt) = 0
+                  THEN CAST(error('{_NEYMAN_GUARD}') AS BIGINT)
+                  ELSE CAST(SUM(wt) AS BIGINT) END AS tw
+      FROM w
+    ),
+    b AS (
+      SELECT stratum, n_rows, wt,
+             (1000000 * wt) // tw AS fshare,
+             (1000000 * wt) % tw AS rem
+      FROM w, t
+    ),
+    lo AS (SELECT 1000000 - CAST(SUM(fshare) AS BIGINT) AS leftover FROM b),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) - 1 AS sb
+      FROM b
+    )
+    SELECT stratum, n_rows, CAST(wt AS BIGINT) AS weight,
+           CAST(fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_ppm
+    FROM r, lo
+    ORDER BY stratum
+    """
+
+
+@pending_query("sample_neyman_allocation", oracle=_NEYMAN_ORACLE)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) sample allocation across strata — the survey-
+    statistics rung above proportional apportionment: a fixed 1e6-ppm
+    sample budget splits across o_orderpriority strata in proportion
+    to N_h * sigma_h, which minimizes the variance of the stratified
+    mean at fixed total n. The weight is computed EXACTLY: with v in
+    integer kilodollar units (exact cents // 100000), N_h * sigma_h =
+    sqrt(N_h * SUM(v^2) - SUM(v)^2) — an integer square root, taken
+    as floor(sqrt(double)) plus a +/-1 integer correction, which is
+    exact because V_h <= 2^53 here (documented bound; beyond it the
+    same kernel runs on DECIMAL/HUGEINT) and IEEE sqrt is correctly
+    rounded. The budget then splits by the module's largest-remainder
+    convention (floor shares + remainder rank, ties by stratum) — Σ
+    alloc == 1e6 EXACTLY. A corpus where every stratum is constant
+    (zero total weight) raises LOUDLY on both engines instead of
+    emitting a NULL plan.
+
+    Scale shape: one map-side-combinable (count, sum, sum-of-squares)
+    agg per stratum, then |strata|-row arithmetic against 1-row
+    broadcasts; the remainder rank is the module's broadcast
+    triangular self-join. Nothing scales beyond the scan.
+
+    Reference basis: none; contract curation-economics family (SURVEY
+    §2.10), beside `sample_token_budget_apportion` (proportional) and
+    `sample_sqrt_temperature_mix` (tau=0.5 rebalance)."""
+    from ..functions.money import cents
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.expr(
+            "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " div 100000 AS BIGINT)"
+        ).alias("v"),
+    )
+    g = x.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    vv = g.select(
+        "stratum",
+        "n_rows",
+        (F.col("n_rows") * F.col("s2") - F.col("s1") * F.col("s1")).alias(
+            "vh"
+        ),
+    )
+    w = vv.select(
+        "stratum",
+        "n_rows",
+        F.expr(
+            "CAST(floor(sqrt(CAST(vh AS DOUBLE))) AS BIGINT)"
+            " + (CASE WHEN (CAST(floor(sqrt(CAST(vh AS DOUBLE))) AS BIGINT)"
+            "           + 1) * (CAST(floor(sqrt(CAST(vh AS DOUBLE)))"
+            "           AS BIGINT) + 1) <= vh THEN 1 ELSE 0 END)"
+            " - (CASE WHEN CAST(floor(sqrt(CAST(vh AS DOUBLE))) AS BIGINT)"
+            "          * CAST(floor(sqrt(CAST(vh AS DOUBLE))) AS BIGINT)"
+            "          > vh THEN 1 ELSE 0 END)"
+        ).alias("wt"),
+    )
+    t = w.agg(
+        F.when(
+            F.sum("wt") > 0, F.sum("wt")
+        )
+        .otherwise(F.expr(f"raise_error('{_NEYMAN_GUARD}')"))
+        .cast("long")
+        .alias("tw")
+    )
+    b = w.crossJoin(F.broadcast(t)).select(
+        "stratum",
+        "n_rows",
+        F.col("wt"),
+        F.expr("(1000000 * wt) div tw").alias("fshare"),
+        ((1000000 * F.col("wt")) % F.col("tw")).alias("rem"),
+    )
+    lo = b.agg((1000000 - F.sum("fshare")).cast("long").alias("leftover"))
+    other = b.select(
+        F.col("stratum").alias("stratum2"), F.col("rem").alias("rem2")
+    )
+    sb = (
+        b.join(
+            F.broadcast(other),
+            (F.col("rem2") > F.col("rem"))
+            | (
+                (F.col("rem2") == F.col("rem"))
+                & (F.col("stratum2") < F.col("stratum"))
+            ),
+            "left",
+        )
+        .groupBy("stratum", "n_rows", "wt", "fshare")
+        .agg(F.count("stratum2").alias("sb"))
+    )
+    return (
+        sb.crossJoin(F.broadcast(lo))
+        .select(
+            "stratum",
+            "n_rows",
+            F.col("wt").cast("long").alias("weight"),
+            (
+                F.col("fshare")
+                + F.when(F.col("sb") < F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_ppm"),
+        )
+        .orderBy("stratum")
+    )

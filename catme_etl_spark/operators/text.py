@@ -1936,3 +1936,99 @@ def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr_ppm"
         ),
     )
+
+
+_SIG_TOP_K = 5
+
+_SIG_TERMS_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM t GROUP BY 1
+    ),
+    s AS (
+      SELECT tf.source, tf.tok AS term, tf.tf, df.df,
+             (1000000 * tf.tf) // df.df AS score_ppm
+      FROM tf JOIN df USING (tok)
+    )
+    SELECT source, term, tf, df,
+           CAST(score_ppm AS BIGINT) AS score_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY score_ppm DESC, term) AS rk
+      FROM s
+    )
+    WHERE rk <= {_SIG_TOP_K}
+    """
+
+
+@pending_query("text_source_signature_terms", oracle=_SIG_TERMS_ORACLE)
+def text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_SIG_TOP_K} CHARACTERISTIC terms per source by an
+    integer-exact tf-idf surrogate — the curator's "what is this
+    source actually about" read beside the raw top-tokens list (which
+    the corpus-wide stopword mass dominates): per (source, term)
+    frequency tf weighted by INVERSE document frequency as the exact
+    floor-ppm rational score = (1e6 * tf) // df. Dropping idf's log
+    is deliberate: log(N/df) is a monotone transform of 1/df at fixed
+    tf — it reweights ACROSS tf levels but the ranking this op ships
+    is already a certified-exact integer, where any libm log would
+    put the order itself at cross-engine float risk. Ties break on
+    the term string, so the top list is fully deterministic.
+
+    Scale shape: one tokenize+explode (narrow), two map-side-
+    combinable count shuffles — (source, term) for tf, term for df
+    (COUNT(DISTINCT doc_id) collapses to a two-stage exact distinct)
+    — one equi-join on term, and a per-source top-k window (per-key
+    groups, never a global sort). At 100 TB the (source, term) count
+    table is the same shared lexical artifact the hapax/vocab ops
+    read, and the top-k window runs over |vocab| rows per source —
+    the heaviest leg; a two-stage partial top-k per partition is the
+    drop-in if a single source's vocabulary outgrows one executor's
+    sort.
+
+    Reference basis: none; contract text-analysis family (SURVEY
+    §2.10), the per-SOURCE idf rung beside the certified per-document `text_tfidf_top_terms`."""
+    from pyspark.sql import Window
+
+    from ._shared import fan_out
+
+    t = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    )
+    tf = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = t.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    s = (
+        tf.join(df_, "tok")
+        .select(
+            "source",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            F.expr("CAST((1000000 * tf) div df AS BIGINT)").alias(
+                "score_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), "term"
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SIG_TOP_K)
+        .select("source", "term", "tf", "df", "score_ppm", "rk")
+    )
