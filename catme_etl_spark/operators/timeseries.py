@@ -1013,3 +1013,151 @@ def holt_forecast_verdict(d: DataFrame) -> DataFrame:
             holt, "h long, forecast_day_us long, forecast_events long"
         )
     )
+
+
+_HW_GUARD = (
+    "holt-winters forecast undefined: fewer than 2 observed days"
+)
+
+_HW_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ser AS (
+      SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
+    ),
+    g AS (
+      SELECT CASE WHEN COUNT(*) < 2
+                  THEN CAST(error('GUARDMSG') AS BIGINT)
+                  ELSE CAST(COUNT(*) AS BIGINT) END AS nd,
+             CAST(MAX(day) AS BIGINT) AS last_day
+      FROM ser
+    ),
+    rec AS (
+      SELECT 1 AS i,
+             CAST(seed1.n AS BIGINT) AS l,
+             CAST(seed2.n - seed1.n AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6
+      FROM (SELECT n FROM ser WHERE i = 1) seed1,
+           (SELECT n FROM ser WHERE i = 2) seed2
+      UNION ALL
+      SELECT r.i + 1,
+             CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT) AS l,
+             CAST(floor((r.b + (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) - r.l) / 2.0) AS BIGINT) AS b,
+             CASE WHEN CAST(s.day % 7 AS BIGINT) = 0 THEN (CAST(floor((s.n - (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) + (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END)) / 2.0) AS BIGINT)) ELSE r.s0 END AS s0,
+             CASE WHEN CAST(s.day % 7 AS BIGINT) = 1 THEN (CAST(floor((s.n - (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) + (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END)) / 2.0) AS BIGINT)) ELSE r.s1 END AS s1,
+             CASE WHEN CAST(s.day % 7 AS BIGINT) = 2 THEN (CAST(floor((s.n - (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) + (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END)) / 2.0) AS BIGINT)) ELSE r.s2 END AS s2,
+             CASE WHEN CAST(s.day % 7 AS BIGINT) = 3 THEN (CAST(floor((s.n - (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) + (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END)) / 2.0) AS BIGINT)) ELSE r.s3 END AS s3,
+             CASE WHEN CAST(s.day % 7 AS BIGINT) = 4 THEN (CAST(floor((s.n - (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) + (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END)) / 2.0) AS BIGINT)) ELSE r.s4 END AS s4,
+             CASE WHEN CAST(s.day % 7 AS BIGINT) = 5 THEN (CAST(floor((s.n - (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) + (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END)) / 2.0) AS BIGINT)) ELSE r.s5 END AS s5,
+             CASE WHEN CAST(s.day % 7 AS BIGINT) = 6 THEN (CAST(floor((s.n - (CAST(floor((s.n - (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + r.l + r.b) / 2.0) AS BIGINT)) + (CASE CAST(s.day % 7 AS BIGINT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END)) / 2.0) AS BIGINT)) ELSE r.s6 END AS s6
+      FROM rec r JOIN ser s ON s.i = r.i + 1
+    ),
+    fin AS (SELECT rec.*, g.last_day FROM rec, g WHERE rec.i = g.nd)
+    SELECT CAST(t.h AS BIGINT) AS h,
+           CAST((fin.last_day + t.h) * 86400000000 AS BIGINT)
+             AS forecast_day_us,
+           CAST(fin.l + t.h * fin.b + (CASE CAST((fin.last_day + t.h) % 7 AS BIGINT) WHEN 0 THEN fin.s0 WHEN 1 THEN fin.s1 WHEN 2 THEN fin.s2 WHEN 3 THEN fin.s3 WHEN 4 THEN fin.s4 WHEN 5 THEN fin.s5 WHEN 6 THEN fin.s6 END) AS BIGINT)
+             AS forecast_events
+    FROM fin, range(1, 8) t(h)
+    """.replace("GUARDMSG", _HW_GUARD)
+
+
+@pending_query("ts_holt_winters_weekly", oracle=_HW_ORACLE)
+def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE-SEASONAL forecast of the daily event
+    volume, 7 days ahead — the seasonal rung above the Holt
+    level+trend op: a third recursive state, the 7-slot day-of-week
+    seasonal vector s[0..6] (epoch-day mod 7, calendar-free), lets a
+    weekday/weekend cycle survive the forecast instead of being
+    averaged into the trend. All three smoothings use the dyadic
+    alpha = beta = gamma = 1/2 with the floored recursion
+
+        l_t    = floor((x_t - s_old + l + b) / 2)
+        b_t    = floor((b + l_t - l) / 2)
+        s[dow] = floor((x_t - l_t + s_old) / 2)
+
+    seeded l_1 = x_1, b_1 = x_2 - x_1, s = 0 (zero-seeded seasonal
+    state: the recursion LEARNS the cycle, so no non-dyadic first-week
+    averaging enters the arithmetic) and forecasting f_h = l + h*b +
+    s[(last_day + h) mod 7]. floor(x / 2.0) is exact binary-FP floor
+    division toward -inf on Spark, pandas, and DuckDB alike (the
+    certified Holt op's device), so the whole 9-state recursion is
+    integer-exact with zero libm dependence. Day gaps advance the
+    recursion by observation (like the Holt op) while the seasonal
+    slot always follows the TRUE epoch-day mod 7. Fewer than 2
+    observed days — including fully empty input, via the NULL
+    sentinel — raises LOUDLY on both engines.
+
+    Scale shape: the scan collapses to |days| rows in one map-side-
+    combinable agg; the inherently sequential recursion runs as one
+    applyInPandas group over the horizon-bounded series (DuckDB
+    mirrors it as a 9-column WITH RECURSIVE) and the output is 7
+    rows. At 100 TB only the count agg scales.
+
+    Reference basis: none; contract ops-analytics/time-series family
+    — the seasonal sibling of `ts_holt_linear_forecast`."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return holt_winters_verdict(d)
+
+
+def holt_winters_verdict(d: DataFrame) -> DataFrame:
+    """The batch-side Holt-Winters recursion over a (day, n) series —
+    factored so the streaming arm (`stream_holt_winters_weekly`) runs
+    the IDENTICAL forecast on its complete-mode snapshot and certifies
+    byte-equality to the batch operator. NULL-sentinel union keeps the
+    <2-day guard on the Spark path even for empty input (the round-10
+    ADVICE class); see `ts_holt_winters_weekly` for the exact
+    dyadic-floor semantics."""
+    import pandas as pd
+
+    sentinel = d.sparkSession.range(1).select(
+        F.lit(None).cast("long").alias("day"),
+        F.lit(None).cast("long").alias("n"),
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.dropna(subset=["day", "n"]).sort_values("day")
+        xs = [int(v) for v in pdf["n"]]
+        days = [int(v) for v in pdf["day"]]
+        if len(xs) < 2:
+            raise ValueError(_HW_GUARD)
+        l, b = xs[0], xs[1] - xs[0]
+        s = [0] * 7
+        for t in range(1, len(xs)):
+            x, dow = xs[t], days[t] % 7
+            s_old = s[dow]
+            l_new = math.floor((x - s_old + l + b) / 2.0)
+            b = math.floor((b + l_new - l) / 2.0)
+            s[dow] = math.floor((x - l_new + s_old) / 2.0)
+            l = l_new
+        last_day = days[-1]
+        return pd.DataFrame(
+            {
+                "h": list(range(1, 8)),
+                "forecast_day_us": [
+                    (last_day + h) * 86_400_000_000 for h in range(1, 8)
+                ],
+                "forecast_events": [
+                    l + h * b + s[(last_day + h) % 7] for h in range(1, 8)
+                ],
+            }
+        )
+
+    return (
+        d.select("day", "n")
+        .unionByName(sentinel)
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            hw, "h long, forecast_day_us long, forecast_events long"
+        )
+    )

@@ -1792,3 +1792,35 @@ def stream_holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(w.start) div 86400000000").alias("day"), "n"
     )
     return holt_forecast_verdict(d)
+
+
+from ..operators.timeseries import _HW_ORACLE  # noqa: E402
+from ..operators.timeseries import holt_winters_verdict  # noqa: E402
+
+
+@pending_query("stream_holt_winters_weekly", oracle=_HW_ORACLE)
+def stream_holt_winters_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Holt-Winters weekly forecast maintained BY the stream: the
+    stream owns only mergeable epoch-anchored 1-day tumbling counts
+    (complete mode), and the sealed snapshot feeds the IDENTICAL
+    dyadic-floor Holt-Winters recursion (`holt_winters_verdict`, the
+    factored kernel) — certified byte-equal to `ts_holt_winters_weekly`
+    via the SAME oracle string. Completes the pattern: every daily-
+    series verdict in the repo (MAD monitor, changepoint, linear
+    trend, seasonal trend) now has a streaming arm.
+
+    State shape: one (day, count) row per observed day; the verdict is
+    the horizon-bounded 9-state recursion plus 7 output rows.
+
+    Reference basis: none; contract C5/C7 streaming family."""
+    e = _stream_events(spark, sf_dir)
+    agg = e.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    snap = _run_to_memory(agg, "complete")
+    d = snap.select(
+        F.expr("unix_micros(w.start) div 86400000000").alias("day"), "n"
+    )
+    return holt_winters_verdict(d)
