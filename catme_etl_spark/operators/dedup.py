@@ -3232,3 +3232,132 @@ def dedup_winnowing_containment(
         F.expr("CAST((1000000 * n_shared_fp) div least(na, nb) AS BIGINT)")
         .alias("containment_ppm"),
     )
+
+
+_WINNOW_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, text, len(text) - {WINNOW_K} + 1 AS ng
+      FROM documents WHERE len(text) >= {WINNOW_K}
+    ),
+    grams AS (
+      SELECT doc_id, ng, UNNEST(range(ng)) AS i FROM docs
+    ),
+    hashed AS (
+      SELECT g.doc_id, g.ng, g.i,
+             {sql_hex_long(
+                 f"md5(substring(d.text, g.i + 1, {WINNOW_K}))", 14, 1
+             )} AS h
+      FROM grams g JOIN docs d USING (doc_id)
+    ),
+    wmin AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashed
+      QUALIFY i <= ng - {WINNOW_W}
+    ),
+    fp AS (SELECT DISTINCT doc_id, fp FROM wmin),
+    live AS (
+      SELECT fp FROM fp GROUP BY fp
+      HAVING COUNT(*) <= {WINNOW_DF_CAP}
+    ),
+    idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN live l ON l.fp = f.fp),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM idx GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {WINNOW_T}
+    ),
+    ct AS (
+      SELECT p.doc_a, p.doc_b, p.n_shared_fp,
+             sa.nf AS na, sb.nf AS nb
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    ),
+    cpairs AS (
+      SELECT doc_a, doc_b FROM ct
+      WHERE 2 * n_shared_fp >= LEAST(na, nb)
+    ),
+    verts AS (
+      SELECT DISTINCT doc_a AS id FROM cpairs
+      UNION
+      SELECT DISTINCT doc_b AS id FROM cpairs
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM cpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM cpairs
+    ),
+    walk AS (
+      SELECT id AS d, id AS lab FROM verts
+      UNION
+      SELECT e.t AS d, w.lab FROM walk w JOIN edges e ON e.s = w.d
+    ),
+    cl AS (SELECT d, CAST(MIN(lab) AS BIGINT) AS component
+           FROM walk GROUP BY d),
+    ndc AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM cl GROUP BY 1),
+    npc AS (
+      SELECT cl.component, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM cpairs p JOIN cl ON cl.d = p.doc_a GROUP BY 1
+    )
+    SELECT component AS cluster_id, n_docs, n_pairs
+    FROM ndc JOIN npc USING (component)
+    """
+
+
+@pending_query("dedup_winnowing_clusters", oracle=_WINNOW_CLUSTERS_ORACLE)
+def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER rollup of the winnowing containment graph — the action
+    tier above the pairwise drop list: transitive closure over the
+    containment pairs (2 * shared >= min live fingerprints) groups
+    every chain of partial-overlap reuse — A quotes B quotes C — into
+    ONE cluster with its min-doc_id label, the unit a curator actually
+    reviews or drops. Pairwise keep-first canonicalization would keep
+    both endpoints of an A-C pair that only connects through B; the
+    closure catches it. Per cluster: the min-id representative, member
+    count, and containment-pair count (pair density separates a
+    boilerplate hub from a two-doc quote). Documents in no containment
+    pair are NOT rows here — singletons are the corpus default, and
+    the cluster report is the exception list.
+
+    Scale shape: rides the shared `_winnow_live_index` artifact and
+    the containment pairs (df-capped inverted index, never all-pairs);
+    the closure is `propagate_min_labels` — union-find on the driver
+    while the VERIFIED pair list fits the collect budget (near-dup
+    edge lists are orders of magnitude smaller than the corpus), else
+    the star-augmented O(log diameter) distributed loop; the rollup
+    is two |clusters|-row aggs. Same machinery as the certified
+    simhash `dedup_connected_components`.
+
+    Reference basis: none; contract F8-F9/F13 dedup family — the
+    winnowing arm's closure tier (SURVEY F75 rung above
+    `dedup_winnowing_containment`)."""
+    cp = dedup_winnowing_containment(spark, sf_dir).select(
+        F.col("doc_contained").alias("a"), F.col("doc_container").alias("b")
+    )
+    verts = (
+        cp.select(F.col("a").alias("id"))
+        .unionByName(cp.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    labels = propagate_min_labels(verts, cp)
+    ndc = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    npc = (
+        cp.join(labels, cp["a"] == labels["id"])
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return ndc.join(npc, "component").select(
+        F.col("component").cast("long").alias("cluster_id"),
+        "n_docs",
+        "n_pairs",
+    )
