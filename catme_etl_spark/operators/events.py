@@ -2128,3 +2128,218 @@ def changepoint_verdict(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("step_sign"),
     )
+
+
+def _cp_seg_sql(sfx: str, src: str) -> str:
+    """One argmax-split CTE chain (the certified changepoint device)
+    over daily-count CTE ``src``, suffixed ``sfx`` — emits win{sfx}
+    with (day, nl, nr, sl, sr, a, b); empty when the segment has < 2
+    days (no candidate split)."""
+    return f"""
+    tot{sfx} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(MAX(day) AS BIGINT) AS last_day
+      FROM {src}
+    ),
+    cand{sfx} AS (
+      SELECT c.day,
+             CAST(COUNT(o.day) AS BIGINT) AS nl,
+             t.nd - COUNT(o.day) AS nr,
+             CAST(SUM(o.n) AS BIGINT) AS sl,
+             t.s - SUM(o.n) AS sr
+      FROM {src} c JOIN {src} o ON o.day <= c.day, tot{sfx} t
+      WHERE c.day < t.last_day
+      GROUP BY c.day, t.nd, t.s
+    ),
+    scored{sfx} AS (
+      SELECT day, nl, nr, sl, sr,
+             abs(nr * sl - nl * sr) AS a,
+             nl * nr AS b
+      FROM cand{sfx}
+    ),
+    rk{sfx} AS (
+      SELECT c.day, COUNT(o.day) AS beat
+      FROM scored{sfx} c LEFT JOIN scored{sfx} o
+        ON (o.a * c.b > c.a * o.b)
+        OR (o.a * c.b = c.a * o.b AND o.day < c.day)
+      GROUP BY c.day
+    ),
+    win{sfx} AS (
+      SELECT s.* FROM scored{sfx} s JOIN rk{sfx} ON rk{sfx}.day = s.day
+      WHERE rk{sfx}.beat = 0
+    )"""
+
+
+def _cp_seg_select(sfx: str, level: int, segment: str) -> str:
+    return f"""
+    SELECT CAST({level} AS BIGINT) AS lvl, '{segment}' AS segment,
+           CAST(win{sfx}.day * 86400000000 AS BIGINT)
+             AS split_after_day_us,
+           win{sfx}.nl AS n_left_days,
+           win{sfx}.nr AS n_right_days,
+           CAST((1000000 * win{sfx}.a) // win{sfx}.b AS BIGINT) AS gap_ppm,
+           CAST(CASE WHEN win{sfx}.nr * win{sfx}.sl
+                          - win{sfx}.nl * win{sfx}.sr < 0 THEN 1
+                     WHEN win{sfx}.nr * win{sfx}.sl
+                          - win{sfx}.nl * win{sfx}.sr > 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS step_sign
+    FROM win{sfx}"""
+
+
+_CP2_ORACLE = f"""
+    WITH d0 AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    gg AS (
+      SELECT CASE WHEN COUNT(*) < 2
+                  THEN CAST(error('{_CHANGEPOINT_GUARD}') AS BIGINT)
+                  ELSE CAST(COUNT(*) AS BIGINT) END AS nd
+      FROM d0
+    ),
+    d1 AS (SELECT d0.* FROM d0, gg),
+    {_cp_seg_sql("1", "d1")},
+    d2 AS (SELECT d1.* FROM d1, win1 WHERE d1.day <= win1.day),
+    {_cp_seg_sql("2", "d2")},
+    d3 AS (SELECT d1.* FROM d1, win1 WHERE d1.day > win1.day),
+    {_cp_seg_sql("3", "d3")}
+    {_cp_seg_select("1", 1, "all")}
+    UNION ALL
+    {_cp_seg_select("2", 2, "left")}
+    UNION ALL
+    {_cp_seg_select("3", 2, "right")}
+    ORDER BY lvl, segment
+    """
+
+
+def _cp_seg_spark(d: DataFrame) -> DataFrame:
+    """Spark mirror of one `_cp_seg_sql` chain: the argmax split of a
+    (day, n) segment via the bounded broadcast triangular self-join;
+    empty when the segment has < 2 days."""
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s"),
+        F.max("day").cast("long").alias("last_day"),
+    )
+    o = d.select(F.col("day").alias("oday"), F.col("n").alias("onn"))
+    cand = (
+        d.crossJoin(F.broadcast(tot))
+        .filter(F.col("day") < F.col("last_day"))
+        .join(F.broadcast(o), F.col("oday") <= F.col("day"))
+        .groupBy("day", "nd", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nl"),
+            F.sum("onn").cast("long").alias("sl"),
+        )
+        .select(
+            "day",
+            "nl",
+            (F.col("nd") - F.col("nl")).cast("long").alias("nr"),
+            "sl",
+            (F.col("s") - F.col("sl")).cast("long").alias("sr"),
+        )
+    )
+    scored = cand.select(
+        "day",
+        "nl",
+        "nr",
+        "sl",
+        "sr",
+        F.abs(F.col("nr") * F.col("sl") - F.col("nl") * F.col("sr"))
+        .cast("long")
+        .alias("a"),
+        (F.col("nl") * F.col("nr")).cast("long").alias("b"),
+    )
+    other = scored.select(
+        F.col("day").alias("jday"),
+        F.col("a").alias("ja"),
+        F.col("b").alias("jb"),
+    )
+    return (
+        scored.join(
+            F.broadcast(other),
+            (F.col("ja") * F.col("b") > F.col("a") * F.col("jb"))
+            | (
+                (F.col("ja") * F.col("b") == F.col("a") * F.col("jb"))
+                & (F.col("jday") < F.col("day"))
+            ),
+            "left",
+        )
+        .groupBy("day", "nl", "nr", "sl", "sr", "a", "b")
+        .agg(F.count("jday").alias("beat"))
+        .filter(F.col("beat") == 0)
+        .drop("beat")
+    )
+
+
+def _cp_seg_out(win: DataFrame, level: int, segment: str) -> DataFrame:
+    return win.select(
+        F.lit(level).cast("long").alias("lvl"),
+        F.lit(segment).alias("segment"),
+        (F.col("day") * 86400000000).cast("long").alias(
+            "split_after_day_us"
+        ),
+        F.col("nl").alias("n_left_days"),
+        F.col("nr").alias("n_right_days"),
+        F.expr("CAST((1000000 * a) div b AS BIGINT)").alias("gap_ppm"),
+        F.when(F.col("nr") * F.col("sl") - F.col("nl") * F.col("sr") < 0, 1)
+        .when(F.col("nr") * F.col("sl") - F.col("nl") * F.col("sr") > 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("step_sign"),
+    )
+
+
+@pending_query("events_changepoint_two_level", oracle=_CP2_ORACLE)
+def events_changepoint_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-LEVEL binary segmentation of the daily event-count series —
+    the recursion step the single-changepoint op documents itself as
+    ("the first split of binary segmentation"): after the level-1
+    split at day k, the SAME cross-multiplied rational argmax runs
+    independently inside [first, k] and (k, last], yielding up to
+    three splits that segment the series into up to four regimes —
+    the read an incident review wants ("the jump on the 12th, and the
+    slow ramp before it"). Every level reuses the certified device:
+    integer daily counts, a = |n_R*S_L - n_L*S_R|, b = n_L*n_R,
+    argmax by a_i*b_j vs a_j*b_i in int64, ties to the earliest day,
+    no division before the floor-ppm read-out — bit-identical
+    cross-engine. A sub-segment with < 2 observed days simply emits
+    no row (no further split exists); fewer than 2 days GLOBALLY
+    raises LOUDLY on both engines, like the parent op.
+
+    Scale shape: the scan collapses to |days| rows once; each level
+    is the same bounded triangular self-join on that tiny series
+    (3 * |days|^2 pairs worst case); at most 3 output rows.
+
+    Reference basis: none; contract ops-analytics/time-series family
+    — the depth-2 rung above `events_changepoint_max_meanshift`."""
+    d = (
+        _events(spark, sf_dir)
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    gg = d.agg(
+        F.when(F.count(F.lit(1)) >= 2, F.count(F.lit(1)))
+        .otherwise(F.expr(f"raise_error('{_CHANGEPOINT_GUARD}')"))
+        .cast("long")
+        .alias("nd")
+    )
+    d1 = d.crossJoin(F.broadcast(gg)).select("day", "n")
+    win1 = _cp_seg_spark(d1)
+    s1 = win1.select(F.col("day").alias("sday"))
+    d2 = d1.crossJoin(F.broadcast(s1)).filter(
+        F.col("day") <= F.col("sday")
+    ).select("day", "n")
+    d3 = d1.crossJoin(F.broadcast(s1)).filter(
+        F.col("day") > F.col("sday")
+    ).select("day", "n")
+    return (
+        _cp_seg_out(win1, 1, "all")
+        .unionByName(_cp_seg_out(_cp_seg_spark(d2), 2, "left"))
+        .unionByName(_cp_seg_out(_cp_seg_spark(d3), 2, "right"))
+        .orderBy("lvl", "segment")
+    )
