@@ -3361,3 +3361,342 @@ def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_pairs",
     )
+
+
+def _manifest_chain_sql(s: str, pred: str) -> str:
+    """One full corpus-release manifest CTE chain (the certified
+    `_RELEASE_ORACLE` lineage), suffixed ``{s}`` and restricted to
+    the documents satisfying ``pred`` over the shared ``tagged`` CTE
+    — ends in man{s}(source, n_train_raw, n_dropped_decon,
+    n_dropped_neardup, n_train_final, share_before_ppm,
+    share_after_ppm, passing_tokens, alloc_tokens). Shares ``pairs``
+    (banded LSH), ``ndj``/``ndu`` (verified near-dup pairs), and
+    ``eval_g`` (eval gram set) with every other chain: a release
+    built over a document subset needs no pair or gram rebuild when
+    the excluded slice is train-only (eval sets frozen)."""
+    return f"""
+    tag{s} AS (SELECT * FROM tagged WHERE {pred}),
+    train_g{s} AS (
+      SELECT DISTINCT doc_id, md5(unnest({_REL_GRAM_SQL})) AS gh
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM tag{s} WHERE split = 'train') x
+    ),
+    dirty{s} AS (
+      SELECT DISTINCT t.doc_id FROM train_g{s} t JOIN eval_g e USING (gh)
+    ),
+    surv0{s} AS (
+      SELECT doc_id, source, text FROM tag{s}
+      WHERE split = 'train'
+        AND doc_id NOT IN (SELECT doc_id FROM dirty{s})
+    ),
+    leak{s} AS (
+      SELECT DISTINCT sv.doc_id FROM surv0{s} sv JOIN ndu ON ndu.d = sv.doc_id
+      WHERE {_SPLIT_CASE_SQL.format(col="ndu.o")} <> 'train'
+    ),
+    within{s} AS (
+      SELECT DISTINCT ndj.doc_b AS doc_id
+      FROM ndj JOIN surv0{s} a ON a.doc_id = ndj.doc_a
+               JOIN surv0{s} b ON b.doc_id = ndj.doc_b
+    ),
+    drops{s} AS (SELECT doc_id FROM leak{s}
+                 UNION SELECT doc_id FROM within{s}),
+    final{s} AS (
+      SELECT * FROM surv0{s}
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops{s})
+    ),
+    raw{s} AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_raw
+               FROM tag{s} WHERE split = 'train' GROUP BY 1),
+    sv{s} AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_surv0
+              FROM surv0{s} GROUP BY 1),
+    fn{s} AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final
+              FROM final{s} GROUP BY 1),
+    ftok{s} AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                                           t -> t <> ''))) AS ndt
+      FROM final{s}
+    ),
+    gq{s} AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN nt BETWEEN 20 AND 80
+                            AND CAST(ndt AS DOUBLE) / nt > 0.25
+                           THEN nt ELSE 0 END) AS BIGINT) AS passing_tokens
+      FROM ftok{s} GROUP BY 1
+    ),
+    m{s} AS (
+      SELECT raw{s}.source, raw{s}.n_train_raw,
+             raw{s}.n_train_raw - COALESCE(sv{s}.n_surv0, 0)
+               AS n_dropped_decon,
+             COALESCE(sv{s}.n_surv0, 0) - COALESCE(fn{s}.n_final, 0)
+               AS n_dropped_neardup,
+             COALESCE(fn{s}.n_final, 0) AS n_train_final,
+             COALESCE(gq{s}.passing_tokens, 0) AS passing_tokens
+      FROM raw{s} LEFT JOIN sv{s} USING (source)
+                  LEFT JOIN fn{s} USING (source)
+                  LEFT JOIN gq{s} USING (source)
+    ),
+    tt{s} AS (SELECT CAST(SUM(n_train_raw) AS BIGINT) AS total_raw,
+                     CAST(SUM(n_train_final) AS BIGINT) AS total_final,
+                     CAST(SUM(passing_tokens) AS BIGINT) AS total_passing
+              FROM m{s}),
+    bb{s} AS (
+      SELECT m{s}.*,
+             (1000000 * m{s}.n_train_raw) // tt{s}.total_raw
+               AS share_before_ppm,
+             CASE WHEN tt{s}.total_final = 0
+                  THEN CAST(error('{_RELEASE_GUARD}') AS BIGINT)
+                  ELSE (1000000 * m{s}.n_train_final) // tt{s}.total_final
+              END AS share_after_ppm,
+             CASE WHEN tt{s}.total_passing = 0
+                  THEN CAST(error('{_RELEASE_GUARD}') AS BIGINT)
+                  ELSE (1000000 * m{s}.passing_tokens) // tt{s}.total_passing
+              END AS fshare,
+             CASE WHEN tt{s}.total_passing = 0 THEN 0
+                  ELSE (1000000 * m{s}.passing_tokens) % tt{s}.total_passing
+              END AS rem
+      FROM m{s}, tt{s}
+    ),
+    lo{s} AS (SELECT 1000000 - CAST(SUM(fshare) AS BIGINT) AS leftover
+              FROM bb{s}),
+    rr{s} AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) - 1 AS sb
+      FROM bb{s}
+    ),
+    man{s} AS (
+      SELECT source,
+             CAST(n_train_raw AS BIGINT) AS n_train_raw,
+             CAST(n_dropped_decon AS BIGINT) AS n_dropped_decon,
+             CAST(n_dropped_neardup AS BIGINT) AS n_dropped_neardup,
+             CAST(n_train_final AS BIGINT) AS n_train_final,
+             CAST(share_before_ppm AS BIGINT) AS share_before_ppm,
+             CAST(share_after_ppm AS BIGINT) AS share_after_ppm,
+             CAST(passing_tokens AS BIGINT) AS passing_tokens,
+             CAST(fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_tokens
+      FROM rr{s}, lo{s}
+    )"""
+
+
+_DIFF_SLICE_PRED = "NOT (doc_id % 7 = 3 AND split = 'train')"
+
+_RELEASE_DIFF_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    ndj AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+    ndu AS (SELECT doc_a AS d, doc_b AS o FROM ndj
+            UNION ALL SELECT doc_b AS d, doc_a AS o FROM ndj),
+    tagged AS (
+      SELECT doc_id, source, text,
+             {_SPLIT_CASE_SQL.format(col="doc_id")} AS split
+      FROM documents
+    ),
+    eval_g AS (
+      SELECT DISTINCT md5(unnest({_REL_GRAM_SQL})) AS gh
+      FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM tagged WHERE split <> 'train') x
+    ),
+    {_manifest_chain_sql("a", _DIFF_SLICE_PRED)},
+    {_manifest_chain_sql("b", "TRUE")}
+    SELECT COALESCE(a.source, b.source) AS source,
+           COALESCE(a.n_train_raw, 0) AS n_raw_prev,
+           COALESCE(b.n_train_raw, 0) AS n_raw_curr,
+           COALESCE(a.n_train_final, 0) AS n_final_prev,
+           COALESCE(b.n_train_final, 0) AS n_final_curr,
+           COALESCE(b.n_train_final, 0) - COALESCE(a.n_train_final, 0)
+             AS d_final_docs,
+           COALESCE(a.share_after_ppm, 0) AS share_after_prev_ppm,
+           COALESCE(b.share_after_ppm, 0) AS share_after_curr_ppm,
+           COALESCE(b.share_after_ppm, 0) - COALESCE(a.share_after_ppm, 0)
+             AS share_drift_ppm,
+           COALESCE(a.alloc_tokens, 0) AS alloc_prev,
+           COALESCE(b.alloc_tokens, 0) AS alloc_curr,
+           COALESCE(b.alloc_tokens, 0) - COALESCE(a.alloc_tokens, 0)
+             AS alloc_drift,
+           CAST(CASE WHEN abs(COALESCE(b.share_after_ppm, 0)
+                              - COALESCE(a.share_after_ppm, 0)) > 20000
+                     THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+    FROM mana a FULL JOIN manb b USING (source)
+    ORDER BY source
+    """
+
+
+@pending_query("pipeline_release_diff", oracle=_RELEASE_DIFF_ORACLE)
+def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-vs-MANIFEST drift between two corpus releases — the
+    nightly monitoring read of the release capstone (round-10 verdict
+    item #6b): the CURRENT release (`pipeline_corpus_release`'s exact
+    lineage) against the SIMULATED PRIOR release built over the same
+    corpus minus a train-only ingest slice (doc_id % 7 == 3 within
+    the train split — "what arrived since last night"). Per source:
+    raw/final doc deltas, after-scrub share drift in exact ppm,
+    budget-allocation drift, and a drift flag (|share drift| > 2%).
+
+    The prior release is EXACT, not approximate: because the slice is
+    train-only, the eval splits — and therefore the decontamination
+    gram set — are frozen between releases, so the prior manifest is
+    the identical certified pipeline (`_release_manifest`) over
+    filtered inputs: prior decon survivors = current survivors minus
+    the slice, and the near-dup scrub needs no pair rebuild (pair
+    candidacy is pairwise; the survivor joins restrict endpoints).
+    Each side keeps the capstone's empty-release loud guard.
+
+    Scale shape: the two heavy legs (gram join, pairs artifact) run
+    ONCE and are shared — the second manifest adds only
+    |survivors|-row joins collapsing to |sources| rows, exactly what
+    a production nightly diff costs against materialized artifacts.
+
+    Reference basis: none; contract training-data pipeline family
+    (SURVEY §2.10) — the monitoring rung above
+    `pipeline_corpus_release`."""
+    from .quality import pipeline_train_decontamination
+    from .sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    surv0 = pipeline_train_decontamination(spark, sf_dir).select(
+        "doc_id", "source"
+    )
+    nd = (
+        _minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    in_slice = (F.col("doc_id") % 7 == 3) & (
+        hash_bucket(F.col("doc_id"), 100) < 80
+    )
+    man_b = _release_manifest(d, surv0, nd)
+    man_a = _release_manifest(
+        d.filter(~in_slice),
+        surv0.filter(~(F.col("doc_id") % 7 == 3)),
+        nd,
+    )
+    a = man_a.select(
+        "source",
+        F.col("n_train_raw").alias("raw_a"),
+        F.col("n_train_final").alias("fin_a"),
+        F.col("share_after_ppm").alias("sh_a"),
+        F.col("alloc_tokens").alias("al_a"),
+    )
+    b = man_b.select(
+        "source",
+        F.col("n_train_raw").alias("raw_b"),
+        F.col("n_train_final").alias("fin_b"),
+        F.col("share_after_ppm").alias("sh_b"),
+        F.col("alloc_tokens").alias("al_b"),
+    )
+    z = F.lit(0)
+    return (
+        a.join(b, "source", "full")
+        .select(
+            "source",
+            F.coalesce("raw_a", z).cast("long").alias("n_raw_prev"),
+            F.coalesce("raw_b", z).cast("long").alias("n_raw_curr"),
+            F.coalesce("fin_a", z).cast("long").alias("n_final_prev"),
+            F.coalesce("fin_b", z).cast("long").alias("n_final_curr"),
+            (F.coalesce("fin_b", z) - F.coalesce("fin_a", z))
+            .cast("long")
+            .alias("d_final_docs"),
+            F.coalesce("sh_a", z).cast("long").alias("share_after_prev_ppm"),
+            F.coalesce("sh_b", z).cast("long").alias("share_after_curr_ppm"),
+            (F.coalesce("sh_b", z) - F.coalesce("sh_a", z))
+            .cast("long")
+            .alias("share_drift_ppm"),
+            F.coalesce("al_a", z).cast("long").alias("alloc_prev"),
+            F.coalesce("al_b", z).cast("long").alias("alloc_curr"),
+            (F.coalesce("al_b", z) - F.coalesce("al_a", z))
+            .cast("long")
+            .alias("alloc_drift"),
+            F.when(
+                F.abs(F.coalesce("sh_b", z) - F.coalesce("sh_a", z)) > 20000,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("drift_flag"),
+        )
+        .orderBy("source")
+    )
+
+
+_RELEASE_GATE_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    ndj AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+    ndu AS (SELECT doc_a AS d, doc_b AS o FROM ndj
+            UNION ALL SELECT doc_b AS d, doc_a AS o FROM ndj),
+    tagged AS (
+      SELECT doc_id, source, text,
+             {_SPLIT_CASE_SQL.format(col="doc_id")} AS split
+      FROM documents
+    ),
+    eval_g AS (
+      SELECT DISTINCT md5(unnest({_REL_GRAM_SQL})) AS gh
+      FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM tagged WHERE split <> 'train') x
+    ),
+    {_manifest_chain_sql("b", "TRUE")}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n_train_final) AS BIGINT) AS total_final,
+           CAST(MIN(n_train_final) AS BIGINT) AS min_source_final,
+           CAST(MAX(abs(share_after_ppm - share_before_ppm)) AS BIGINT)
+             AS max_share_drift_ppm,
+           CAST(SUM(alloc_tokens) AS BIGINT) AS alloc_total,
+           CAST(CASE WHEN MIN(n_train_final) >= 1
+                      AND MAX(abs(share_after_ppm - share_before_ppm))
+                          <= 50000
+                      AND SUM(alloc_tokens) = 1000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS gate_pass
+    FROM manb
+    """
+
+
+@pending_query("quality_release_gate", oracle=_RELEASE_GATE_ORACLE)
+def quality_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIP/NO-SHIP verdict over the corpus-release manifest — the
+    decision tier above `pipeline_corpus_release` (a manifest is a
+    report; a release job needs ONE row the scheduler can branch on):
+    gate_pass = 1 iff (a) every source survives the scrub with at
+    least one final document (a zeroed source means the scrub or the
+    upstream feed broke), (b) the worst per-source share drift
+    |after - before| stays within 5% (50000 ppm — a scrub that skews
+    the mix that hard needs human sign-off), and (c) the
+    largest-remainder allocation sums to exactly 1e6 (the budget
+    identity, asserted in-band instead of assumed). The supporting
+    reads (source count, totals, worst drift) ride in the same row so
+    a failed gate is diagnosable from the verdict alone. The capstone's
+    empty-release guard still raises below this gate.
+
+    Scale shape: the manifest's own lineage (shared gram join + pairs
+    artifact) plus ONE |sources|-row aggregate. Nothing new scales.
+
+    Reference basis: none; contract training-data pipeline family
+    (SURVEY §2.10) — the decision rung above the capstone, beside the
+    release-diff monitor."""
+    from .quality import pipeline_train_decontamination
+
+    d = load_table(spark, sf_dir, "documents")
+    surv0 = pipeline_train_decontamination(spark, sf_dir).select(
+        "doc_id", "source"
+    )
+    nd = (
+        _minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    man = _release_manifest(d, surv0, nd)
+    drift = F.abs(F.col("share_after_ppm") - F.col("share_before_ppm"))
+    return man.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n_train_final").cast("long").alias("total_final"),
+        F.min("n_train_final").cast("long").alias("min_source_final"),
+        F.max(drift).cast("long").alias("max_share_drift_ppm"),
+        F.sum("alloc_tokens").cast("long").alias("alloc_total"),
+        F.when(
+            (F.min("n_train_final") >= 1)
+            & (F.max(drift) <= 50000)
+            & (F.sum("alloc_tokens") == 1000000),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("gate_pass"),
+    )
