@@ -3543,3 +3543,227 @@ def sim_ivfpq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_ivfpq_at_{TOP_K}"),
         )
     )
+
+
+INGEST_REJECT_FACTOR = 4  # reject when min_adc is > 4x below the
+# query's own mean candidate ADC distance (cross-multiplied integer
+# form) — per-query adaptive, so the rule stays non-trivial at every
+# corpus density (a fixed distance threshold saturates as the corpus
+# grows denser; measured 4/50, 4/50, 23/200 rejections at the three
+# fixture SFs)
+
+
+def _ingest_gen(art_bc):
+    """mapInPandas generator over new-batch vectors: per vector, probe
+    the NPROBE nearest coarse centroids, ADC-score the probed
+    inverted lists' EXISTING members (vec_id % 10 != 9) via the PQ
+    codes, and emit the admission verdict row. Stable sorts keep
+    probe ties on the lowest cid — byte-identical to the oracle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, Q, assign, codes, cids, C, wids, W = art_bc.value
+        existing = ids % 10 != 9
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["vec_id"].to_numpy()
+            pos = np.searchsorted(ids, ia)
+            qa = Q[pos]
+            dq = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (qa @ C.T)
+            )
+            order = np.argsort(dq, axis=1, kind="stable")
+            probes = cids[order[:, :NPROBE]]
+            luts = []
+            for m in range(PQ_M):
+                lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+                qm, Wm = qa[:, lo:hi], W[:, lo:hi]
+                luts.append(
+                    (qm * qm).sum(axis=1)[:, None]
+                    + (Wm * Wm).sum(axis=1)[None, :]
+                    - 2 * (qm @ Wm.T)
+                )
+            out = {
+                "vec_id": [], "cid": [], "n_cand": [],
+                "min_adc": [], "sum_adc": [], "admitted": [],
+            }
+            for r in range(len(ia)):
+                cand = np.isin(assign, probes[r]) & existing
+                cidx = np.nonzero(cand)[0]
+                adc = np.zeros(len(cidx), dtype=np.int64)
+                for m in range(PQ_M):
+                    adc += luts[m][r][codes[cidx, m]]
+                n = len(cidx)
+                if n:
+                    mn, sm = int(adc.min()), int(adc.sum())
+                    adm = 0 if INGEST_REJECT_FACTOR * mn * n < sm else 1
+                else:
+                    mn, sm, adm = -1, 0, 1
+                out["vec_id"].append(int(ia[r]))
+                out["cid"].append(int(probes[r][0]))
+                out["n_cand"].append(n)
+                out["min_adc"].append(mn)
+                out["sum_adc"].append(sm)
+                out["admitted"].append(adm)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+@pending_query(
+    "pipeline_vector_index_ingest",
+    oracle=f"""
+    WITH {_CLV_SQL_CTES},
+    cent AS (
+      SELECT vec_id AS cid, qv AS cqv FROM qc
+      WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    adist AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(len(q.qv)), j ->
+               (q.qv[j+1] - c.cqv[j+1]) * (q.qv[j+1] - c.cqv[j+1])))
+             AS BIGINT) AS d
+      FROM qc q, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM adist
+      ) WHERE rn = 1
+    ),
+    batch AS (SELECT vec_id, qv FROM qc WHERE vec_id % 10 = 9),
+    branked AS (
+      SELECT a.vec_id AS query_id, a.cid, a.rn FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM adist
+      ) a JOIN batch p ON p.vec_id = a.vec_id
+      WHERE a.rn <= {NPROBE}
+    ),
+    bcid AS (SELECT query_id, cid FROM branked WHERE rn = 1),
+    icand AS (
+      SELECT pr.query_id, asg.vec_id AS neighbor_id
+      FROM branked pr JOIN assign asg ON asg.cid = pr.cid
+      WHERE asg.vec_id % 10 <> 9
+    ),
+    sub AS (SELECT UNNEST(range({PQ_M})) AS m),
+    cw AS (SELECT vec_id AS wid, qv AS wqv FROM qc
+           WHERE vec_id % {IVFPQ_CW_STRIDE} = 0),
+    nn AS (SELECT DISTINCT neighbor_id FROM icand),
+    nsub AS (
+      SELECT q.vec_id, sub.m, cw.wid,
+             CAST(list_sum(list_transform(range({PQ_SUB}), i ->
+               (q.qv[sub.m * {PQ_SUB} + i + 1]
+                - cw.wqv[sub.m * {PQ_SUB} + i + 1])
+               * (q.qv[sub.m * {PQ_SUB} + i + 1]
+                  - cw.wqv[sub.m * {PQ_SUB} + i + 1])))
+             AS BIGINT) AS d
+      FROM nn JOIN qc q ON q.vec_id = nn.neighbor_id, sub, cw
+    ),
+    codes AS (
+      SELECT vec_id, m, wid FROM (
+        SELECT vec_id, m, wid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, wid) AS rn
+        FROM nsub
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT p.vec_id, sub.m, cw.wid,
+             CAST(list_sum(list_transform(range({PQ_SUB}), i ->
+               (p.qv[sub.m * {PQ_SUB} + i + 1]
+                - cw.wqv[sub.m * {PQ_SUB} + i + 1])
+               * (p.qv[sub.m * {PQ_SUB} + i + 1]
+                  - cw.wqv[sub.m * {PQ_SUB} + i + 1])))
+             AS BIGINT) AS d
+      FROM batch p, sub, cw
+    ),
+    adc AS (
+      SELECT ic.query_id, ic.neighbor_id,
+             CAST(SUM(qs.d) AS BIGINT) AS adc_d
+      FROM icand ic
+      JOIN codes c ON c.vec_id = ic.neighbor_id
+      JOIN qsub qs ON qs.vec_id = ic.query_id
+                  AND qs.m = c.m AND qs.wid = c.wid
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(MIN(adc_d) AS BIGINT) AS min_adc,
+             CAST(SUM(adc_d) AS BIGINT) AS sum_adc
+      FROM adc GROUP BY 1
+    )
+    SELECT b.vec_id, bc.cid,
+           COALESCE(st.n_cand, 0) AS n_cand,
+           COALESCE(st.min_adc, -1) AS min_adc,
+           COALESCE(st.sum_adc, 0) AS sum_adc,
+           CAST(CASE WHEN st.n_cand IS NULL THEN 1
+                     WHEN {INGEST_REJECT_FACTOR} * st.min_adc * st.n_cand
+                          < st.sum_adc THEN 0
+                     ELSE 1 END AS BIGINT) AS admitted
+    FROM batch b
+    JOIN bcid bc ON bc.query_id = b.vec_id
+    LEFT JOIN st ON st.query_id = b.vec_id
+    ORDER BY b.vec_id
+    """,
+)
+def pipeline_vector_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF-PQ NIGHTLY-INGEST arm (round-10 verdict item #6a) — the
+    vector-index sibling of `pipeline_semantic_ingest` (which probes
+    the SRP band index): a new batch of vectors (vec_id % 10 == 9,
+    the repo's ingest stand-in) is admitted against the PERSISTED
+    composed index — the same driver-fit `_ivfpq_artifacts` the
+    recall audit certifies (IVF assignment + PQ codes, fit once,
+    broadcast) — by probing each new vector's {NPROBE} nearest
+    inverted lists and ADC-scoring ONLY the lists' existing members
+    via the PQ codes: per-ingest cost is O(batch * list), independent
+    of corpus size, and no full vector is fetched at decision time —
+    exactly what the compressed index is for.
+
+    Admission is per-query ADAPTIVE and all-integer: a new vector is
+    rejected as a semantic near-duplicate iff its nearest candidate
+    is a distance OUTLIER within its own candidate set —
+    {INGEST_REJECT_FACTOR} * min_adc * n_cand < sum_adc (the
+    cross-multiplied form of min < mean/{INGEST_REJECT_FACTOR}) — so
+    the rule keeps rejecting the planted near-dups as the corpus
+    densifies (a fixed distance threshold saturates; measured 8%, 8%,
+    11.5% rejection across the three fixture SFs). A batch vector
+    whose probed lists are empty admits with (n_cand 0, min_adc -1).
+    Every emitted integer (probe cid, counts, min/sum ADC) lands in
+    the oracle hash bit-identically via the same int64 matmul-
+    identity arithmetic as the certified recall audit.
+
+    Scale shape: artifacts broadcast once (the round-8 rule); the
+    batch fans out through mapInPandas doing per-query work only; the
+    admitted rows' (vec_id, cid, codes) are precisely the index
+    update a real ingest appends.
+
+    Reference basis: none; contract F10/F14 ANN family — the ingest
+    rung above `sim_ivfpq_recall_clustered`."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 9).select("vec_id")
+    return (
+        fan_out(batch, spark)
+        .mapInPandas(
+            _ingest_gen(art),
+            schema=(
+                "vec_id long, cid long, n_cand long, min_adc long,"
+                " sum_adc long, admitted long"
+            ),
+        )
+        .orderBy("vec_id")
+    )
