@@ -82,9 +82,21 @@ def test_pending_queue_discipline():
     for name, fn in PENDING.items():
         assert callable(fn), name
     # round 11 flipped the 12-op round-10 queue live as its first act
-    # (evidence: PENDING_CHECK_r10.txt, tests/test_round11_pending.py);
-    # the round-12 debut queue grows at the round-11 tail.
-    assert set(PENDING) == set()
+    # (evidence: PENDING_CHECK_r10.txt, tests/test_round11_pending.py).
+    # The staged round-12 debut queue, pinned by name (evidence:
+    # PENDING_CHECK_r11.txt, tests/test_round12_pending.py):
+    assert set(PENDING) == {
+        "text_source_signature_terms",
+        "sample_neyman_allocation",
+        "ts_holt_winters_weekly",
+        "stream_holt_winters_weekly",
+        "agg_theil_between_within",
+        "dedup_winnowing_clusters",
+        "events_changepoint_two_level",
+        "pipeline_release_diff",
+        "quality_release_gate",
+        "pipeline_vector_index_ingest",
+    }
 
 
 def test_max_staleness_bound():
