@@ -237,6 +237,20 @@ HEADLINE = [
     "dedup_winnowing_containment",
     "ts_holt_linear_forecast",
     "stream_holt_forecast_daily",
+    # round-12 debut queue, pre-staged (inert until the flip: the
+    # runner filters HEADLINE to registered live queries)
+    "sample_neyman_allocation",
+    "sample_neyman_draw",
+    "agg_theil_between_within",
+    "dedup_winnowing_clusters",
+    "pipeline_release_diff",
+    "quality_release_gate",
+    "events_changepoint_two_level",
+    "pipeline_vector_index_ingest",
+    "stream_ivf_list_maintenance",
+    "ts_holt_winters_weekly",
+    "stream_holt_winters_weekly",
+    "text_source_signature_terms",
 ]
 
 # Canary families (round-7 item #2). The single join+agg canary

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import cents
 from ..functions.texttools import hex_prefix_long, sql_hex_long, tokens
 from ..sources.tables import load_table
 from .registry import pending_query, query
@@ -1107,7 +1108,7 @@ _NEYMAN_GUARD = (
     "neyman allocation undefined: zero total weight (all strata constant)"
 )
 
-_NEYMAN_ORACLE = f"""
+_NEYMAN_CTES = f"""
     WITH x AS (
       SELECT o_orderpriority AS stratum,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS v
@@ -1149,13 +1150,18 @@ _NEYMAN_ORACLE = f"""
     r AS (
       SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) - 1 AS sb
       FROM b
-    )
+    )"""
+
+_NEYMAN_ORACLE = (
+    _NEYMAN_CTES
+    + """
     SELECT stratum, n_rows, CAST(wt AS BIGINT) AS weight,
            CAST(fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS alloc_ppm
     FROM r, lo
     ORDER BY stratum
     """
+)
 
 
 @pending_query("sample_neyman_allocation", oracle=_NEYMAN_ORACLE)
@@ -1262,6 +1268,249 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("alloc_ppm"),
+        )
+        .orderBy("stratum")
+    )
+
+
+DRAW_RATE_DIV = 20  # the draw realizes a 5% (N div 20) corpus sample
+
+_DRAW_BUCKET_SHIFT = 44  # h is 60 bits; h div 2^44 = 65536 prefix buckets
+
+_DRAW_ORACLE = (
+    _NEYMAN_CTES
+    + f""",
+    alloc AS (
+      SELECT stratum, n_rows,
+             fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END AS alloc_ppm
+      FROM r, lo
+    ),
+    nt AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) // {DRAW_RATE_DIV} AS n_total
+      FROM alloc
+    ),
+    tb AS (
+      SELECT stratum, n_rows, n_total,
+             (alloc_ppm * n_total) // 1000000 AS fsh,
+             (alloc_ppm * n_total) % 1000000 AS rm
+      FROM alloc, nt
+    ),
+    lo2 AS (
+      SELECT CAST(MAX(n_total) AS BIGINT)
+               - CAST(SUM(fsh) AS BIGINT) AS left2
+      FROM tb
+    ),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rm DESC, stratum) - 1 AS sb2
+      FROM tb
+    ),
+    tgt AS (
+      SELECT stratum, n_rows,
+             CAST(fsh + CASE WHEN sb2 < left2 THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_target
+      FROM r2, lo2
+    ),
+    cap AS (
+      SELECT stratum, n_rows, n_target,
+             CASE WHEN n_target > n_rows THEN n_rows
+                  ELSE n_target END AS n_draw,
+             CAST(CASE WHEN n_target > n_rows THEN n_target - n_rows
+                       ELSE 0 END AS BIGINT) AS shortfall
+      FROM tgt
+    ),
+    hashed AS (
+      SELECT o_orderpriority AS stratum, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cent,
+             {sql_hex_long("md5(CAST(o_orderkey AS VARCHAR))", 15, 1)} AS h
+      FROM orders
+    ),
+    rankd AS (
+      SELECT stratum, o_orderkey, cent,
+             ROW_NUMBER() OVER (PARTITION BY stratum
+                                ORDER BY h, o_orderkey) AS rn
+      FROM hashed
+    ),
+    dr AS (
+      SELECT k.stratum, CAST(COUNT(*) AS BIGINT) AS n_drawn,
+             CAST(SUM(k.o_orderkey) AS BIGINT) AS sum_okey,
+             CAST(SUM(k.cent) AS BIGINT) AS sum_cents
+      FROM rankd k JOIN cap c
+        ON c.stratum = k.stratum AND k.rn <= c.n_draw
+      GROUP BY 1
+    )
+    SELECT c.stratum, CAST(c.n_rows AS BIGINT) AS n_rows,
+           c.n_target,
+           COALESCE(d.n_drawn, CAST(0 AS BIGINT)) AS n_drawn,
+           c.shortfall,
+           COALESCE(d.sum_okey, CAST(0 AS BIGINT)) AS sum_okey,
+           COALESCE(d.sum_cents, CAST(0 AS BIGINT)) AS sum_cents
+    FROM cap c LEFT JOIN dr d ON d.stratum = c.stratum
+    ORDER BY c.stratum
+    """
+)
+
+
+@pending_query("sample_neyman_draw", oracle=_DRAW_ORACLE)
+def sample_neyman_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZE the Neyman allocation as an actual deterministic
+    stratified sample — the missing second half of the survey-design
+    rung: `sample_neyman_allocation` says how a 1e6-ppm budget SHOULD
+    split across o_orderpriority strata; this op DRAWS the rows. The
+    concrete budget is n_total = N div {DRAW_RATE_DIV} (a 5% sample);
+    per-stratum targets come from the allocation's ppm shares by the
+    module's largest-remainder convention (Σ n_target == n_total
+    EXACTLY), capped at the stratum population with the deficit
+    reported as `shortfall` (Neyman can over-allocate a small,
+    high-variance stratum; capping keeps the draw well-defined and
+    the report honest — no silent redistribution). The draw itself is
+    the n_draw smallest rows per stratum by (md5-hash, o_orderkey) —
+    a deterministic uniform-without-replacement order both engines
+    reproduce bit-identically. The emitted per-stratum `sum_okey` is
+    an exact SET SIGNATURE of the drawn rows (any single-row
+    difference moves it), and `sum_cents` the exact drawn money.
+
+    The Spark plan is the SCALE-HONEST exact selection, certified
+    against the oracle's naive global-rank spec: a per-stratum
+    ROW_NUMBER window would funnel each stratum (|strata| = 5 here)
+    through one task — the funnel this repo bans — so the n-th
+    smallest hash is located with a two-pass bucket selection
+    instead: pass 1 aggregates (count, Σkey, Σcents) per (stratum,
+    h div 2^{_DRAW_BUCKET_SHIFT}) — 65536 prefix buckets, map-side
+    combinable, so the cumulative window runs over ≤ |strata|·65536
+    rows, a CONSTANT independent of corpus size; buckets whose
+    cumulative count fits under the target are taken whole from the
+    pre-aggregated sums (no row revisited), and only the single
+    boundary bucket per stratum (expected N_h/65536 rows) is exactly
+    ranked — a tiny window partitioned by (stratum, bucket). Total
+    cost: one scan + one constant-size window + one
+    boundary-bucket-only sort; survives a 100× scale-up unchanged.
+
+    `sum_okey` stays within int64 up to ~1e12 drawn keys of magnitude
+    ~1e6 (documented bound; beyond it both engines move to the same
+    DECIMAL kernel).
+
+    Reference basis: none; contract curation-economics family (SURVEY
+    §2.10), completing `sample_neyman_allocation` the way
+    `sample_train_val_test` completes the split-plan ops."""
+    alloc = sample_neyman_allocation(spark, sf_dir)
+    nt = alloc.agg(
+        F.expr(f"CAST(SUM(n_rows) div {DRAW_RATE_DIV} AS BIGINT)").alias(
+            "n_total"
+        )
+    )
+    tb = alloc.crossJoin(F.broadcast(nt)).select(
+        "stratum",
+        "n_rows",
+        "n_total",
+        F.expr("(alloc_ppm * n_total) div 1000000").alias("fsh"),
+        ((F.col("alloc_ppm") * F.col("n_total")) % 1000000).alias("rm"),
+    )
+    lo2 = tb.agg(
+        (F.max("n_total") - F.sum("fsh")).cast("long").alias("left2")
+    )
+    other = tb.select(
+        F.col("stratum").alias("stratum2"), F.col("rm").alias("rm2")
+    )
+    sb2 = (
+        tb.join(
+            F.broadcast(other),
+            (F.col("rm2") > F.col("rm"))
+            | (
+                (F.col("rm2") == F.col("rm"))
+                & (F.col("stratum2") < F.col("stratum"))
+            ),
+            "left",
+        )
+        .groupBy("stratum", "n_rows", "fsh")
+        .agg(F.count("stratum2").alias("sb2"))
+    )
+    tgt = sb2.crossJoin(F.broadcast(lo2)).select(
+        "stratum",
+        "n_rows",
+        (
+            F.col("fsh")
+            + F.when(F.col("sb2") < F.col("left2"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_target"),
+    )
+    cap = tgt.select(
+        "stratum",
+        "n_rows",
+        "n_target",
+        F.least("n_target", "n_rows").cast("long").alias("n_draw"),
+        F.greatest(F.col("n_target") - F.col("n_rows"), F.lit(0))
+        .cast("long")
+        .alias("shortfall"),
+    )
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("o_orderkey").alias("okey"),
+        cents("o_totalprice").alias("cent"),
+    )
+    rows = rows.withColumn(
+        "h", hex_prefix_long(F.md5(F.col("okey").cast("string")), 15, 1)
+    ).withColumn("b", F.expr(f"h div {1 << _DRAW_BUCKET_SHIFT}"))
+    bk = rows.groupBy("stratum", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("okey").cast("long").alias("s_okey"),
+        F.sum("cent").cast("long").alias("s_cent"),
+    )
+    wcum = (
+        Window.partitionBy("stratum")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = bk.withColumn(
+        "cum_below",
+        F.coalesce(F.sum("k").over(wcum), F.lit(0)).cast("long"),
+    ).join(F.broadcast(cap.select("stratum", "n_draw")), "stratum")
+    fagg = (
+        cb.filter(F.col("cum_below") + F.col("k") <= F.col("n_draw"))
+        .groupBy("stratum")
+        .agg(
+            F.sum("k").cast("long").alias("fn"),
+            F.sum("s_okey").cast("long").alias("f_okey"),
+            F.sum("s_cent").cast("long").alias("f_cent"),
+        )
+    )
+    bnd = cb.filter(
+        (F.col("cum_below") < F.col("n_draw"))
+        & (F.col("cum_below") + F.col("k") > F.col("n_draw"))
+    ).select(
+        "stratum", "b", (F.col("n_draw") - F.col("cum_below")).alias("need")
+    )
+    wrank = Window.partitionBy("stratum", "b").orderBy("h", "okey")
+    pagg = (
+        rows.join(F.broadcast(bnd), ["stratum", "b"])
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= F.col("need"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pn"),
+            F.sum("okey").cast("long").alias("p_okey"),
+            F.sum("cent").cast("long").alias("p_cent"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        cap.join(fagg, "stratum", "left")
+        .join(pagg, "stratum", "left")
+        .select(
+            "stratum",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_target",
+            (F.coalesce("fn", z) + F.coalesce("pn", z))
+            .cast("long")
+            .alias("n_drawn"),
+            "shortfall",
+            (F.coalesce("f_okey", z) + F.coalesce("p_okey", z))
+            .cast("long")
+            .alias("sum_okey"),
+            (F.coalesce("f_cent", z) + F.coalesce("p_cent", z))
+            .cast("long")
+            .alias("sum_cents"),
         )
         .orderBy("stratum")
     )

@@ -3615,9 +3615,7 @@ def _ingest_gen(art_bc):
     return gen
 
 
-@pending_query(
-    "pipeline_vector_index_ingest",
-    oracle=f"""
+_INGEST_CTES = f"""
     WITH {_CLV_SQL_CTES},
     cent AS (
       SELECT vec_id AS cid, qv AS cqv FROM qc
@@ -3698,7 +3696,13 @@ def _ingest_gen(art_bc):
              CAST(MIN(adc_d) AS BIGINT) AS min_adc,
              CAST(SUM(adc_d) AS BIGINT) AS sum_adc
       FROM adc GROUP BY 1
-    )
+    )"""
+
+
+@pending_query(
+    "pipeline_vector_index_ingest",
+    oracle=_INGEST_CTES
+    + f"""
     SELECT b.vec_id, bc.cid,
            COALESCE(st.n_cand, 0) AS n_cand,
            COALESCE(st.min_adc, -1) AS min_adc,

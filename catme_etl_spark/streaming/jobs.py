@@ -1824,3 +1824,207 @@ def stream_holt_winters_weekly(
         F.expr("unix_micros(w.start) div 86400000000").alias("day"), "n"
     )
     return holt_winters_verdict(d)
+
+
+from ..operators.similarity import _INGEST_CTES  # noqa: E402
+from ..operators.similarity import INGEST_REJECT_FACTOR  # noqa: E402
+
+_IVF_MAINT_ORACLE = (
+    _INGEST_CTES
+    + f""",
+    adm AS (
+      SELECT b.vec_id, bc.cid,
+             CAST(CASE WHEN st.n_cand IS NULL THEN 1
+                       WHEN {INGEST_REJECT_FACTOR} * st.min_adc * st.n_cand
+                            < st.sum_adc THEN 0
+                       ELSE 1 END AS BIGINT) AS admitted
+      FROM batch b
+      JOIN bcid bc ON bc.query_id = b.vec_id
+      LEFT JOIN st ON st.query_id = b.vec_id
+    ),
+    ex AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_existing
+      FROM assign WHERE vec_id % 10 <> 9 GROUP BY 1
+    ),
+    na AS (
+      SELECT cid, CAST(SUM(admitted) AS BIGINT) AS n_admitted
+      FROM adm GROUP BY 1
+    ),
+    sz AS (
+      SELECT ex.cid, ex.n_existing,
+             COALESCE(na.n_admitted, CAST(0 AS BIGINT)) AS n_admitted,
+             ex.n_existing
+               + COALESCE(na.n_admitted, CAST(0 AS BIGINT)) AS n_total
+      FROM ex LEFT JOIN na ON na.cid = ex.cid
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_total) AS BIGINT) AS grand,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM sz
+    )
+    SELECT sz.cid, sz.n_existing, sz.n_admitted, sz.n_total,
+           CAST(CASE WHEN 2 * sz.n_total * tot.n_lists > 3 * tot.grand
+                     THEN 1 ELSE 0 END AS BIGINT) AS do_split,
+           CAST(CASE WHEN 4 * sz.n_total * tot.n_lists < tot.grand
+                     THEN 1 ELSE 0 END AS BIGINT) AS do_merge
+    FROM sz, tot
+    ORDER BY sz.cid
+    """
+)
+
+
+def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the embeddings parquet — the `_stream_events`
+    staging device applied to the vector table (FIXTURE-ONLY: a real
+    deployment points readStream at the landing zone). Slices by
+    vec_id quartile ranges (vectors carry no event time; arrival
+    order by id stands in for ingest order), one file per trigger, so
+    the admission decisions genuinely cross micro-batches."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    stage = os.path.join(
+        "/tmp/catme_etl_stream_emb_v1", sf_dir.strip("/").replace("/", "_")
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        src = spark.read.parquet(path)
+        bounds = src.stat.approxQuantile(
+            "vec_id", [0.25, 0.5, 0.75], 0.001
+        )
+        if not bounds:
+            raise ValueError(
+                f"streaming staging: source {path!r} has no rows to slice"
+            )
+        edges = [float("-inf")] + bounds + [float("inf")]
+        for i in range(4):
+            lo, hi = edges[i], edges[i + 1]
+            sl = src
+            if lo != float("-inf"):
+                sl = sl.filter(F.col("vec_id") > lo)
+            if hi != float("inf"):
+                sl = sl.filter(F.col("vec_id") <= hi)
+            sl.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, f"slice{i}")
+            )
+        open(done, "w").close()
+    schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+
+@pending_query("stream_ivf_list_maintenance", oracle=_IVF_MAINT_ORACLE)
+def stream_ivf_list_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The vector index's LIST-OCCUPANCY store maintained BY the
+    stream — the fourth streaming index family member (Bloom words,
+    MinHash bands, winnowing fp-shard, now IVF inverted-list sizes),
+    closing the loop the ingest arm opened: as vector batches arrive
+    (vec_id % 10 == 9, the repo's ingest stand-in), each micro-batch
+    admits against the PERSISTED composed index (the same driver-fit
+    `_ivfpq_artifacts` broadcast the recall audit and
+    `pipeline_vector_index_ingest` certify) and folds its per-list
+    admitted counts into the stream state — a mergeable SUM keyed by
+    centroid id, so out-of-order or replayed micro-batches cannot
+    corrupt a count.
+
+    The batch-side verdict composes the snapshot with the persisted
+    index's EXISTING list sizes (read off the broadcast artifact —
+    |lists| rows, no corpus rescan) and emits the nightly maintenance
+    decision per list, in exact cross-multiplied integer form so both
+    engines land the same verdict bit-for-bit: `do_split` iff
+    2 * n_total * n_lists > 3 * grand (occupancy above 1.5× the mean
+    — the planted clusters skew real lists past this at every
+    fixture SF) and `do_merge` iff 4 * n_total * n_lists < grand
+    (below a quarter of the mean — a probe wasted on a near-empty
+    list). These are the actions a production IVF index actually
+    schedules from occupancy telemetry; the decision thresholds are
+    data-relative, so the op keeps firing as the corpus grows instead
+    of saturating like a fixed cap.
+
+    State shape: one int64 per inverted list — bounded by the index
+    (|corpus|/{{stride}} lists), not by stream volume; admission work
+    per batch is O(batch × list) through the broadcast artifacts,
+    identical to the certified batch ingest.
+
+    Reference basis: none; contract C7/C8 streaming-index family +
+    F10/F14 ANN family, the maintenance rung above
+    `pipeline_vector_index_ingest`."""
+    import numpy as np
+
+    from ..operators._shared import shared_broadcast, shared_matrix_broadcast
+    from ..operators.similarity import _ingest_gen, _ivfpq_artifacts
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    batch = (
+        _stream_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") % 10 == 9)
+        .select("vec_id")
+    )
+    dec = batch.mapInPandas(
+        _ingest_gen(art),
+        schema=(
+            "vec_id long, cid long, n_cand long, min_adc long,"
+            " sum_adc long, admitted long"
+        ),
+    )
+    agg = dec.groupBy("cid").agg(
+        F.sum("admitted").cast("long").alias("n_admitted")
+    )
+    snap = _run_to_memory(agg, "complete")
+
+    ids, _Q, assign, _codes, cids, _C, _wids, _W = art.value
+    exmask = ids % 10 != 9
+    vals, cnts = np.unique(assign[exmask], return_counts=True)
+    m = {int(v): int(c) for v, c in zip(vals, cnts)}
+    ex = spark.createDataFrame(
+        [(int(c), m.get(int(c), 0)) for c in cids],
+        "cid long, n_existing long",
+    )
+    z = F.lit(0).cast("long")
+    sz = ex.join(snap, "cid", "left").select(
+        "cid",
+        "n_existing",
+        F.coalesce("n_admitted", z).cast("long").alias("n_admitted"),
+        (F.col("n_existing") + F.coalesce("n_admitted", z))
+        .cast("long")
+        .alias("n_total"),
+    )
+    tot = sz.agg(
+        F.sum("n_total").cast("long").alias("grand"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    return (
+        sz.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_existing",
+            "n_admitted",
+            "n_total",
+            F.when(
+                2 * F.col("n_total") * F.col("n_lists")
+                > 3 * F.col("grand"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("do_split"),
+            F.when(
+                4 * F.col("n_total") * F.col("n_lists") < F.col("grand"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("do_merge"),
+        )
+        .orderBy("cid")
+    )

@@ -96,6 +96,8 @@ def test_pending_queue_discipline():
         "pipeline_release_diff",
         "quality_release_gate",
         "pipeline_vector_index_ingest",
+        "sample_neyman_draw",
+        "stream_ivf_list_maintenance",
     }
 
 

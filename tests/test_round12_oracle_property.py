@@ -230,3 +230,85 @@ def test_signature_terms_oracle_equals_python_mirror(docs):
         for rk, (negscore, term, tfv, dfv) in enumerate(scored[:5], 1):
             expect.append((src, term, tfv, dfv, -negscore, rk))
     assert got == sorted(expect)
+
+
+# --- Neyman draw: targets, cap/shortfall, exact hash-order selection ---------
+
+draw_strategy = st.dictionaries(
+    st.sampled_from(["A", "B", "C", "D"]),
+    st.lists(st.integers(min_value=0, max_value=900), min_size=1,
+             max_size=30),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(draw_strategy)
+def test_neyman_draw_oracle_equals_python_mirror(strata):
+    import hashlib
+
+    rows, okey = [], 0
+    for s in sorted(strata):
+        for v in strata[s]:
+            okey += 1
+            rows.append((okey, s, float(v * 1000)))
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    weights = {}
+    for s, vs in strata.items():
+        n, s1, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+        weights[s] = math.isqrt(n * s2 - s1 * s1)
+    tw = sum(weights.values())
+    if tw == 0:
+        try:
+            _oracle_rows("sample_neyman_draw", orders=df)
+            raise AssertionError("expected loud guard on zero weight")
+        except duckdb.Error:
+            return
+    got = _oracle_rows("sample_neyman_draw", orders=df)
+
+    # allocation ppm (mirrors the certified allocation kernel)
+    fshare = {s: (1000000 * w) // tw for s, w in weights.items()}
+    rem = {s: (1000000 * w) % tw for s, w in weights.items()}
+    leftover = 1000000 - sum(fshare.values())
+    order = sorted(weights, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: fshare[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    # sample budget + largest-remainder targets
+    n_corpus = sum(len(vs) for vs in strata.values())
+    n_total = n_corpus // 20
+    fsh = {s: (alloc[s] * n_total) // 1000000 for s in strata}
+    rm = {s: (alloc[s] * n_total) % 1000000 for s in strata}
+    left2 = n_total - sum(fsh.values())
+    order2 = sorted(strata, key=lambda s: (-rm[s], s))
+    target = {
+        s: fsh[s] + (1 if i < left2 else 0) for i, s in enumerate(order2)
+    }
+    # deterministic hash-order draw per stratum, capped
+    by_s: dict = {}
+    for k, s, price in rows:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        by_s.setdefault(s, []).append((h, k, round(price * 100)))
+    expect = []
+    for s in sorted(strata):
+        n_rows = len(strata[s])
+        n_draw = min(target[s], n_rows)
+        shortfall = max(target[s] - n_rows, 0)
+        drawn = sorted(by_s[s])[:n_draw]
+        expect.append(
+            (
+                s,
+                n_rows,
+                target[s],
+                n_draw,
+                shortfall,
+                sum(k for _, k, _ in drawn),
+                sum(c for _, _, c in drawn),
+            )
+        )
+    assert got == sorted(expect)
+    assert sum(t for _, _, t, _, _, _, _ in got) == n_total

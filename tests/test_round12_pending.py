@@ -478,3 +478,120 @@ def test_vector_ingest_flag_consistency(spark, tmp_path):
                 else 1
             )
             assert admitted == expect
+
+
+def _md5_h15(okey):
+    import hashlib
+
+    return int(hashlib.md5(str(okey).encode()).hexdigest()[:15], 16)
+
+
+def test_neyman_draw_closed_form(spark, tmp_path):
+    """40 orders: stratum A (20 rows, v alternating 100/300
+    kilodollars, weight isqrt(20e6 - 16e6) = 2000) takes the whole
+    budget; stratum B (20 constant rows) gets weight 0. n_total =
+    40 div 20 = 2, so the draw is A's 2 smallest (md5-hash, okey)
+    rows — recomputed here independently with hashlib."""
+    from catme_etl_spark.operators.sampling import sample_neyman_draw
+
+    schema = "o_orderkey long, o_orderpriority string, o_totalprice double"
+    rows = [
+        (k, "A", 100000.00 if k % 2 else 300000.00) for k in range(1, 21)
+    ] + [(k, "B", 200000.00) for k in range(21, 41)]
+    out = _write_orders(spark, tmp_path, rows, schema)
+    got = _spark_rows(sample_neyman_draw(spark, str(tmp_path)))
+    con = _con("orders", out)
+    assert got == _oracle(con, "sample_neyman_draw")
+
+    drawn = sorted(range(1, 21), key=lambda k: (_md5_h15(k), k))[:2]
+    cents = {k: 10000000 if k % 2 else 30000000 for k in range(1, 21)}
+    expect = [
+        (
+            "A",
+            20,
+            2,
+            2,
+            0,
+            sum(drawn),
+            sum(cents[k] for k in drawn),
+        ),
+        ("B", 20, 0, 0, 0, 0, 0),
+    ]
+    assert got == expect
+
+
+def test_neyman_draw_shortfall_reported(spark, tmp_path):
+    """Neyman over-allocates a tiny high-variance stratum: A has 2
+    rows but all the weight, so its target is the whole n_total = 5
+    budget — the draw caps at the population (both rows) and reports
+    shortfall 3 instead of silently redistributing."""
+    from catme_etl_spark.operators.sampling import sample_neyman_draw
+
+    schema = "o_orderkey long, o_orderpriority string, o_totalprice double"
+    rows = [(1, "A", 100000.00), (2, "A", 300000.00)] + [
+        (k, "B", 200000.00) for k in range(3, 101)
+    ]
+    out = _write_orders(spark, tmp_path, rows, schema)
+    got = _spark_rows(sample_neyman_draw(spark, str(tmp_path)))
+    con = _con("orders", out)
+    assert got == _oracle(con, "sample_neyman_draw")
+    assert got == [
+        ("A", 2, 5, 2, 3, 3, 40000000),
+        ("B", 98, 0, 0, 0, 0, 0),
+    ]
+
+
+def test_ivf_list_maintenance_consistency(spark, tmp_path):
+    """Cross-engine equality on a crafted 120-vector corpus (3
+    inverted lists), plus composition invariants against the certified
+    ingest arm on the SAME corpus: the stream's per-list n_admitted is
+    exactly the ingest op's admitted rows grouped by cid, n_existing
+    covers the whole non-batch corpus, and both decision flags
+    recompute from the emitted totals by the cross-multiplied rule."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import (
+        pipeline_vector_index_ingest,
+    )
+    from catme_etl_spark.streaming.jobs import stream_ivf_list_maintenance
+
+    vecs = []
+    for i in range(120):
+        vecs.append(
+            (
+                i,
+                [
+                    math.sin(i * 1.3 + j * 0.7) * (1.0 + (i % 5))
+                    for j in range(64)
+                ],
+            )
+        )
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    clear_shared()
+    try:
+        got = _spark_rows(stream_ivf_list_maintenance(spark, str(tmp_path)))
+        ing = _spark_rows(
+            pipeline_vector_index_ingest(spark, str(tmp_path))
+        )
+    finally:
+        clear_shared()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    assert got == _oracle(con, "stream_ivf_list_maintenance")
+
+    assert [r[0] for r in got] == [0, 50, 100]  # the % 50 == 0 lists
+    adm_by_cid: dict = {}
+    for _vec, cid, _nc, _mn, _sm, admitted in ing:
+        adm_by_cid[cid] = adm_by_cid.get(cid, 0) + admitted
+    grand = sum(r[3] for r in got)
+    n_lists = len(got)
+    assert sum(r[1] for r in got) == 108  # every vec_id % 10 != 9
+    for cid, n_existing, n_admitted, n_total, do_split, do_merge in got:
+        assert n_admitted == adm_by_cid.get(cid, 0)
+        assert n_total == n_existing + n_admitted
+        assert do_split == (1 if 2 * n_total * n_lists > 3 * grand else 0)
+        assert do_merge == (1 if 4 * n_total * n_lists < grand else 0)

@@ -567,3 +567,107 @@ def test_winnowing_shard_restart_recovers_state(spark, sf_dir, tmp_path):
     a_mass = snap_a.agg(F.sum("n_docs")).collect()[0][0]
     b_mass = snap_b.agg(F.sum("n_docs")).collect()[0][0]
     assert a_mass < b_mass
+
+
+def test_ivf_occupancy_restart_recovers_state(spark, sf_dir, tmp_path):
+    """Kill-and-restart contract for the FOURTH streaming index store
+    (`stream_ivf_list_maintenance`'s per-list admitted counts): the
+    vector corpus lands in two files; a first query admits the first
+    file's batch vectors through the broadcast `_ivfpq_artifacts`
+    kernel and dies after committing offsets + the groupBy(cid) SUM
+    state; a brand-new query object on the same checkpointLocation
+    consumes ONLY the second file, and its final snapshot must equal
+    the batch-kernel admitted counts over the FULL corpus. A list
+    admitted to by both halves shows the cumulative count —
+    impossible without state recovery; double-counting or dropping
+    changes a row and the set equality catches either."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.operators._shared import (
+        shared_broadcast,
+        shared_matrix_broadcast,
+    )
+    from catme_etl_spark.operators.similarity import (
+        _ingest_gen,
+        _ivfpq_artifacts,
+    )
+    from catme_etl_spark.sources.tables import load_table
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    dec_schema = (
+        "vec_id long, cid long, n_cand long, min_adc long,"
+        " sum_adc long, admitted long"
+    )
+
+    def admitted_counts(df):
+        return (
+            df.filter(F.col("vec_id") % 10 == 9)
+            .select("vec_id")
+            .mapInPandas(_ingest_gen(art), schema=dec_schema)
+            .groupBy("cid")
+            .agg(F.sum("admitted").cast("long").alias("n_admitted"))
+        )
+
+    def land(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, name + ".parquet"))
+
+    def run_once(tag):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        agg = admitted_counts(stream)
+
+        def write_batch(df, batch_id):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"run_{tag}")
+            )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.foreachBatch(write_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    land(emb.filter("vec_id % 20 < 10"), "f1")
+    run_once("a")  # admits f1's batch vectors, commits state, dies
+
+    land(emb.filter("vec_id % 20 >= 10"), "f2")
+    run_once("b")  # NEW query object, same checkpoint: reads f2 ONLY
+
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    snap_b = spark.read.parquet(os.path.join(out_dir, "run_b"))
+    assert rows(snap_b) == rows(admitted_counts(emb))
+    # the restart genuinely ADDED mass: run a saw only half the corpus
+    snap_a = spark.read.parquet(os.path.join(out_dir, "run_a"))
+    a_mass = snap_a.agg(F.sum("n_admitted")).collect()[0][0]
+    b_mass = snap_b.agg(F.sum("n_admitted")).collect()[0][0]
+    assert a_mass < b_mass
