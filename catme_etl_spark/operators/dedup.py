@@ -2717,6 +2717,49 @@ _RELEASE_ORACLE = f"""
     """
 
 
+def _decon_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination survivors (doc_id, source) — the release
+    family's stage-1 artifact, shared + localCheckpointed once per
+    session: a |train-survivors|-row two-column table behind the
+    decon gram join (the release pipeline's heaviest leg).
+    `_release_manifest` references the survivors five times per
+    manifest and the release-diff builds two manifests — without
+    materialization one diff action replays the gram join ~10×. The
+    100 TB equivalent is the decontaminated-train manifest a release
+    job writes once and every downstream stage reads."""
+    from .quality import pipeline_train_decontamination
+
+    return shared_df(
+        "decon_survivors",
+        sf_dir,
+        spark,
+        lambda: pipeline_train_decontamination(spark, sf_dir).select(
+            "doc_id", "source"
+        ),
+        materialize=True,
+    )
+
+
+def _neardup_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs at the release threshold (Jaccard ≥
+    0.5), shared + localCheckpointed once per session: a handful of
+    id-pair rows behind the banded-LSH verification pipeline —
+    exactly the `shared_df(materialize=True)` case. `_minhash_pairs`
+    itself is persisted (lazy), but each manifest still references
+    the thresholded selection four times (leak probe ×2 via the
+    symmetric union, within-scrub ×2); the checkpoint makes every
+    reference a scan of ≤|near-dup|-row blocks."""
+    return shared_df(
+        "neardup_pairs_05",
+        sf_dir,
+        spark,
+        lambda: _minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b"),
+        materialize=True,
+    )
+
+
 @query("pipeline_corpus_release", oracle=_RELEASE_ORACLE)
 def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus RELEASE manifest (round-9 verdict item
@@ -2767,17 +2810,9 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.10) — the capstone above `pipeline_training_export`,
     which packs sequences for a TRAINING RUN, where this signs off a
     CORPUS RELEASE."""
-    from .quality import pipeline_train_decontamination
-
     d = load_table(spark, sf_dir, "documents")
-    surv0 = pipeline_train_decontamination(spark, sf_dir).select(
-        "doc_id", "source"
-    )
-    nd = (
-        _minhash_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-    )
+    surv0 = _decon_survivors(spark, sf_dir)
+    nd = _neardup_pairs_05(spark, sf_dir)
     return _release_manifest(d, surv0, nd)
 
 
@@ -2963,9 +2998,24 @@ WINNOW_DF_CAP = 64  # stop-fingerprint cap: a k-gram in > CAP docs is
 def _winnow_live_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-capped winnowing fingerprint index (doc_id, fp) — one
     narrow char-position pass, per-doc window minima, DISTINCT, then
-    the stop-fingerprint cap. Shared by the pairs report and the
-    containment report (one build, two consumers — the materialized
-    artifact at corpus scale)."""
+    the stop-fingerprint cap. Shared + localCheckpointed once per
+    session (`shared_df(materialize=True)`): a narrow (doc_id, fp)
+    table behind the expensive per-char MD5 + window-minima pipeline,
+    read by the pairs report (2 plan references), the containment
+    report (3) and the cluster rollup's containment replay — without
+    materialization one cluster-rollup action replays the char pass
+    up to 9×. The 100 TB equivalent is the persisted fingerprint
+    index every release job probes instead of rebuilding."""
+    return shared_df(
+        "winnow_live_index",
+        sf_dir,
+        spark,
+        lambda: _winnow_live_index_build(spark, sf_dir),
+        materialize=True,
+    )
+
+
+def _winnow_live_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = (
@@ -3339,8 +3389,17 @@ def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: none; contract F8-F9/F13 dedup family — the
     winnowing arm's closure tier (SURVEY F75 rung above
     `dedup_winnowing_containment`)."""
-    cp = dedup_winnowing_containment(spark, sf_dir).select(
-        F.col("doc_contained").alias("a"), F.col("doc_container").alias("b")
+    # containment edge list, localCheckpointed once: a ≤|near-dup|-row
+    # pair table behind the inverted-index self-join, referenced three
+    # times in this plan (vertex set, label propagation, pair rollup)
+    cp = shared_df(
+        "winnow_containment_pairs",
+        sf_dir,
+        spark,
+        lambda: dedup_winnowing_containment(spark, sf_dir).select(
+            F.col("doc_contained").alias("a"), F.col("doc_container").alias("b")
+        ),
+        materialize=True,
     )
     verts = (
         cp.select(F.col("a").alias("id"))
@@ -3549,18 +3608,11 @@ def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: none; contract training-data pipeline family
     (SURVEY §2.10) — the monitoring rung above
     `pipeline_corpus_release`."""
-    from .quality import pipeline_train_decontamination
     from .sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents")
-    surv0 = pipeline_train_decontamination(spark, sf_dir).select(
-        "doc_id", "source"
-    )
-    nd = (
-        _minhash_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-    )
+    surv0 = _decon_survivors(spark, sf_dir)
+    nd = _neardup_pairs_05(spark, sf_dir)
     in_slice = (F.col("doc_id") % 7 == 3) & (
         hash_bucket(F.col("doc_id"), 100) < 80
     )
@@ -3671,17 +3723,9 @@ def quality_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: none; contract training-data pipeline family
     (SURVEY §2.10) — the decision rung above the capstone, beside the
     release-diff monitor."""
-    from .quality import pipeline_train_decontamination
-
     d = load_table(spark, sf_dir, "documents")
-    surv0 = pipeline_train_decontamination(spark, sf_dir).select(
-        "doc_id", "source"
-    )
-    nd = (
-        _minhash_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-    )
+    surv0 = _decon_survivors(spark, sf_dir)
+    nd = _neardup_pairs_05(spark, sf_dir)
     man = _release_manifest(d, surv0, nd)
     drift = F.abs(F.col("share_after_ppm") - F.col("share_before_ppm"))
     return man.agg(
