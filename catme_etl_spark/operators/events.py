@@ -2310,26 +2310,46 @@ def events_changepoint_two_level(
     no row (no further split exists); fewer than 2 days GLOBALLY
     raises LOUDLY on both engines, like the parent op.
 
-    Scale shape: the scan collapses to |days| rows once; each level
-    is the same bounded triangular self-join on that tiny series
+    Scale shape: the scan collapses to |days| rows once — and
+    genuinely once: the guarded daily series is localCheckpointed
+    (`shared_df(materialize=True)`), because the level-1 window is
+    referenced four times (its own output row, the split-day seed,
+    and both sub-segment filters) and each level-2 window references
+    the series twice more — without materialization one action
+    replays the full events scan ~8×. Each level is then the same
+    bounded triangular self-join on the tiny cached series
     (3 * |days|^2 pairs worst case); at most 3 output rows.
 
     Reference basis: none; contract ops-analytics/time-series family
     — the depth-2 rung above `events_changepoint_max_meanshift`."""
-    d = (
-        _events(spark, sf_dir)
-        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from ._shared import shared_df
+
+    def build() -> DataFrame:
+        d = (
+            _events(spark, sf_dir)
+            .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        gg = d.agg(
+            F.when(F.count(F.lit(1)) >= 2, F.count(F.lit(1)))
+            .otherwise(F.expr(f"raise_error('{_CHANGEPOINT_GUARD}')"))
+            .cast("long")
+            .alias("nd")
+        )
+        return d.crossJoin(F.broadcast(gg)).select("day", "n")
+
+    d1 = shared_df("changepoint_daily_guarded", sf_dir, spark, build,
+                   materialize=True)
+    # level-1 verdict: ONE row referenced four times — checkpoint it
+    # too, or each reference replays the triangular self-join
+    win1 = shared_df(
+        "changepoint_two_level_win1",
+        sf_dir,
+        spark,
+        lambda: _cp_seg_spark(d1),
+        materialize=True,
     )
-    gg = d.agg(
-        F.when(F.count(F.lit(1)) >= 2, F.count(F.lit(1)))
-        .otherwise(F.expr(f"raise_error('{_CHANGEPOINT_GUARD}')"))
-        .cast("long")
-        .alias("nd")
-    )
-    d1 = d.crossJoin(F.broadcast(gg)).select("day", "n")
-    win1 = _cp_seg_spark(d1)
     s1 = win1.select(F.col("day").alias("sday"))
     d2 = d1.crossJoin(F.broadcast(s1)).filter(
         F.col("day") <= F.col("sday")
