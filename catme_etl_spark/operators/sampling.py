@@ -1392,7 +1392,18 @@ def sample_neyman_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: none; contract curation-economics family (SURVEY
     §2.10), completing `sample_neyman_allocation` the way
     `sample_train_val_test` completes the split-plan ops."""
-    alloc = sample_neyman_allocation(spark, sf_dir)
+    from ._shared import shared_df
+
+    # |strata|-row allocation behind the full isqrt-weight scan,
+    # referenced four times below (total, shares, remainder rank) —
+    # checkpoint it or each reference replays the orders scan
+    alloc = shared_df(
+        "neyman_allocation",
+        sf_dir,
+        spark,
+        lambda: sample_neyman_allocation(spark, sf_dir),
+        materialize=True,
+    )
     nt = alloc.agg(
         F.expr(f"CAST(SUM(n_rows) div {DRAW_RATE_DIV} AS BIGINT)").alias(
             "n_total"
