@@ -1442,14 +1442,25 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio"
         ),
     )
-    gated = (
-        surv.join(meta, "doc_id")
-        .filter(
-            F.col("n_tokens").between(20, 80)
-            & (F.col("ratio") > 0.25)
-            & F.col("lang").isin("en", "de", "fr")
-        )
-        .select("doc_id", "lang", "source", "n_tokens")
+    # gated survivors: a narrow 4-column table behind the dedup
+    # survivor argmax + tokenize join, referenced three times below
+    # (mix → n_min, mix → rates, and the acceptance join) — checkpoint
+    # it once (the CC labels underneath are already session-shared;
+    # this covers the argmax/rejoin/tokenize replay above them)
+    gated = shared_df(
+        "training_export_gated",
+        sf_dir,
+        spark,
+        lambda: (
+            surv.join(meta, "doc_id")
+            .filter(
+                F.col("n_tokens").between(20, 80)
+                & (F.col("ratio") > 0.25)
+                & F.col("lang").isin("en", "de", "fr")
+            )
+            .select("doc_id", "lang", "source", "n_tokens")
+        ),
+        materialize=True,
     )
     mix = gated.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
     n_min = mix.agg(F.min("n_docs").alias("_n_min"))
