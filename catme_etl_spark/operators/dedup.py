@@ -3373,7 +3373,7 @@ _WINNOW_CLUSTERS_ORACLE = f"""
     """
 
 
-@pending_query("dedup_winnowing_clusters", oracle=_WINNOW_CLUSTERS_ORACLE)
+@query("dedup_winnowing_clusters", oracle=_WINNOW_CLUSTERS_ORACLE)
 def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER rollup of the winnowing containment graph — the action
     tier above the pairwise drop list: transitive closure over the
@@ -3591,7 +3591,7 @@ _RELEASE_DIFF_ORACLE = f"""
     """
 
 
-@pending_query("pipeline_release_diff", oracle=_RELEASE_DIFF_ORACLE)
+@query("pipeline_release_diff", oracle=_RELEASE_DIFF_ORACLE)
 def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MANIFEST-vs-MANIFEST drift between two corpus releases — the
     nightly monitoring read of the release capstone (round-10 verdict
@@ -3712,7 +3712,7 @@ _RELEASE_GATE_ORACLE = f"""
     """
 
 
-@pending_query("quality_release_gate", oracle=_RELEASE_GATE_ORACLE)
+@query("quality_release_gate", oracle=_RELEASE_GATE_ORACLE)
 def quality_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SHIP/NO-SHIP verdict over the corpus-release manifest — the
     decision tier above `pipeline_corpus_release` (a manifest is a

@@ -2291,7 +2291,7 @@ def _cp_seg_out(win: DataFrame, level: int, segment: str) -> DataFrame:
     )
 
 
-@pending_query("events_changepoint_two_level", oracle=_CP2_ORACLE)
+@query("events_changepoint_two_level", oracle=_CP2_ORACLE)
 def events_changepoint_two_level(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1164,7 +1164,7 @@ _NEYMAN_ORACLE = (
 )
 
 
-@pending_query("sample_neyman_allocation", oracle=_NEYMAN_ORACLE)
+@query("sample_neyman_allocation", oracle=_NEYMAN_ORACLE)
 def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEYMAN (optimal) sample allocation across strata — the survey-
     statistics rung above proportional apportionment: a fixed 1e6-ppm
@@ -1350,7 +1350,7 @@ _DRAW_ORACLE = (
 )
 
 
-@pending_query("sample_neyman_draw", oracle=_DRAW_ORACLE)
+@query("sample_neyman_draw", oracle=_DRAW_ORACLE)
 def sample_neyman_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REALIZE the Neyman allocation as an actual deterministic
     stratified sample — the missing second half of the survey-design

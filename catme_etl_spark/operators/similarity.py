@@ -3699,7 +3699,7 @@ _INGEST_CTES = f"""
     )"""
 
 
-@pending_query(
+@query(
     "pipeline_vector_index_ingest",
     oracle=_INGEST_CTES
     + f"""

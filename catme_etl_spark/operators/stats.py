@@ -2060,7 +2060,7 @@ _THEIL_DECOMP_ORACLE = """
     """
 
 
-@pending_query("agg_theil_between_within", oracle=_THEIL_DECOMP_ORACLE)
+@query("agg_theil_between_within", oracle=_THEIL_DECOMP_ORACLE)
 def agg_theil_between_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T DECOMPOSITION of customer-revenue inequality into its
     between-nation and within-nation components — the property the

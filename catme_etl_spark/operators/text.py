@@ -1972,7 +1972,7 @@ _SIG_TERMS_ORACLE = f"""
     """
 
 
-@pending_query("text_source_signature_terms", oracle=_SIG_TERMS_ORACLE)
+@query("text_source_signature_terms", oracle=_SIG_TERMS_ORACLE)
 def text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_SIG_TOP_K} CHARACTERISTIC terms per source by an
     integer-exact tf-idf surrogate — the curator's "what is this

@@ -1065,7 +1065,7 @@ _HW_ORACLE = """
     """.replace("GUARDMSG", _HW_GUARD)
 
 
-@pending_query("ts_holt_winters_weekly", oracle=_HW_ORACLE)
+@query("ts_holt_winters_weekly", oracle=_HW_ORACLE)
 def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters ADDITIVE-SEASONAL forecast of the daily event
     volume, 7 days ahead — the seasonal rung above the Holt

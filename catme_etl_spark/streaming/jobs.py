@@ -1798,7 +1798,7 @@ from ..operators.timeseries import _HW_ORACLE  # noqa: E402
 from ..operators.timeseries import holt_winters_verdict  # noqa: E402
 
 
-@pending_query("stream_holt_winters_weekly", oracle=_HW_ORACLE)
+@query("stream_holt_winters_weekly", oracle=_HW_ORACLE)
 def stream_holt_winters_weekly(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1915,7 +1915,7 @@ def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query("stream_ivf_list_maintenance", oracle=_IVF_MAINT_ORACLE)
+@query("stream_ivf_list_maintenance", oracle=_IVF_MAINT_ORACLE)
 def stream_ivf_list_maintenance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

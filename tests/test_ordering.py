@@ -81,24 +81,14 @@ def test_pending_queue_discipline():
     assert set(PENDING_ORACLE) & set(ORACLE) == set()
     for name, fn in PENDING.items():
         assert callable(fn), name
-    # round 11 flipped the 12-op round-10 queue live as its first act
-    # (evidence: PENDING_CHECK_r10.txt, tests/test_round11_pending.py).
-    # The staged round-12 debut queue, pinned by name (evidence:
-    # PENDING_CHECK_r11.txt, tests/test_round12_pending.py):
-    assert set(PENDING) == {
-        "text_source_signature_terms",
-        "sample_neyman_allocation",
-        "ts_holt_winters_weekly",
-        "stream_holt_winters_weekly",
-        "agg_theil_between_within",
-        "dedup_winnowing_clusters",
-        "events_changepoint_two_level",
-        "pipeline_release_diff",
-        "quality_release_gate",
-        "pipeline_vector_index_ingest",
-        "sample_neyman_draw",
-        "stream_ivf_list_maintenance",
-    }
+    # round 12 flipped the 12-op round-11 queue live as its first act
+    # (evidence: PENDING_CHECK_r11.txt, tests/test_round12_pending.py).
+    # The staged round-13 debut queue, pinned by name (evidence:
+    # PENDING_CHECK_r12.txt, tests/test_round13_pending.py):
+    assert set(PENDING) == set(), (
+        "round-13 queue not yet staged — re-pin this set when "
+        "registry.pending_query registrations land"
+    )
 
 
 def test_max_staleness_bound():
@@ -265,13 +255,30 @@ ROUND10_DEBUT_QUEUE = [
 ]
 
 
+ROUND11_DEBUT_QUEUE = [
+    "text_source_signature_terms",
+    "sample_neyman_allocation",
+    "ts_holt_winters_weekly",
+    "stream_holt_winters_weekly",
+    "agg_theil_between_within",
+    "dedup_winnowing_clusters",
+    "events_changepoint_two_level",
+    "pipeline_release_diff",
+    "quality_release_gate",
+    "pipeline_vector_index_ingest",
+    "sample_neyman_draw",
+    "stream_ivf_list_maintenance",
+]
+
+
 def test_debut_queues_flipped_live():
     """Round-N+1 item #1 each round: operators deferred by a round's
     window budget must be LIVE next round (@query, with oracle) — the
     queue is a deferral, never a skip. Round 7's 19 landed in round 8
     (all green in CORRECTNESS_r08); round 8's 14 in round 9
     (CORRECTNESS_r09); round 9's 12 in round 10 (CORRECTNESS_r10);
-    round 10's 12 must sit inside the round-11 certification window."""
+    round 10's 12 in round 11 (CORRECTNESS_r11); round 11's 12 must
+    sit inside the round-12 certification window."""
     import __spark_entry__  # noqa: F401 — registers every query
 
     from catme_etl_spark.operators.ordering import SWEEP_ORDER
@@ -285,11 +292,12 @@ def test_debut_queues_flipped_live():
         + ROUND8_DEBUT_QUEUE
         + ROUND9_DEBUT_QUEUE
         + ROUND10_DEBUT_QUEUE
+        + ROUND11_DEBUT_QUEUE
     ):
         assert name in QUERIES, f"{name} missing from live registry"
         assert name in ORACLE, f"{name} lost its oracle in the flip"
         assert name not in PENDING, f"{name} still queued"
-    for name in ROUND10_DEBUT_QUEUE:
+    for name in ROUND11_DEBUT_QUEUE:
         assert name in window, f"{name} outside the certification window"
 
 
