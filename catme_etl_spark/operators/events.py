@@ -2198,7 +2198,10 @@ _CP2_ORACLE = f"""
                   ELSE CAST(COUNT(*) AS BIGINT) END AS nd
       FROM d0
     ),
-    d1 AS (SELECT d0.* FROM d0, gg),
+    -- WHERE gg.nd >= 2 keeps the guard LOAD-BEARING (a tautology when
+    -- the guard doesn't raise): a bare cross join lets the optimizer
+    -- prune gg's unused error() CASE, mirroring the Spark-side fix
+    d1 AS (SELECT d0.* FROM d0, gg WHERE gg.nd >= 2),
     {_cp_seg_sql("1", "d1")},
     d2 AS (SELECT d1.* FROM d1, win1 WHERE d1.day <= win1.day),
     {_cp_seg_sql("2", "d2")},
@@ -2308,7 +2311,15 @@ def events_changepoint_two_level(
     no division before the floor-ppm read-out — bit-identical
     cross-engine. A sub-segment with < 2 observed days simply emits
     no row (no further split exists); fewer than 2 days GLOBALLY
-    raises LOUDLY on both engines, like the parent op.
+    raises LOUDLY on both engines, like the parent op — and, unlike
+    the parent, AT CALL TIME: the guarded daily series is
+    localCheckpointed (`shared_df(materialize=True)`), which executes
+    the guard's upstream stages while this function builds the plan,
+    so the raise surfaces when the operator is CALLED, not at the
+    caller's first action. Intentional: a degenerate series should
+    fail the pipeline at construction, not leave a poisoned plan for
+    some later `.count()` to trip over (pinned by
+    `tests/test_round12_pending.py::test_changepoint_two_level_eager_guard`).
 
     Scale shape: the scan collapses to |days| rows once — and
     genuinely once: the guarded daily series is localCheckpointed
@@ -2337,7 +2348,17 @@ def events_changepoint_two_level(
             .cast("long")
             .alias("nd")
         )
-        return d.crossJoin(F.broadcast(gg)).select("day", "n")
+        # The filter keeps ``nd`` LOAD-BEARING: a bare
+        # ``.select("day", "n")`` lets column pruning drop the unused
+        # guard aggregate entirely, and a 1-day series then returns
+        # empty instead of raising (caught by the round-12 eager-guard
+        # test). ``nd >= 2`` is a tautology whenever the guard doesn't
+        # raise, so certified output is unchanged.
+        return (
+            d.crossJoin(F.broadcast(gg))
+            .filter(F.col("nd") >= 2)
+            .select("day", "n")
+        )
 
     d1 = shared_df("changepoint_daily_guarded", sf_dir, spark, build,
                    materialize=True)

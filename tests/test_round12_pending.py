@@ -595,3 +595,30 @@ def test_ivf_list_maintenance_consistency(spark, tmp_path):
         assert n_total == n_existing + n_admitted
         assert do_split == (1 if 2 * n_total * n_lists > 3 * grand else 0)
         assert do_merge == (1 if 4 * n_total * n_lists < grand else 0)
+
+
+def test_changepoint_two_level_eager_guard(spark, tmp_path):
+    """Round-11 ADVICE pin: the <2-observed-days guard fires AT CALL
+    TIME (plan construction), not at the caller's first action —
+    `shared_df(materialize=True)` on the guarded daily series executes
+    its upstream stages eagerly. This is the documented contract (see
+    the op docstring): a degenerate series fails the pipeline at
+    construction rather than poisoning a plan for a later action."""
+    import pytest
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.events import events_changepoint_two_level
+
+    rows = [(1, dt.datetime(2024, 5, 1, 12, 0, 0), "view", 1.0)]
+    out = _write_events(spark, tmp_path, rows)
+    clear_shared()
+    try:
+        with pytest.raises(Exception, match="changepoint"):
+            # the call itself must raise — no action is ever taken
+            events_changepoint_two_level(spark, str(tmp_path))
+    finally:
+        clear_shared()
+    # cross-engine parity: the DuckDB oracle refuses the same series
+    con = _con("events", out)
+    with pytest.raises(duckdb.Error, match="changepoint"):
+        _oracle(con, "events_changepoint_two_level")
