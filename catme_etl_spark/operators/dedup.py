@@ -53,7 +53,7 @@ from ._shared import (
     shared_df,
     shared_matrix_broadcast,
 )
-from .registry import pending_query, query
+from .registry import oracle_prefix, pending_query, query
 
 # ---------------------------------------------------------------------------
 # Exact dedup (F8).
@@ -3551,8 +3551,13 @@ def _manifest_chain_sql(s: str, pred: str) -> str:
 
 _DIFF_SLICE_PRED = "NOT (doc_id % 7 = 3 AND split = 'train')"
 
-_RELEASE_DIFF_ORACLE = f"""
-    WITH {_MINHASH_CTES},
+# The byte-exact shared head of every release-family oracle (diff, gate;
+# registered as an oracle-prefix artifact below so check_oracle can
+# materialize pairs/ndj/ndu/tagged/eval_g once per local session instead
+# of replaying the LSH build per query — round-11 verdict item #4). The
+# composed oracle strings are UNCHANGED by this factoring; only the
+# local verification protocol reads the registration.
+_RELEASE_HEAD_CTES = f"""{_MINHASH_CTES},
     ndj AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
     ndu AS (SELECT doc_a AS d, doc_b AS o FROM ndj
             UNION ALL SELECT doc_b AS d, doc_a AS o FROM ndj),
@@ -3565,7 +3570,15 @@ _RELEASE_DIFF_ORACLE = f"""
       SELECT DISTINCT md5(unnest({_REL_GRAM_SQL})) AS gh
       FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
             FROM tagged WHERE split <> 'train') x
-    ),
+    )"""
+
+# longest-match wins in check_oracle: release-family oracles match the
+# full head; the plain minhash-family oracles match just the pairs build
+oracle_prefix("minhash", f"WITH {_MINHASH_CTES}")
+oracle_prefix("release_head", f"WITH {_RELEASE_HEAD_CTES}")
+
+_RELEASE_DIFF_ORACLE = f"""
+    WITH {_RELEASE_HEAD_CTES},
     {_manifest_chain_sql("a", _DIFF_SLICE_PRED)},
     {_manifest_chain_sql("b", "TRUE")}
     SELECT COALESCE(a.source, b.source) AS source,
@@ -3682,20 +3695,7 @@ def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RELEASE_GATE_ORACLE = f"""
-    WITH {_MINHASH_CTES},
-    ndj AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
-    ndu AS (SELECT doc_a AS d, doc_b AS o FROM ndj
-            UNION ALL SELECT doc_b AS d, doc_a AS o FROM ndj),
-    tagged AS (
-      SELECT doc_id, source, text,
-             {_SPLIT_CASE_SQL.format(col="doc_id")} AS split
-      FROM documents
-    ),
-    eval_g AS (
-      SELECT DISTINCT md5(unnest({_REL_GRAM_SQL})) AS gh
-      FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
-            FROM tagged WHERE split <> 'train') x
-    ),
+    WITH {_RELEASE_HEAD_CTES},
     {_manifest_chain_sql("b", "TRUE")}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
            CAST(SUM(n_train_final) AS BIGINT) AS total_final,

@@ -73,3 +73,29 @@ def pending_query(
         return fn
 
     return deco
+
+
+# ---------------------------------------------------------------------------
+# Oracle CTE-prefix artifacts (tools/check_oracle.py --materialize).
+#
+# Round-11 verdict "What's wrong #3": release-family oracles replay the
+# same banded-LSH `pairs` build (and the tagged/eval_g head) per query,
+# so a LOCAL verification session re-executes the identical deterministic
+# CTE stack dozens of times while the Spark side materializes its shared
+# artifacts once (`shared_df`). Operators register the EXACT text of a
+# shared WITH-prefix here; check_oracle materializes each prefix's CTEs
+# as DuckDB temp tables once per session and rewrites matching oracles to
+# read them. The rewrite is equivalence-preserving by construction — the
+# prefix is deterministic SQL and the substitution is keyed on byte-exact
+# text — and it NEVER changes what the driver runs: ORACLE strings stay
+# self-contained; only the local tool consumes this registry.
+# ---------------------------------------------------------------------------
+
+ORACLE_CTE_PREFIXES: dict[str, str] = {}
+
+
+def oracle_prefix(label: str, prefix_sql: str) -> None:
+    """Register a shared oracle WITH-prefix for local materialization."""
+    if label in ORACLE_CTE_PREFIXES:
+        raise ValueError(f"duplicate oracle prefix {label!r}")
+    ORACLE_CTE_PREFIXES[label] = prefix_sql

@@ -50,10 +50,98 @@ def _hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+def _split_with_ctes(prefix_sql: str) -> list[tuple[str, str]]:
+    """Parse a ``WITH name AS (body), name2 AS (body2)…`` prefix into
+    ``[(name, body), …]``, respecting paren nesting and ``'…'``
+    string literals. The prefix must START with WITH (optionally
+    RECURSIVE) and contain only complete CTE definitions."""
+    s = prefix_sql.strip()
+    for kw in ("WITH RECURSIVE", "WITH"):
+        if s.upper().startswith(kw):
+            s = s[len(kw):]
+            break
+    else:
+        raise ValueError("oracle prefix must start with WITH")
+    items, depth, start, in_str = [], 0, 0, False
+    for i, ch in enumerate(s):
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+    items.append(s[start:])
+    import re
+
+    out = []
+    for item in items:
+        # `name AS (body)` or `name (col, …) AS (body)` — the column
+        # list becomes a derived-table alias so the temp table keeps
+        # the declared names
+        m = re.match(
+            r"\s*(\w+)\s*(\(([^)]*)\))?\s+AS\s+\(", item, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"unparseable CTE head: {item[:60]!r}")
+        name, cols = m.group(1), m.group(3)
+        body = item[m.end():].rstrip()
+        if not body.endswith(")"):
+            raise ValueError(f"unterminated CTE body for {name!r}")
+        body = body[:-1].strip()
+        if cols:
+            body = f"SELECT * FROM ({body}) __t({cols})"
+        out.append((name, body))
+    return out
+
+
+def _apply_prefix_artifacts(con, sql: str, done: dict) -> str:
+    """If ``sql`` embeds a registered oracle CTE prefix, materialize
+    that prefix's CTEs as uniquely-named temp tables (once per
+    session) and rewrite the query to read them. Equivalence-
+    preserving: keyed on byte-exact prefix text, deterministic SQL,
+    and the rewritten WITH keeps every CTE name in query scope (no
+    name pollution for non-matching queries)."""
+    from catme_etl_spark.operators.registry import ORACLE_CTE_PREFIXES
+
+    for label, prefix in sorted(
+        ORACLE_CTE_PREFIXES.items(), key=lambda kv: -len(kv[1])
+    ):
+        if prefix not in sql:
+            continue
+        if label not in done:
+            ctes = _split_with_ctes(prefix)
+            assert not ({n for n, _ in ctes} & set(TABLES)), label
+            for name, body in ctes:
+                con.execute(f"CREATE TEMP TABLE {name} AS {body}")
+            for name, _ in ctes:
+                con.execute(
+                    f"ALTER TABLE {name} RENAME TO __oart_{label}_{name}"
+                )
+            done[label] = ctes
+        aliases = ", ".join(
+            f"{n} AS (SELECT * FROM __oart_{label}_{n})"
+            for n, _ in done[label]
+        )
+        return sql.replace(prefix, "WITH " + aliases, 1)
+    return sql
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--no-materialize",
+        action="store_true",
+        help="disable oracle CTE-prefix materialization (registry."
+        "ORACLE_CTE_PREFIXES) and run every oracle string verbatim, "
+        "exactly as the driver does",
+    )
     ap.add_argument(
         "--pending",
         action="store_true",
@@ -89,6 +177,7 @@ def main() -> int:
     names = list(qs) if not args.only else args.only.split(",")
 
     failures, rows_only = [], []
+    art_done: dict = {}
     for name in names:
         t0 = time.time()
         try:
@@ -102,7 +191,10 @@ def main() -> int:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            osql = oracles[name]
+            if not args.no_materialize:
+                osql = _apply_prefix_artifacts(con, osql, art_done)
+            odf = con.execute(osql).fetchdf()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {ex}")
