@@ -3771,3 +3771,418 @@ def pipeline_vector_index_ingest(
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: the IVF REBALANCE EXECUTOR (verdict -> action).
+# ---------------------------------------------------------------------------
+
+_REBALANCE_CTES = (
+    _INGEST_CTES
+    + f""",
+    adm AS MATERIALIZED (
+      SELECT b.vec_id, bc.cid,
+             CAST(CASE WHEN st.n_cand IS NULL THEN 1
+                       WHEN {INGEST_REJECT_FACTOR} * st.min_adc * st.n_cand
+                            < st.sum_adc THEN 0
+                       ELSE 1 END AS BIGINT) AS admitted
+      FROM batch b
+      JOIN bcid bc ON bc.query_id = b.vec_id
+      LEFT JOIN st ON st.query_id = b.vec_id
+    ),
+    mem AS MATERIALIZED (
+      SELECT vec_id, cid AS list_id FROM assign WHERE vec_id % 10 <> 9
+      UNION ALL
+      SELECT vec_id, cid AS list_id FROM adm WHERE admitted = 1
+    ),
+    occ AS MATERIALIZED (
+      SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM mem GROUP BY 1
+    ),
+    rtot AS MATERIALIZED (
+      SELECT CAST(SUM(n_total) AS BIGINT) AS grand,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM occ
+    ),
+    verd AS MATERIALIZED (
+      SELECT occ.list_id, occ.n_total,
+             CASE WHEN 2 * occ.n_total * rtot.n_lists > 3 * rtot.grand
+                  THEN 1 ELSE 0 END AS do_split,
+             CASE WHEN 4 * occ.n_total * rtot.n_lists < rtot.grand
+                  THEN 1 ELSE 0 END AS do_merge
+      FROM occ, rtot
+    ),
+    memd AS MATERIALIZED (
+      SELECT m.vec_id, m.list_id,
+             CAST(list_sum(list_transform(range(len(q.qv)), j ->
+               (q.qv[j+1] - c.cqv[j+1]) * (q.qv[j+1] - c.cqv[j+1])))
+             AS BIGINT) AS dpar
+      FROM mem m
+      JOIN verd v ON v.list_id = m.list_id AND v.do_split = 1
+      JOIN qc q ON q.vec_id = m.vec_id
+      JOIN cent c ON c.cid = m.list_id
+    ),
+    seed AS MATERIALIZED (
+      SELECT list_id, vec_id AS seed_id FROM (
+        SELECT list_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY list_id
+                                  ORDER BY dpar DESC, vec_id) AS rn
+        FROM memd WHERE vec_id <> list_id
+      ) WHERE rn = 1
+    ),
+    sassign AS MATERIALIZED (
+      SELECT md.vec_id, md.list_id,
+             CASE WHEN CAST(list_sum(list_transform(range(len(q.qv)), j ->
+                    (q.qv[j+1] - sq.qv[j+1]) * (q.qv[j+1] - sq.qv[j+1])))
+                  AS BIGINT) < md.dpar
+                  THEN s.seed_id ELSE md.list_id END AS new_list
+      FROM memd md
+      JOIN seed s USING (list_id)
+      JOIN qc q ON q.vec_id = md.vec_id
+      JOIN qc sq ON sq.vec_id = s.seed_id
+    ),
+    cdist AS MATERIALIZED (
+      SELECT a.cid AS m_cid, b.cid AS r_cid,
+             CAST(list_sum(list_transform(range(len(a.cqv)), j ->
+               (a.cqv[j+1] - b.cqv[j+1]) * (a.cqv[j+1] - b.cqv[j+1])))
+             AS BIGINT) AS d
+      FROM cent a
+      JOIN verd vm ON vm.list_id = a.cid AND vm.do_merge = 1,
+      cent b
+      JOIN verd vr ON vr.list_id = b.cid AND vr.do_merge = 0
+    ),
+    recv AS MATERIALIZED (
+      SELECT m_cid, r_cid FROM (
+        SELECT m_cid, r_cid,
+               ROW_NUMBER() OVER (PARTITION BY m_cid
+                                  ORDER BY d, r_cid) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    moved AS MATERIALIZED (
+      SELECT m.vec_id,
+             COALESCE(r.r_cid, sa.new_list, m.list_id) AS new_list
+      FROM mem m
+      LEFT JOIN recv r ON r.m_cid = m.list_id
+      LEFT JOIN sassign sa ON sa.vec_id = m.vec_id
+                          AND sa.list_id = m.list_id
+    ),
+    after AS MATERIALIZED (
+      SELECT new_list, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM moved GROUP BY 1
+    )"""
+)
+
+_REBALANCE_ORACLE = (
+    _REBALANCE_CTES
+    + """
+    SELECT * FROM (
+      SELECT v.list_id, v.n_total AS n_before,
+             CASE WHEN v.do_merge = 1 THEN CAST(0 AS BIGINT)
+                  ELSE COALESCE(a.n_after, CAST(0 AS BIGINT)) END
+               AS n_after,
+             CASE WHEN v.do_merge = 1 THEN 'merged_away'
+                  WHEN v.do_split = 1 AND s.seed_id IS NOT NULL
+                    THEN 'split_parent'
+                  ELSE 'kept' END AS action
+      FROM verd v
+      LEFT JOIN after a ON a.new_list = v.list_id
+      LEFT JOIN seed s ON s.list_id = v.list_id
+      UNION ALL
+      SELECT s.seed_id AS list_id, CAST(0 AS BIGINT) AS n_before,
+             COALESCE(a.n_after, CAST(0 AS BIGINT)) AS n_after,
+             'split_child' AS action
+      FROM seed s LEFT JOIN after a ON a.new_list = s.seed_id
+    ) ORDER BY list_id
+    """
+)
+
+
+def _assign_lookup_gen(art_bc):
+    """mapInPandas generator: (vec_id) -> (vec_id, list_id) by direct
+    lookup into the broadcast artifact's fitted IVF assignment — a
+    distributed O(1)-per-row probe of the persisted index, never a
+    re-scoring pass."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, _Q, assign, *_rest = art_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = np.searchsorted(ids, pdf["vec_id"].to_numpy())
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "list_id": assign[pos]}
+            )
+
+    return gen
+
+
+def _rebalance_move_gen(art_bc, split_seed, merge_recv):
+    """mapInPandas generator applying the rebalance decision table to
+    every index member: members of merged lists move to the receiver;
+    members of split lists re-score against {parent centroid, seed}
+    (integer distances, ties keep the parent); everyone else stays.
+    ``split_seed``/``merge_recv`` are |lists|-bounded dicts captured
+    from the verdict stage."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, Q, _assign, _codes, cids, C, *_rest = art_bc.value
+        cpos = {int(c): i for i, c in enumerate(cids)}
+        spos = {
+            int(lst): int(np.searchsorted(ids, sd))
+            for lst, sd in split_seed.items()
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = pdf["vec_id"].to_numpy()
+            la = pdf["list_id"].to_numpy()
+            pos = np.searchsorted(ids, va)
+            out = np.array(la)
+            for r in range(len(va)):
+                lst = int(la[r])
+                if lst in merge_recv:
+                    out[r] = merge_recv[lst]
+                elif lst in split_seed:
+                    v = Q[pos[r]]
+                    dp = int(((v - C[cpos[lst]]) ** 2).sum())
+                    ds = int(((v - Q[spos[lst]]) ** 2).sum())
+                    if ds < dp:
+                        out[r] = split_seed[lst]
+            yield pd.DataFrame({"vec_id": va, "new_list": out})
+
+    return gen
+
+
+@pending_query("pipeline_vector_index_rebalance", oracle=_REBALANCE_ORACLE)
+def pipeline_vector_index_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF REBALANCE EXECUTOR — the action tier that APPLIES the
+    split/merge verdicts `stream_ivf_list_maintenance` emits, closing
+    the index lifecycle loop (probe -> admit -> observe occupancy ->
+    rebalance): over the post-ingest membership (existing assignment
+    plus the certified admission decisions, the exact `n_total` the
+    maintenance verdict scored),
+
+    - a list flagged `do_split` (occupancy > 1.5x the mean, exact
+      cross-multiplied form) splits around a SEED — its member
+      farthest from the parent centroid in exact int64 distance, ties
+      to the lowest vec_id; every member then re-scores against
+      {parent centroid, seed} and moves to the seed only when
+      STRICTLY closer (ties keep the parent), so the child list is
+      non-empty by construction (the seed itself moves: d=0);
+    - a list flagged `do_merge` (occupancy < a quarter of the mean)
+      dissolves into its nearest NON-MERGING list by exact
+      centroid-centroid distance, ties to the lowest cid — a receiver
+      always exists because at least one list sits at/above the mean;
+      members attach to the receiver's PARENT list without
+      re-scoring (rebalance actions are computed on one occupancy
+      snapshot, not cascaded);
+    - everything else keeps its members and may receive merges.
+
+    Output: one row per POST-rebalance list — (list_id, n_before,
+    n_after, action in {{kept, split_parent, split_child,
+    merged_away}}) — with sum(n_after) == sum(n_before) (member
+    conservation, pinned by the crafted suite). A split list whose
+    only member is its own centroid has no seed and degrades to
+    `kept` (can't fire under the occupancy rule, but the degenerate
+    case is defined, not undefined).
+
+    Scale shape: per-member work is a broadcast-artifact lookup (kept
+    members) or a 2-candidate re-score (split members) inside
+    mapInPandas — O(members) with no corpus×corpus term; the verdict
+    table, seed map, and receiver map are |lists|-bounded (the
+    index's own cardinality, the same bound the maintenance op's
+    driver-side occupancy read carries). The 100 TB shape is exactly
+    this: rebalance touches flagged lists' postings, not the corpus.
+
+    Reference basis: none; contract F10/F14 ANN family — the action
+    rung above `stream_ivf_list_maintenance` (round-11 verdict item
+    #6a completes here)."""
+    from ._shared import shared_df
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+
+    batch = emb.filter(F.col("vec_id") % 10 == 9).select("vec_id")
+    adm = (
+        fan_out(batch, spark)
+        .mapInPandas(
+            _ingest_gen(art),
+            schema=(
+                "vec_id long, cid long, n_cand long, min_adc long,"
+                " sum_adc long, admitted long"
+            ),
+        )
+        .filter(F.col("admitted") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"))
+    )
+    existing = (
+        fan_out(emb.filter(F.col("vec_id") % 10 != 9), spark)
+        .select("vec_id")
+        .mapInPandas(_assign_lookup_gen(art), "vec_id long, list_id long")
+    )
+    members = shared_df(
+        "ivf_rebalance_members",
+        sf_dir,
+        spark,
+        lambda: existing.unionByName(adm),
+        materialize=True,
+    )
+
+    occ = members.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    rtot = occ.agg(
+        F.sum("n_total").cast("long").alias("grand"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    verd = occ.crossJoin(F.broadcast(rtot)).select(
+        "list_id",
+        "n_total",
+        F.when(
+            2 * F.col("n_total") * F.col("n_lists") > 3 * F.col("grand"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("do_split"),
+        F.when(
+            4 * F.col("n_total") * F.col("n_lists") < F.col("grand"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("do_merge"),
+    )
+
+    # ---- decision tables: |lists|-bounded driver reads (the same
+    # bound the maintenance op's occupancy read carries) ----
+    vrows = verd.collect()
+    split_ids = sorted(int(r.list_id) for r in vrows if r.do_split == 1)
+    merge_ids = sorted(int(r.list_id) for r in vrows if r.do_merge == 1)
+    keep_ids = sorted(
+        int(r.list_id) for r in vrows if r.do_merge == 0
+    )
+
+    # split seeds: farthest member from the parent centroid, exact
+    # int64, ties -> lowest vec_id (distributed argmax over members)
+    split_seed: dict[int, int] = {}
+    if split_ids:
+        smem = members.filter(F.col("list_id").isin(split_ids))
+        smd = fan_out(smem, spark).mapInPandas(
+            _split_dist_gen(art), "vec_id long, list_id long, dpar long"
+        )
+        seeds = (
+            smd.filter(F.col("vec_id") != F.col("list_id"))
+            .groupBy("list_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("dpar").alias("d"),
+                        (-F.col("vec_id")).alias("nv"),
+                    )
+                ).alias("mx")
+            )
+            .select("list_id", (-F.col("mx.nv")).alias("seed_id"))
+        )
+        split_seed = {
+            int(r.list_id): int(r.seed_id) for r in seeds.collect()
+        }
+
+    # merge receivers: nearest non-merging centroid, driver-side over
+    # the |lists| x |lists| integer distance table
+    merge_recv: dict[int, int] = {}
+    if merge_ids:
+        _ids_a, _Q, _assign, _codes, cids, C, _w, _W = art.value
+        cindex = {int(c): i for i, c in enumerate(cids)}
+        for m in merge_ids:
+            best = None
+            for r in keep_ids:
+                d = int(((C[cindex[m]] - C[cindex[r]]) ** 2).sum())
+                key = (d, r)
+                if best is None or key < best:
+                    best = key
+            merge_recv[m] = best[1]
+
+    moved = fan_out(members, spark).mapInPandas(
+        _rebalance_move_gen(art, split_seed, merge_recv),
+        "vec_id long, new_list long",
+    )
+    after = moved.groupBy("new_list").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+
+    z = F.lit(0).cast("long")
+    seed_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in sorted(split_seed.items())]
+        or [(None, None)],
+        "list_id long, seed_id long",
+    ).filter(F.col("list_id").isNotNull())
+    parents = (
+        verd.join(after, verd.list_id == after.new_list, "left")
+        .join(seed_df, "list_id", "left")
+        .select(
+            "list_id",
+            F.col("n_total").alias("n_before"),
+            F.when(F.col("do_merge") == 1, z)
+            .otherwise(F.coalesce("n_after", z))
+            .cast("long")
+            .alias("n_after"),
+            F.when(F.col("do_merge") == 1, F.lit("merged_away"))
+            .when(
+                (F.col("do_split") == 1) & F.col("seed_id").isNotNull(),
+                F.lit("split_parent"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("action"),
+        )
+    )
+    children = (
+        seed_df.select(F.col("seed_id").alias("list_id"))
+        .join(after, F.col("list_id") == F.col("new_list"), "left")
+        .select(
+            "list_id",
+            z.alias("n_before"),
+            F.coalesce("n_after", z).cast("long").alias("n_after"),
+            F.lit("split_child").alias("action"),
+        )
+    )
+    return parents.unionByName(children).orderBy("list_id")
+
+
+def _split_dist_gen(art_bc):
+    """mapInPandas generator: (vec_id, list_id) -> + exact int64
+    distance to the parent centroid, for split-seed selection."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, Q, _assign, _codes, cids, C, *_rest = art_bc.value
+        cpos = {int(c): i for i, c in enumerate(cids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = pdf["vec_id"].to_numpy()
+            la = pdf["list_id"].to_numpy()
+            pos = np.searchsorted(ids, va)
+            d = np.empty(len(va), dtype=np.int64)
+            for r in range(len(va)):
+                diff = Q[pos[r]] - C[cpos[int(la[r])]]
+                d[r] = int((diff * diff).sum())
+            yield pd.DataFrame(
+                {"vec_id": va, "list_id": la, "dpar": d}
+            )
+
+    return gen

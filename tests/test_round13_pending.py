@@ -1,0 +1,111 @@
+"""Crafted-table tests for the round-13 debut queue (held in
+registry.pending_query; see tests/test_ordering.py for the flip
+discipline). Each op is runnable and oracle-carrying; these pin the
+closed-form/boundary semantics the fixtures never exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+
+import __spark_entry__ as entry
+
+
+def _oracle(con, name):
+    from catme_etl_spark.operators.registry import ORACLE, PENDING_ORACLE
+
+    sql = entry.oracle_sql().get(name) or PENDING_ORACLE.get(name) or ORACLE[name]
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def _spark_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _write_emb(spark, tmp_path, vecs):
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(out)
+    return out
+
+
+def _emb_con(tmp_path):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    return con
+
+
+def test_rebalance_conservation_and_oracle(spark, tmp_path):
+    """Cross-engine equality on a crafted 160-vector corpus (4 stride
+    centroids) plus the structural invariants the executor promises:
+    members are CONSERVED (sum n_after == sum n_before), merged lists
+    end empty, split children start empty and are non-empty after (the
+    seed itself always moves: d(seed, seed) = 0 < d(seed, parent))."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import (
+        pipeline_vector_index_rebalance,
+    )
+
+    vecs = []
+    for i in range(160):
+        vecs.append(
+            (
+                i,
+                [
+                    math.sin(i * 0.9 + j * 1.1) * (1.0 + (i % 7))
+                    for j in range(64)
+                ],
+            )
+        )
+    _write_emb(spark, tmp_path, vecs)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            pipeline_vector_index_rebalance(spark, str(tmp_path))
+        )
+    finally:
+        clear_shared()
+    con = _emb_con(tmp_path)
+    assert got == _oracle(con, "pipeline_vector_index_rebalance")
+
+    actions = {r[3] for r in got}
+    assert actions <= {"kept", "split_parent", "split_child", "merged_away"}
+    assert sum(r[1] for r in got) == sum(r[2] for r in got)
+    for list_id, n_before, n_after, action in got:
+        if action == "merged_away":
+            assert n_after == 0 and n_before > 0
+        if action == "split_child":
+            assert n_before == 0 and n_after >= 1
+    # list_ids unique across parents + children
+    ids = [r[0] for r in got]
+    assert len(ids) == len(set(ids))
+
+
+def test_rebalance_real_fixture_actions(spark):
+    """On the real sf0.001 fixture the planted clusters force actual
+    work: at least one split fires (the round-11 maintenance op
+    measured skewed lists at every fixture SF) and the verdict rows
+    stay consistent with the maintenance thresholds."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import (
+        pipeline_vector_index_rebalance,
+    )
+
+    clear_shared()
+    try:
+        got = _spark_rows(
+            pipeline_vector_index_rebalance(spark, "/root/testdata/sf0.001")
+        )
+    finally:
+        clear_shared()
+    assert sum(r[1] for r in got) == sum(r[2] for r in got)
+    assert any(r[3] == "split_parent" for r in got)
+    parents = [r for r in got if r[3] == "split_parent"]
+    children = [r for r in got if r[3] == "split_child"]
+    assert len(parents) == len(children)
