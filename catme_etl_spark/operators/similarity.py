@@ -4186,3 +4186,402 @@ def _split_dist_gen(art_bc):
             )
 
     return gen
+
+
+def _rebalance_plan(art):
+    """Driver-side numpy replica of the certified rebalance decision
+    chain (admission -> occupancy -> verdicts -> seeds/receivers ->
+    moves) over the broadcast `_ivfpq_artifacts` — the "fit once,
+    broadcast the model" rule applied to the POST-rebalance index so
+    the recall re-audit's scan tasks do per-query work only. Returns
+    (member_ids, member_before, member_after, acent_ids, acent_vecs):
+    index members with their pre/post-rebalance list ids, plus the
+    post-rebalance probeable centroid table (survivors keep their
+    centroid vector, split children use the seed's vector, merged
+    lists are gone) sorted ascending by list id for tie stability.
+    Certified against the rebalance op's own output by the crafted
+    suite and against the SQL oracle by the driver gate."""
+    import numpy as np
+
+    ids, Q, assign, codes, cids, C, wids, W = art
+    existing = ids % 10 != 9
+    bidx = np.nonzero(~existing)[0]
+
+    # admission (the _ingest_gen rule, vectorized)
+    adm_pos, adm_list = [], []
+    if len(bidx):
+        qa = Q[bidx]
+        dq = (
+            (qa * qa).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (qa @ C.T)
+        )
+        order = np.argsort(dq, axis=1, kind="stable")
+        probes = cids[order[:, :NPROBE]]
+        luts = []
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+            qm, Wm = qa[:, lo:hi], W[:, lo:hi]
+            luts.append(
+                (qm * qm).sum(axis=1)[:, None]
+                + (Wm * Wm).sum(axis=1)[None, :]
+                - 2 * (qm @ Wm.T)
+            )
+        for r in range(len(bidx)):
+            cand = np.isin(assign, probes[r]) & existing
+            cidx = np.nonzero(cand)[0]
+            adc = np.zeros(len(cidx), dtype=np.int64)
+            for m in range(PQ_M):
+                adc += luts[m][r][codes[cidx, m]]
+            n = len(cidx)
+            if n:
+                mn, sm = int(adc.min()), int(adc.sum())
+                admitted = not (INGEST_REJECT_FACTOR * mn * n < sm)
+            else:
+                admitted = True
+            if admitted:
+                adm_pos.append(int(bidx[r]))
+                adm_list.append(int(probes[r][0]))
+
+    member_pos = np.concatenate(
+        [np.nonzero(existing)[0], np.array(adm_pos, dtype=np.int64)]
+    ).astype(np.int64)
+    member_before = np.concatenate(
+        [assign[existing], np.array(adm_list, dtype=np.int64)]
+    ).astype(np.int64)
+    member_ids = ids[member_pos]
+
+    # occupancy + verdicts (exact cross-multiplied maintenance rules)
+    occ_ids, occ_n = np.unique(member_before, return_counts=True)
+    grand, n_lists = int(occ_n.sum()), len(occ_ids)
+    do_split = 2 * occ_n * n_lists > 3 * grand
+    do_merge = 4 * occ_n * n_lists < grand
+    cpos = {int(c): i for i, c in enumerate(cids)}
+
+    split_seed: dict[int, int] = {}
+    for li, flag in zip(occ_ids, do_split):
+        if not flag:
+            continue
+        lst = int(li)
+        sel = (member_before == lst) & (member_ids != lst)
+        if not sel.any():
+            continue
+        mp = member_pos[sel]
+        diff = Q[mp] - C[cpos[lst]]
+        d = (diff * diff).sum(axis=1)
+        mids = member_ids[sel]
+        best = np.lexsort((mids, -d))[0]
+        split_seed[lst] = int(mids[best])
+
+    merge_recv: dict[int, int] = {}
+    keep = [int(li) for li, f in zip(occ_ids, do_merge) if not f]
+    for li, flag in zip(occ_ids, do_merge):
+        if not flag:
+            continue
+        m = int(li)
+        best = None
+        for r in keep:
+            d = int(((C[cpos[m]] - C[cpos[r]]) ** 2).sum())
+            if best is None or (d, r) < best:
+                best = (d, r)
+        merge_recv[m] = best[1]
+
+    member_after = member_before.copy()
+    sidpos = {
+        lst: int(np.searchsorted(ids, sd)) for lst, sd in split_seed.items()
+    }
+    for i in range(len(member_ids)):
+        lst = int(member_before[i])
+        if lst in merge_recv:
+            member_after[i] = merge_recv[lst]
+        elif lst in split_seed:
+            v = Q[member_pos[i]]
+            dp = int(((v - C[cpos[lst]]) ** 2).sum())
+            ds = int(((v - Q[sidpos[lst]]) ** 2).sum())
+            if ds < dp:
+                member_after[i] = split_seed[lst]
+
+    acent = [
+        (int(li), C[cpos[int(li)]])
+        for li, f in zip(occ_ids, do_merge)
+        if not f
+    ] + [(sd, Q[sidpos[lst]]) for lst, sd in split_seed.items()]
+    acent.sort(key=lambda t: t[0])
+    acent_ids = np.array([t[0] for t in acent], dtype=np.int64)
+    acent_vecs = np.stack([t[1] for t in acent]) if acent else np.zeros((0, Q.shape[1]), dtype=np.int64)
+    return member_ids, member_before, member_after, acent_ids, acent_vecs
+
+
+def _ivf_rebal_gen(art_bc, plan_bc):
+    """mapInPandas generator for the rebalanced-recall audit: per panel
+    query emit exact truth over the index members plus the coarse-IVF
+    top-k under the BEFORE (original lists/centroids) and AFTER
+    (rebalanced lists/centroid table) index states. Stable sorts keep
+    every tie on the lowest id — byte-identical to the oracle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, Q, _assign, _codes, cids, C, _wids, _W = art_bc.value
+        member_ids, mb, ma, aids, avecs = plan_bc.value
+        mpos = np.searchsorted(ids, member_ids)
+        Qm = Q[mpos]
+        BIG = np.int64(1 << 62)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["vec_id"].to_numpy()
+            pos = np.searchsorted(ids, ia)
+            qa = Q[pos]
+            db = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (qa @ C.T)
+            )
+            pb = cids[np.argsort(db, axis=1, kind="stable")[:, :NPROBE]]
+            da = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (avecs * avecs).sum(axis=1)[None, :]
+                - 2 * (qa @ avecs.T)
+            )
+            pa = aids[np.argsort(da, axis=1, kind="stable")[:, :NPROBE]]
+            dm = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (Qm * Qm).sum(axis=1)[None, :]
+                - 2 * (qa @ Qm.T)
+            )
+            dm = np.where(ia[:, None] == member_ids[None, :], BIG, dm)
+            out_q, out_n, out_t = [], [], []
+
+            def take(q_id, nbr, tier):
+                out_q.extend([q_id] * len(nbr))
+                out_n.extend(int(v) for v in nbr)
+                out_t.extend([tier] * len(nbr))
+
+            for r in range(len(ia)):
+                take(
+                    int(ia[r]),
+                    member_ids[np.lexsort((member_ids, dm[r]))[:TOP_K]],
+                    "truth",
+                )
+                for tier, probes, lists in (
+                    ("before", pb[r], mb),
+                    ("after", pa[r], ma),
+                ):
+                    cand = np.isin(lists, probes) & (member_ids != ia[r])
+                    cidx = np.nonzero(cand)[0]
+                    nbr = member_ids[cidx]
+                    de = dm[r][cidx]
+                    take(
+                        int(ia[r]),
+                        nbr[np.lexsort((nbr, de))[:TOP_K]],
+                        tier,
+                    )
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "tier": out_t}
+            )
+
+    return gen
+
+
+_REBAL_RECALL_ORACLE = (
+    _REBALANCE_CTES
+    + f""",
+    panel AS MATERIALIZED (
+      SELECT vec_id, qv FROM (
+        SELECT vec_id, qv,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr
+        FROM qc
+      ) WHERE pr <= {PQ_PANEL_N}
+    ),
+    memq AS MATERIALIZED (
+      SELECT m.vec_id, m.list_id AS before_list, mv.new_list AS after_list,
+             q.qv
+      FROM mem m
+      JOIN moved mv USING (vec_id)
+      JOIN qc q ON q.vec_id = m.vec_id
+    ),
+    rtruth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM panel p JOIN memq b ON b.vec_id <> p.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    acent AS MATERIALIZED (
+      SELECT v.list_id, c.cqv AS cv
+      FROM verd v JOIN cent c ON c.cid = v.list_id
+      WHERE v.do_merge = 0
+      UNION ALL
+      SELECT s.seed_id AS list_id, q.qv AS cv
+      FROM seed s JOIN qc q ON q.vec_id = s.seed_id
+    ),
+    pr_b AS MATERIALIZED (
+      SELECT query_id, cid FROM (
+        SELECT p.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - c.cqv[j+1]) * (p.qv[j+1] - c.cqv[j+1])))
+                 AS BIGINT), c.cid) AS rn
+        FROM panel p, cent c
+      ) WHERE rn <= {NPROBE}
+    ),
+    pr_a AS MATERIALIZED (
+      SELECT query_id, list_id FROM (
+        SELECT p.vec_id AS query_id, a.list_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - a.cv[j+1]) * (p.qv[j+1] - a.cv[j+1])))
+                 AS BIGINT), a.list_id) AS rn
+        FROM panel p, acent a
+      ) WHERE rn <= {NPROBE}
+    ),
+    ivb AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT pb.query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY pb.query_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM pr_b pb
+        JOIN panel p ON p.vec_id = pb.query_id
+        JOIN memq b ON b.before_list = pb.cid AND b.vec_id <> pb.query_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    iva AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT pa.query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY pa.query_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM pr_a pa
+        JOIN panel p ON p.vec_id = pa.query_id
+        JOIN memq b ON b.after_list = pa.list_id AND b.vec_id <> pa.query_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT * FROM (
+      SELECT 'after' AS tier,
+             (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM rtruth)
+               AS n_queries,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rtruth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM iva JOIN rtruth
+                USING (query_id, neighbor_id)) AS n_hits,
+             floor((CAST((SELECT COUNT(*) FROM iva JOIN rtruth
+                            USING (query_id, neighbor_id)) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM rtruth)) * 1000000 + 0.5)
+               / 1000000 AS recall_at_{TOP_K}
+      UNION ALL
+      SELECT 'before' AS tier,
+             (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM rtruth)
+               AS n_queries,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rtruth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ivb JOIN rtruth
+                USING (query_id, neighbor_id)) AS n_hits,
+             floor((CAST((SELECT COUNT(*) FROM ivb JOIN rtruth
+                            USING (query_id, neighbor_id)) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM rtruth)) * 1000000 + 0.5)
+               / 1000000 AS recall_at_{TOP_K}
+    ) ORDER BY tier
+    """
+)
+
+
+@pending_query("sim_ivf_rebalanced_recall", oracle=_REBAL_RECALL_ORACLE)
+def sim_ivf_rebalanced_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@{TOP_K} of the coarse IVF tier BEFORE vs AFTER the
+    rebalance executor's actions — the re-certification rung that
+    closes the maintenance loop (round-11 verdict item #6a): verdicts
+    (`stream_ivf_list_maintenance`) -> action
+    (`pipeline_vector_index_rebalance`) -> THIS audit proving the
+    rebalanced index still finds what the pre-rebalance index found,
+    over the identical {PQ_PANEL_N}-query md5-order panel and the
+    identical exact-truth denominators.
+
+    Both index states search the SAME post-ingest membership
+    (existing assignment + certified admissions), so the only moving
+    part is the list geometry: 'before' probes the original stride
+    centroids with members on their fitted lists; 'after' probes the
+    post-rebalance centroid table (survivors keep their centroid
+    vector, split children are probed AT the seed vector, merged
+    lists are gone) with members on their moved lists. Exact int64
+    arithmetic end to end; ties to the lowest id via stable sorts —
+    the recall values land in the oracle hash bit-identically.
+
+    Scale shape: the rebalance plan is fitted once driver-side from
+    the SHARED `ivfpq_artifacts` broadcast (`_rebalance_plan` — the
+    same admission/verdict/seed arithmetic the executor certifies,
+    |lists|-bounded decision tables) and broadcast; panel scan tasks
+    do per-query work only — two probe selections and
+    inverted-list-bounded candidate ranking, O(panel * members) worst
+    case on the exact-truth row, identical to the certified
+    `sim_ivf_recall_clustered` shape.
+
+    Reference basis: none; contract F10/F14 ANN audit family."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    plan = shared_broadcast(
+        "ivf_rebalance_plan",
+        sf_dir,
+        spark,
+        lambda: _rebalance_plan(art.value),
+    )
+    panel = (
+        emb.withColumn("_pk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_pk", "vec_id")
+        .limit(PQ_PANEL_N)
+        .select("vec_id")
+    )
+    rows = fan_out(panel, spark).mapInPandas(
+        _ivf_rebal_gen(art, plan),
+        schema="query_id long, neighbor_id long, tier string",
+    )
+    truth = rows.filter(F.col("tier") == "truth").select(
+        "query_id", "neighbor_id"
+    )
+    denom = truth.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+    )
+    tiers = rows.filter(F.col("tier") != "truth")
+    hits = (
+        tiers.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    # a tier with zero hits still needs its row
+    base = tiers.select("tier").distinct()
+    return (
+        base.join(hits, "tier", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "tier",
+            "n_queries",
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.floor(
+                    (
+                        F.coalesce("n_hits", F.lit(0)).cast("double")
+                        / F.col("n_truth")
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+        .orderBy("tier")
+    )

@@ -109,3 +109,71 @@ def test_rebalance_real_fixture_actions(spark):
     parents = [r for r in got if r[3] == "split_parent"]
     children = [r for r in got if r[3] == "split_child"]
     assert len(parents) == len(children)
+
+
+def test_rebalanced_recall_oracle_and_plan_consistency(spark, tmp_path):
+    """Cross-engine equality on the crafted corpus, plus the
+    plan-vs-executor consistency check: `_rebalance_plan`'s moved
+    membership reproduces the executor's per-list n_after exactly
+    (the audit and the action must describe the same index)."""
+    import numpy as np
+
+    from catme_etl_spark.operators._shared import (
+        clear_shared,
+        shared_broadcast,
+        shared_matrix_broadcast,
+    )
+    from catme_etl_spark.operators.similarity import (
+        _ivfpq_artifacts,
+        _rebalance_plan,
+        pipeline_vector_index_rebalance,
+        sim_ivf_rebalanced_recall,
+    )
+    from catme_etl_spark.sources.tables import load_table
+
+    vecs = []
+    for i in range(160):
+        vecs.append(
+            (
+                i,
+                [
+                    math.sin(i * 0.9 + j * 1.1) * (1.0 + (i % 7))
+                    for j in range(64)
+                ],
+            )
+        )
+    _write_emb(spark, tmp_path, vecs)
+    clear_shared()
+    try:
+        got = _spark_rows(sim_ivf_rebalanced_recall(spark, str(tmp_path)))
+        reb = _spark_rows(
+            pipeline_vector_index_rebalance(spark, str(tmp_path))
+        )
+        emb = load_table(spark, str(tmp_path), "embeddings").select(
+            "vec_id", "embedding"
+        )
+        bc = shared_matrix_broadcast(
+            "embeddings_matrix", str(tmp_path), spark, emb
+        )
+        art = shared_broadcast(
+            "ivfpq_artifacts", str(tmp_path), spark,
+            lambda: _ivfpq_artifacts(bc),
+        )
+        plan = _rebalance_plan(art.value)
+    finally:
+        clear_shared()
+    con = _emb_con(tmp_path)
+    assert got == _oracle(con, "sim_ivf_rebalanced_recall")
+    assert [r[0] for r in got] == ["after", "before"]
+    for tier, n_queries, n_truth, n_hits, recall in got:
+        assert 0 <= n_hits <= n_truth
+        assert abs(recall - round(n_hits / n_truth, 6)) < 2e-6
+
+    member_ids, mb, ma, aids, avecs = plan
+    vals, cnts = np.unique(ma, return_counts=True)
+    plan_after = {int(v): int(c) for v, c in zip(vals, cnts)}
+    for list_id, n_before, n_after, action in reb:
+        assert plan_after.get(list_id, 0) == n_after, (list_id, action)
+    # every non-empty post-rebalance list is probeable (in acent)
+    assert set(plan_after) <= {int(a) for a in aids}
+    assert len(member_ids) == sum(r[2] for r in reb)
