@@ -3755,3 +3755,108 @@ def quality_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gate_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: release PIN / REPRODUCE (the audit rung above
+# the release diff).
+# ---------------------------------------------------------------------------
+
+# the recorded release's symbolic id + its slice over the tagged corpus
+# (the diff family's simulated prior release — a train-only ingest slice)
+_PIN_RELEASE_ID = "rel-prior-train-docid-mod7-ne-3"
+
+_RELEASE_PIN_ORACLE = f"""
+    WITH {_RELEASE_HEAD_CTES},
+    {_manifest_chain_sql("p", _DIFF_SLICE_PRED)},
+    canon AS (
+      SELECT concat_ws('|', source,
+                       CAST(n_train_raw AS VARCHAR),
+                       CAST(n_dropped_decon AS VARCHAR),
+                       CAST(n_dropped_neardup AS VARCHAR),
+                       CAST(n_train_final AS VARCHAR),
+                       CAST(share_before_ppm AS VARCHAR),
+                       CAST(share_after_ppm AS VARCHAR),
+                       CAST(passing_tokens AS VARCHAR),
+                       CAST(alloc_tokens AS VARCHAR)) AS r,
+             n_train_final, alloc_tokens
+      FROM manp
+    )
+    SELECT '{_PIN_RELEASE_ID}' AS release_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n_train_final) AS BIGINT) AS total_final,
+           CAST(SUM(alloc_tokens) AS BIGINT) AS total_alloc,
+           md5(string_agg(r, chr(10) ORDER BY r)) AS manifest_md5
+    FROM canon
+    """
+
+
+@pending_query("pipeline_release_pin", oracle=_RELEASE_PIN_ORACLE)
+def pipeline_release_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIN a recorded corpus release and certify it REPRODUCES — the
+    audit rung above `pipeline_release_diff` (round-11 verdict item
+    #6b): re-derive the prior release's manifest from its RECORDED
+    slice predicate (the diff family's train-only ingest slice,
+    release id `rel-prior-train-docid-mod7-ne-3`) and emit a
+    content-addressed certificate: md5 over the canonicalized
+    manifest rows (every integer column rendered verbatim,
+    '|'-joined, rows newline-joined in byte order). The certificate
+    is what a release registry stores beside the predicate; equality
+    of the hash IS byte-equality of the full manifest.
+
+    The reproduce claim is certified cross-engine: the DuckDB oracle
+    re-derives the identical manifest from the identical recorded
+    predicate through a completely independent execution path
+    (`_manifest_chain_sql` over the shared release head), so a driver
+    green row means an independent engine, months later, re-derives
+    the release bit-for-bit from the pin record — the training-data
+    provenance guarantee ("which exact corpus trained this model")
+    that count-level diffs can't give.
+
+    Scale shape: the manifest's own lineage (shared gram join + pairs
+    artifact, both session-materialized) plus ONE |sources|-row
+    string aggregate — pinning costs nothing beyond the release
+    build itself.
+
+    Reference basis: none; contract training-data pipeline family
+    (SURVEY §2.10)."""
+    from .sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    surv0 = _decon_survivors(spark, sf_dir)
+    nd = _neardup_pairs_05(spark, sf_dir)
+    in_slice = (F.col("doc_id") % 7 == 3) & (
+        hash_bucket(F.col("doc_id"), 100) < 80
+    )
+    man = _release_manifest(
+        d.filter(~in_slice),
+        surv0.filter(~(F.col("doc_id") % 7 == 3)),
+        nd,
+    )
+    canon = man.select(
+        F.concat_ws(
+            "|",
+            "source",
+            F.col("n_train_raw").cast("string"),
+            F.col("n_dropped_decon").cast("string"),
+            F.col("n_dropped_neardup").cast("string"),
+            F.col("n_train_final").cast("string"),
+            F.col("share_before_ppm").cast("string"),
+            F.col("share_after_ppm").cast("string"),
+            F.col("passing_tokens").cast("string"),
+            F.col("alloc_tokens").cast("string"),
+        ).alias("r"),
+        "n_train_final",
+        "alloc_tokens",
+    )
+    return canon.agg(
+        F.lit(_PIN_RELEASE_ID).alias("release_id"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n_train_final").cast("long").alias("total_final"),
+        F.sum("alloc_tokens").cast("long").alias("total_alloc"),
+        F.md5(
+            F.concat_ws("\n", F.array_sort(F.collect_list("r"))).cast(
+                "binary"
+            )
+        ).alias("manifest_md5"),
+    )

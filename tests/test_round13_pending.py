@@ -177,3 +177,89 @@ def test_rebalanced_recall_oracle_and_plan_consistency(spark, tmp_path):
     # every non-empty post-rebalance list is probeable (in acent)
     assert set(plan_after) <= {int(a) for a in aids}
     assert len(member_ids) == sum(r[2] for r in reb)
+
+
+def _write_docs(spark, tmp_path, docs):
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(out)
+    return out
+
+
+def _con(view, path):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM '{path}/*.parquet'")
+    return con
+
+
+# the round-12 release fixture (tests/test_round12_pending.py::_REL_DOCS),
+# kept byte-identical so the pin test composes with the diff's
+# hand-computed prior release (docs 3 and 10 sit in the ingest slice)
+_REL_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 1),
+    (9, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 1),
+    (2, "one two three four five six seven eight nine", "en", "s1", 1),
+    (3, "one two three four five six seven eight nine", "en", "s1", 1),
+    (5, " ".join(f"w{i}" for i in range(24)), "en", "s2", 1),
+    (6, "red orange yellow green blue indigo violet", "en", "s2", 1),
+    (25, "red orange yellow green blue indigo violet", "en", "s2", 1),
+    (10, " ".join(f"v{i}" for i in range(25)), "en", "s2", 1),
+    (7, "ant bee cat dog elk fox gnu hen", "en", "s3", 1),
+    (27, "ant bee cat dog elk fox gnu hen", "en", "s3", 1),
+]
+
+
+def test_release_pin_reproduce_and_sensitivity(spark, tmp_path):
+    """The pin certificate on the diff fixture: cross-engine md5
+    equality (the reproduce guarantee), consistency with the diff's
+    hand-computed prior release (total_final == sum n_final_prev),
+    the alloc identity, and SENSITIVITY — adding one surviving train
+    doc to the pinned slice changes the content hash (a silent corpus
+    change cannot keep the certificate)."""
+    import os
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import (
+        pipeline_release_diff,
+        pipeline_release_pin,
+    )
+
+    os.makedirs(str(tmp_path / "a"), exist_ok=True)
+    out = _write_docs(spark, tmp_path / "a", _REL_DOCS)
+    clear_shared()
+    try:
+        got = _spark_rows(pipeline_release_pin(spark, str(tmp_path / "a")))
+        diff = _spark_rows(
+            pipeline_release_diff(spark, str(tmp_path / "a"))
+        )
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "pipeline_release_pin")
+    (release_id, n_sources, total_final, total_alloc, md5a) = got[0]
+    assert release_id == "rel-prior-train-docid-mod7-ne-3"
+    assert n_sources == 3
+    assert total_final == sum(r[3] for r in diff)  # n_final_prev
+    assert total_alloc == 1000000
+    assert len(md5a) == 32
+
+    # doc 15 (train bucket, unique text, NOT in the %7==3 slice) joins
+    # the pinned release -> the certificate must move
+    docs_b = _REL_DOCS + [
+        (15, " ".join(f"q{i}" for i in range(30)), "en", "s1", 1)
+    ]
+    os.makedirs(str(tmp_path / "b"), exist_ok=True)
+    out_b = _write_docs(spark, tmp_path / "b", docs_b)
+    clear_shared()
+    try:
+        got_b = _spark_rows(
+            pipeline_release_pin(spark, str(tmp_path / "b"))
+        )
+    finally:
+        clear_shared()
+    con_b = _con("documents", out_b)
+    assert got_b == _oracle(con_b, "pipeline_release_pin")
+    assert got_b[0][4] != md5a
+    assert got_b[0][3] == 1000000
