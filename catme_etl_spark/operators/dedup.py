@@ -3860,3 +3860,138 @@ def pipeline_release_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("manifest_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: winnowing cross-source CONTAINMENT MATRIX.
+# ---------------------------------------------------------------------------
+
+_WINNOW_MATRIX_ORACLE = f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, text, len(text) - {WINNOW_K} + 1 AS ng
+      FROM documents WHERE len(text) >= {WINNOW_K}
+    ),
+    grams AS (
+      SELECT doc_id, ng, UNNEST(range(ng)) AS i FROM docs
+    ),
+    hashed AS (
+      SELECT g.doc_id, g.ng, g.i,
+             {sql_hex_long(
+                 f"md5(substring(d.text, g.i + 1, {WINNOW_K}))", 14, 1
+             )} AS h
+      FROM grams g JOIN docs d USING (doc_id)
+    ),
+    wmin AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashed
+      QUALIFY i <= ng - {WINNOW_W}
+    ),
+    fp AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wmin),
+    live AS (
+      SELECT fp FROM fp GROUP BY fp
+      HAVING COUNT(*) <= {WINNOW_DF_CAP}
+    ),
+    idx AS MATERIALIZED (
+      SELECT f.doc_id, f.fp FROM fp f JOIN live l ON l.fp = f.fp
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM idx GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {WINNOW_T}
+    ),
+    ct AS MATERIALIZED (
+      SELECT CASE WHEN sa.nf < sb.nf THEN p.doc_a
+                  WHEN sb.nf < sa.nf THEN p.doc_b
+                  ELSE GREATEST(p.doc_a, p.doc_b) END AS doc_contained,
+             CASE WHEN sa.nf < sb.nf THEN p.doc_b
+                  WHEN sb.nf < sa.nf THEN p.doc_a
+                  ELSE LEAST(p.doc_a, p.doc_b) END AS doc_container,
+             p.n_shared_fp,
+             LEAST(sa.nf, sb.nf) AS n_fp_contained
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE 2 * p.n_shared_fp >= LEAST(sa.nf, sb.nf)
+    )
+    SELECT da.source AS source_contained,
+           db.source AS source_container,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT ct.doc_contained) AS BIGINT)
+             AS n_docs_contained,
+           CAST((1000000 * SUM(ct.n_shared_fp))
+                // SUM(ct.n_fp_contained) AS BIGINT)
+             AS agg_containment_ppm
+    FROM ct
+    JOIN documents da ON da.doc_id = ct.doc_contained
+    JOIN documents db ON db.doc_id = ct.doc_container
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@pending_query("dedup_winnowing_source_matrix", oracle=_WINNOW_MATRIX_ORACLE)
+def dedup_winnowing_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE x SOURCE rollup of the winnowing containment graph —
+    boilerplate provenance at a glance (round-11 verdict item #6c):
+    for every directional source pair, how many containment
+    relationships (`dedup_winnowing_containment`'s certified pair
+    semantics: 2·shared >= min live fingerprints, contained = the
+    smaller-set member) point FROM a contained doc in
+    `source_contained` INTO a container doc in `source_container`,
+    how many distinct docs that drops, and the aggregate containment
+    strength in exact floor-ppm ((1e6 · Σ shared) div Σ min-fp — one
+    division after two exact integer sums, so mirror-heavy source
+    pairs read near 1e6 and incidental k-gram collisions read low).
+    The diagonal (source contained in itself) is the within-source
+    boilerplate load; off-diagonal asymmetry is the provenance read
+    ("s2 quotes s1, not the reverse").
+
+    Scale shape: the shared session-materialized `_winnow_live_index`
+    artifact plus the same df-capped (<= {WINNOW_DF_CAP}) inverted
+    self-join budget as the pairs/containment/cluster ops — the
+    rollup itself is a |pairs|-row join to the documents table's
+    source column collapsing to |sources|² rows. Nothing new scales.
+
+    Reference basis: none; contract dedup family (SURVEY §2.10 F8/F9
+    extension) — the provenance rollup above
+    `dedup_winnowing_containment`."""
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ct = dedup_winnowing_containment(spark, sf_dir)
+    return (
+        ct.join(
+            src.select(
+                F.col("doc_id").alias("doc_contained"),
+                F.col("source").alias("source_contained"),
+            ),
+            "doc_contained",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_container"),
+                F.col("source").alias("source_container"),
+            ),
+            "doc_container",
+        )
+        .groupBy("source_contained", "source_container")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("doc_contained")
+            .cast("long")
+            .alias("n_docs_contained"),
+            F.expr(
+                "CAST((1000000 * SUM(n_shared_fp)) div SUM(n_fp_contained)"
+                " AS BIGINT)"
+            ).alias("agg_containment_ppm"),
+        )
+        .orderBy("source_contained", "source_container")
+    )

@@ -263,3 +263,64 @@ def test_release_pin_reproduce_and_sensitivity(spark, tmp_path):
     assert got_b == _oracle(con_b, "pipeline_release_pin")
     assert got_b[0][4] != md5a
     assert got_b[0][3] == 1000000
+
+
+def test_winnowing_source_matrix_directions(spark, tmp_path):
+    """Hand-built provenance: two identical s1 docs (the diagonal,
+    aggregate containment exactly 1e6) both contained in a longer s2
+    doc that embeds their text (the off-diagonal s1 -> s2 read), plus
+    an unrelated s3 doc that must appear nowhere. Cross-engine
+    equality plus a recomputed rollup from the pairwise containment
+    op (the matrix must be exactly its groupBy)."""
+    from collections import defaultdict
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import (
+        dedup_winnowing_containment,
+        dedup_winnowing_source_matrix,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    tail = (
+        " and then the narrative continues with entirely new material "
+        "that only the container document carries forward to the end"
+    )
+    docs = [
+        (1, base, "en", "s1", 1),
+        (2, base, "en", "s1", 1),
+        (3, base + tail, "en", "s2", 1),
+        (4, "completely unrelated text lives here on its own", "en", "s3", 1),
+    ]
+    out = _write_docs(spark, tmp_path, docs)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            dedup_winnowing_source_matrix(spark, str(tmp_path))
+        )
+        ct = _spark_rows(dedup_winnowing_containment(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "dedup_winnowing_source_matrix")
+
+    srcs = {1: "s1", 2: "s1", 3: "s2", 4: "s3"}
+    roll = defaultdict(lambda: [0, set(), 0, 0])
+    for dc, dk, shared, nmin, _ppm in ct:
+        key = (srcs[dc], srcs[dk])
+        roll[key][0] += 1
+        roll[key][1].add(dc)
+        roll[key][2] += shared
+        roll[key][3] += nmin
+    expect = sorted(
+        (a, b, n, len(ds), (1000000 * sh) // nm)
+        for (a, b), (n, ds, sh, nm) in roll.items()
+    )
+    assert got == expect
+    by_key = {(r[0], r[1]): r for r in got}
+    assert by_key[("s1", "s1")][4] == 1000000  # identical-text diagonal
+    assert ("s1", "s2") in by_key              # excerpt provenance
+    assert all("s3" not in k for k in by_key)
+    assert all(500000 <= r[4] <= 1000000 for r in got)
