@@ -2028,3 +2028,272 @@ def stream_ivf_list_maintenance(
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: WATERMARK-LATENESS AUDIT (the observability
+# rung under C6).
+# ---------------------------------------------------------------------------
+
+_LATE_USER_MOD = 7  # user_id % 10 == 7 rows arrive in the LAST slice
+
+_LATENESS_ORACLE = """
+    WITH lev AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS tus,
+             (epoch_us(ts) // 600000000) * 600000000 AS ws,
+             (epoch_us(ts) // 600000000) * 600000000 + 600000000 AS wend
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ldays AS (SELECT DISTINCT tus // 86400000000 AS day FROM lev),
+    ldr AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) - 1 AS rk,
+             COUNT(*) OVER () AS nd
+      FROM ldays
+    ),
+    lbat0 AS (
+      SELECT e.user_id, e.tus, e.ws, e.wend,
+             CASE WHEN e.user_id % 10 = 7 THEN 3
+                  ELSE CAST((d.rk * 4) // d.nd AS BIGINT) END AS b0
+      FROM lev e JOIN ldr d ON d.day = e.tus // 86400000000
+    ),
+    lbat AS MATERIALIZED (
+      -- dense batch index: an empty slice is never written, so the
+      -- stream's micro-batch numbering compresses over present slices
+      SELECT l.*, DENSE_RANK() OVER (ORDER BY b0) - 1 AS b FROM lbat0 l
+    ),
+    lbmax AS (SELECT b, MAX(tus) AS mx FROM lbat GROUP BY b),
+    lwmf AS (
+      -- the late filter lags one watermark behind eviction: batch k
+      -- filters against wm published after batch k-2
+      SELECT a.b,
+             (SELECT MAX(x.mx) FROM lbmax x WHERE x.b <= a.b - 2)
+               - 3600000000 AS wm_filter
+      FROM lbmax a
+    ),
+    lgmax AS (SELECT MAX(tus) - 3600000000 AS wm_final FROM lev),
+    lmarked AS MATERIALIZED (
+      SELECT lbat.*,
+             CASE WHEN w.wm_filter IS NOT NULL
+                       AND lbat.wend <= w.wm_filter
+                  THEN 1 ELSE 0 END AS dropped
+      FROM lbat JOIN lwmf w ON w.b = lbat.b
+    ),
+    lwins AS (
+      SELECT ws, wend, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lmarked WHERE dropped = 0 GROUP BY 1, 2
+    ),
+    lfin AS (
+      SELECT w.*, CASE WHEN w.wend <= g.wm_final THEN 1 ELSE 0 END AS f
+      FROM lwins w, lgmax g
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lev) AS n_events_total,
+           (SELECT CAST(COALESCE(SUM(dropped), 0) AS BIGINT) FROM lmarked)
+             AS n_dropped_late,
+           CAST(COALESCE(SUM(CASE WHEN f = 1 THEN 1 END), 0) AS BIGINT)
+             AS n_windows_finalized,
+           CAST(COALESCE(SUM(CASE WHEN f = 1 THEN n END), 0) AS BIGINT)
+             AS n_events_streamed,
+           CAST(COALESCE(SUM(CASE WHEN f = 0 THEN n END), 0) AS BIGINT)
+             AS n_events_pending
+    FROM lfin
+    """
+
+
+def _stream_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_stream_events` staging device with DETERMINISTIC LATE
+    ARRIVALS: on-time rows slice into 4 contiguous day-groups (exact
+    rank arithmetic over the |days|-bounded distinct-day list — no
+    approxQuantile, because the lateness audit's oracle must replay
+    the slice assignment bit-for-bit), while every user_id % 10 == 7
+    row is withheld until the LAST slice — the repo's straggler
+    stand-in. By the time slice 3 arrives the watermark has advanced
+    past the early day-groups, so a known, SQL-derivable subset of the
+    stragglers is genuinely dropped as late. FIXTURE-ONLY staging, as
+    ever: a real deployment points readStream at the landing zone."""
+    path = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/catme_etl_stream_late_v1", sf_dir.strip("/").replace("/", "_")
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        src = spark.read.parquet(path)
+        ts_type = dict(src.dtypes).get("ts")
+        if ts_type == "bigint":
+            src = src.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.filter(F.col("ts").isNotNull())
+        day = F.expr("unix_micros(ts) div 86400000000")
+        dl = sorted(
+            r.day for r in src.select(day.alias("day")).distinct().collect()
+        )
+        if not dl:
+            raise ValueError(
+                f"lateness staging: source {path!r} has no timestamped rows"
+            )
+        nd = len(dl)
+        gdf = spark.createDataFrame(
+            [(int(d), (i * 4) // nd) for i, d in enumerate(dl)],
+            "day long, grp long",
+        )
+        src = (
+            src.withColumn("day", day)
+            .join(F.broadcast(gdf), "day")
+            .withColumn(
+                "_b",
+                F.when(
+                    F.col("user_id") % 10 == F.lit(_LATE_USER_MOD), F.lit(3)
+                ).otherwise(F.col("grp")),
+            )
+            .drop("day", "grp")
+        )
+        for i in range(4):  # sequential writes -> increasing mtimes
+            sl = src.filter(F.col("_b") == i).drop("_b")
+            if sl.limit(1).count() == 0:
+                continue  # empty slice never written (dense batching)
+            sl.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, f"slice{i}")
+            )
+        open(done, "w").close()
+    first = sorted(
+        f for f in os.listdir(stage) if f.startswith("slice")
+    )[0]
+    schema = spark.read.parquet(os.path.join(stage, first)).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+@pending_query("stream_watermark_lateness_audit", oracle=_LATENESS_ORACLE)
+def stream_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DROPPED-LATE-ROW ACCOUNTING for the watermarked tumbling
+    aggregation — the observability rung under C6 (round-11 verdict
+    item #6d): every event in the table is classified STREAMED (left
+    the engine in a finalized window), DROPPED LATE (discarded by the
+    watermark filter), or PENDING (still in state when the stream
+    ended), and the three counts must tie out against the batch
+    recount: total = streamed + dropped + pending.
+
+    The certificate is asymmetric by design: the Spark side reports
+    what the REAL streaming engine did (append-mode finalized windows
+    over the deterministic late-arrival staging), while the oracle
+    derives the same five numbers from a pure SQL SIMULATION of
+    Spark's pinned watermark mechanics — wm(k) = max(event time over
+    batches <= k) - delay; the late filter in batch k drops rows
+    whose WINDOW END <= wm(k-2) (the filter lags one watermark behind
+    eviction — probed, not assumed); a final no-data batch advances
+    eviction to global-max - delay, so finalized = window end <=
+    that. A green hash therefore certifies the engine's actual
+    drop/finalize bookkeeping equals the documented model — the audit
+    a pipeline owner reads when "how much data are we losing to
+    lateness?" matters.
+
+    State shape: tumbling-window counts only (|windows in horizon|
+    rows); the simulation side adds one |batches|-bounded (<= 4)
+    driver read for the per-slice watermark table. The 100 TB shape
+    is identical — the audit is a window-count aggregate plus a
+    per-landing-file max-timestamp table.
+
+    Reference basis: none; contract C6 streaming family."""
+    e = _stream_events_lateness(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = e.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    snap = _run_to_memory(agg, "append")
+    stream_side = snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows_finalized"),
+        F.coalesce(F.sum("n"), F.lit(0))
+        .cast("long")
+        .alias("n_events_streamed"),
+    )
+
+    from ..sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+        .withColumn(
+            "wend",
+            (F.expr("tus div 600000000") * 600000000 + 600000000).cast(
+                "long"
+            ),
+        )
+        .withColumn("day", F.expr("tus div 86400000000"))
+    )
+    dl = sorted(r.day for r in ev.select("day").distinct().collect())
+    nd = len(dl)
+    gmap = {int(d): (i * 4) // nd for i, d in enumerate(dl)}
+    gdf = spark.createDataFrame(
+        [(d, g) for d, g in gmap.items()], "day long, grp long"
+    )
+    ev = ev.join(F.broadcast(gdf), "day").withColumn(
+        "b0",
+        F.when(
+            F.col("user_id") % 10 == F.lit(_LATE_USER_MOD), F.lit(3)
+        ).otherwise(F.col("grp")),
+    )
+    # per-slice watermark table: |batches|-bounded (<= 4) driver read
+    brows = sorted(
+        (int(r.b0), int(r.mx))
+        for r in ev.groupBy("b0").agg(F.max("tus").alias("mx")).collect()
+    )
+    # wm published after batch k = cummax(batch maxes <= k) - delay;
+    # the filter in batch k uses the one published after batch k-2
+    run = None
+    pub = []
+    for _b0, mx in brows:
+        run = mx if run is None else max(run, mx)
+        pub.append(run)
+    wmf_df = spark.createDataFrame(
+        [
+            (brows[k][0], None if k < 2 else pub[k - 2] - 3600000000)
+            for k in range(len(brows))
+        ],
+        "b0 long, wm_filter long",
+    )
+    marked = ev.join(F.broadcast(wmf_df), "b0").withColumn(
+        "dropped",
+        F.when(
+            F.col("wm_filter").isNotNull()
+            & (F.col("wend") <= F.col("wm_filter")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    batch_side = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events_total"),
+        F.coalesce(F.sum("dropped"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_late"),
+    )
+    return (
+        batch_side.crossJoin(F.broadcast(stream_side))
+        .select(
+            "n_events_total",
+            "n_dropped_late",
+            "n_windows_finalized",
+            "n_events_streamed",
+            (
+                F.col("n_events_total")
+                - F.col("n_dropped_late")
+                - F.col("n_events_streamed")
+            )
+            .cast("long")
+            .alias("n_events_pending"),
+        )
+    )

@@ -324,3 +324,48 @@ def test_winnowing_source_matrix_directions(spark, tmp_path):
     assert ("s1", "s2") in by_key              # excerpt provenance
     assert all("s3" not in k for k in by_key)
     assert all(500000 <= r[4] <= 1000000 for r in got)
+
+
+def _write_events(spark, tmp_path, rows):
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(out)
+    return out
+
+
+def test_watermark_lateness_audit_hand_computed(spark, tmp_path):
+    """Four day-groups, one straggler per regime: user 17's day-0 echo
+    arrives in the last slice behind the lagged filter watermark
+    (max(b0,b1) - 1h) and is DROPPED; their day-3 echo beats the
+    filter but sits past the final watermark and stays PENDING with
+    the day-3 on-time row. total = streamed + dropped + pending, all
+    hand-computed, both engines."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.streaming.jobs import (
+        stream_watermark_lateness_audit,
+    )
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 5, 1, 10, 0), "view", 1.0),
+        (1, d(2024, 5, 1, 11, 0), "view", 1.0),
+        (2, d(2024, 5, 2, 10, 0), "view", 1.0),
+        (3, d(2024, 5, 3, 10, 0), "view", 1.0),
+        (4, d(2024, 5, 4, 10, 0), "view", 1.0),
+        # stragglers: user 17 % 10 == 7 -> withheld to the last slice
+        (17, d(2024, 5, 1, 10, 5), "view", 1.0),   # dropped late
+        (17, d(2024, 5, 4, 9, 0), "view", 1.0),    # kept but pending
+    ]
+    out = _write_events(spark, tmp_path, rows)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            stream_watermark_lateness_audit(spark, str(tmp_path))
+        )
+    finally:
+        clear_shared()
+    con = _con("events", out)
+    assert got == _oracle(con, "stream_watermark_lateness_audit")
+    (total, dropped, n_win, streamed, pending) = got[0]
+    assert (total, dropped, n_win, streamed, pending) == (7, 1, 4, 4, 2)
