@@ -2032,3 +2032,182 @@ def text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _SIG_TOP_K)
         .select("source", "term", "tf", "df", "score_ppm", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: SOURCE-PROFILE COSINE (the pairwise rung above
+# the per-source signature profiles).
+# ---------------------------------------------------------------------------
+
+_SIG_COS_K = 25  # wider profile than the top-5 display list: pairwise
+# overlap needs enough shared vocabulary to discriminate mirror sources
+# from genuinely disjoint ones
+
+_SIG_COS_ORACLE = f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM t GROUP BY 1
+    ),
+    s AS (
+      SELECT tf.source, tf.tok AS term,
+             (1000000 * tf.tf) // df.df AS w
+      FROM tf JOIN df USING (tok)
+    ),
+    prof AS MATERIALIZED (
+      SELECT source, term, CAST(w AS BIGINT) AS w
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY w DESC, term) AS rk
+        FROM s
+      )
+      WHERE rk <= {_SIG_COS_K}
+    ),
+    nrm AS (
+      SELECT source, SUM(CAST(w AS HUGEINT) * w) AS n2
+      FROM prof GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+      FROM prof a JOIN prof b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    allp AS (
+      SELECT x.source AS source_a, y.source AS source_b
+      FROM nrm x JOIN nrm y ON x.source < y.source
+    )
+    SELECT p.source_a, p.source_b,
+           COALESCE(d.n_shared_terms, 0) AS n_shared_terms,
+           CAST(floor(1000000.0 * CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                      / sqrt(CAST(na.n2 AS DOUBLE)
+                             * CAST(nb.n2 AS DOUBLE)) + 0.5)
+                AS BIGINT) AS cos_ppm
+    FROM allp p
+    LEFT JOIN dots d ON d.source_a = p.source_a
+                    AND d.source_b = p.source_b
+    JOIN nrm na ON na.source = p.source_a
+    JOIN nrm nb ON nb.source = p.source_b
+    ORDER BY 1, 2
+    """
+
+
+@pending_query("text_source_signature_cosine", oracle=_SIG_COS_ORACLE)
+def text_source_signature_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise COSINE between source signature profiles — the
+    provenance matrix over the lexical fingerprints
+    `text_source_signature_terms` certifies: each source's profile is
+    its top-{_SIG_COS_K} tf-idf-surrogate terms (the identical exact
+    floor-ppm weights, a wider cut of the same ranking), and every
+    source pair reports shared-term count plus cosine in floor-ppm.
+    Mirror/scraped source pairs read near 1e6; genuinely disjoint
+    topical sources read near 0 — the lexical sibling of the
+    winnowing containment matrix's char-level read (that one catches
+    verbatim reuse; this one catches same-vocabulary-different-text).
+
+    Exactness: the weights are certified integers; dot products and
+    squared norms accumulate in EXACT wide arithmetic (HUGEINT /
+    DECIMAL(38,0) — a top term's weight can reach 1e6·tf, whose
+    square overflows int64 at corpus scale), and floats appear only
+    in the final correctly-rounded sqrt/divide over exactly-
+    representable integers, so the floor-ppm cosine lands in the
+    oracle hash bit-identically.
+
+    Scale shape: the same (source, term) count artifact as the
+    signature op, a per-source top-k window, then an all-pairs join
+    over |sources| x {_SIG_COS_K} profile rows — the pair stage is
+    |sources|²-bounded (profile rows, not corpus rows). Nothing
+    rescans documents.
+
+    Reference basis: none; contract text-analysis family (SURVEY
+    §2.10) — the pairwise rung above `text_source_signature_terms`."""
+    from pyspark.sql import Window
+
+    from ._shared import fan_out
+
+    t = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    )
+    tf = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = t.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    s = tf.join(df_, "tok").select(
+        "source",
+        F.col("tok").alias("term"),
+        F.expr("CAST((1000000 * tf) div df AS BIGINT)").alias("w"),
+    )
+    w_rk = Window.partitionBy("source").orderBy(F.col("w").desc(), "term")
+    prof = (
+        s.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _SIG_COS_K)
+        .select("source", "term", "w")
+    )
+    wd = F.col("w").cast("decimal(19,0)")
+    nrm = prof.groupBy("source").agg(
+        F.sum(wd * wd).cast("decimal(38,0)").alias("n2")
+    )
+    a = prof.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("w").alias("wa"),
+    )
+    b = prof.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(
+                F.col("wa").cast("decimal(19,0)")
+                * F.col("wb").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("dot"),
+        )
+    )
+    na = nrm.select(F.col("source").alias("source_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("source").alias("source_b"), F.col("n2").alias("nb2"))
+    allp = na.crossJoin(nb).filter(F.col("source_a") < F.col("source_b"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        allp.join(dots, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared_terms", F.lit(0))
+            .cast("long")
+            .alias("n_shared_terms"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.coalesce("dot", zero).cast("double")
+                / F.sqrt(
+                    F.col("na2").cast("double") * F.col("nb2").cast("double")
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

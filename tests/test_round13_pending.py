@@ -369,3 +369,33 @@ def test_watermark_lateness_audit_hand_computed(spark, tmp_path):
     assert got == _oracle(con, "stream_watermark_lateness_audit")
     (total, dropped, n_win, streamed, pending) = got[0]
     assert (total, dropped, n_win, streamed, pending) == (7, 1, 4, 4, 2)
+
+
+def test_signature_cosine_closed_form(spark, tmp_path):
+    """Three sources, hand-computed profiles: s1 {x:1e6, y:1e6} and
+    s2 {x:5e5, z:1e6} share only x -> cos = 5e11 / sqrt(2e12*1.25e12)
+    = 0.316228 exactly at the floor-ppm read-out; s3's vocabulary is
+    disjoint -> cos 0 with both. Cross-engine equality included."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.text import text_source_signature_cosine
+
+    docs = [
+        (1, "x x y", "en", "s1", 1),
+        (2, "x z", "en", "s2", 1),
+        (3, "q", "en", "s3", 1),
+    ]
+    out = _write_docs(spark, tmp_path, docs)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            text_source_signature_cosine(spark, str(tmp_path))
+        )
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "text_source_signature_cosine")
+    assert got == [
+        ("s1", "s2", 1, 316228),
+        ("s1", "s3", 0, 0),
+        ("s2", "s3", 0, 0),
+    ]
