@@ -1161,3 +1161,158 @@ def holt_winters_verdict(d: DataFrame) -> DataFrame:
             hw, "h long, forecast_day_us long, forecast_events long"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: ROLLING-ORIGIN BACKTEST of the Holt forecaster.
+# ---------------------------------------------------------------------------
+
+_BACKTEST_GUARD = "holt backtest undefined: fewer than 3 observed days"
+_BACKTEST_ORIGINS = 7  # evaluate the last <= 7 usable origins
+
+_BACKTEST_ORACLE = f"""
+    WITH RECURSIVE d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ser AS (
+      SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
+    ),
+    g AS (
+      SELECT CASE WHEN COUNT(*) < 3
+                  THEN CAST(error('{_BACKTEST_GUARD}') AS BIGINT)
+                  ELSE CAST(COUNT(*) AS BIGINT) END AS nd
+      FROM ser
+    ),
+    rec AS (
+      SELECT 1 AS i,
+             CAST(s1.n AS BIGINT) AS l,
+             CAST(s2.n - s1.n AS BIGINT) AS b
+      FROM (SELECT n FROM ser WHERE i = 1) s1,
+           (SELECT n FROM ser WHERE i = 2) s2
+      UNION ALL
+      SELECT r.i + 1,
+             CAST(floor((s.n + r.l + r.b) / 2.0) AS BIGINT),
+             CAST(floor((r.b
+                         + CAST(floor((s.n + r.l + r.b) / 2.0) AS BIGINT)
+                         - r.l) / 2.0) AS BIGINT)
+      FROM rec r JOIN ser s ON s.i = r.i + 1
+    ),
+    orig AS (
+      SELECT r.i AS c, r.l, r.b
+      FROM rec r, g
+      WHERE r.i <= g.nd - 1
+        AND r.i >= GREATEST(2, g.nd - {_BACKTEST_ORIGINS})
+    )
+    SELECT CAST(sc.day * 86400000000 AS BIGINT) AS origin_day_us,
+           CAST(sn.day * 86400000000 AS BIGINT) AS target_day_us,
+           CAST(sn.day - sc.day AS BIGINT) AS gap_days,
+           CAST(o.l + (sn.day - sc.day) * o.b AS BIGINT)
+             AS forecast_events,
+           CAST(sn.n AS BIGINT) AS actual_events,
+           CAST(o.l + (sn.day - sc.day) * o.b - sn.n AS BIGINT) AS err,
+           CAST(abs(o.l + (sn.day - sc.day) * o.b - sn.n) AS BIGINT)
+             AS abs_err
+    FROM orig o
+    JOIN ser sc ON sc.i = o.c
+    JOIN ser sn ON sn.i = o.c + 1
+    ORDER BY 1
+    """
+
+
+@pending_query("ts_forecast_backtest_holt", oracle=_BACKTEST_ORACLE)
+def ts_forecast_backtest_holt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING-ORIGIN BACKTEST of the certified Holt linear
+    forecaster — the evaluation rung the forecasting family was
+    missing: a forecast op tells you tomorrow's number; this op tells
+    you whether to TRUST it, by replaying history. For each of the
+    last {_BACKTEST_ORIGINS} usable origins c (origins start at the
+    second observed day — the state at origin c uses exactly the
+    observations 1..c, never the target), take the Holt state
+    (l_c, b_c) from the IDENTICAL dyadic-floor recursion
+    `ts_holt_linear_forecast` certifies, forecast the next OBSERVED
+    day calendar-faithfully (f = l_c + Δ·b_c where Δ is the day gap,
+    matching the parent's l + h·b semantics across gaps), and report
+    forecast vs actual with signed and absolute integer errors.
+
+    The whole backtest costs ONE recursion pass: rolling-origin
+    states are precisely the recursion's intermediate (l, b) values,
+    so evaluating {_BACKTEST_ORIGINS} origins reads 7 intermediate
+    states instead of refitting 7 models — the property that makes
+    nightly forecast monitoring O(|days|), not O(|days|·origins).
+    Everything is integer-exact (the parent op's floor(x/2.0)
+    argument), so errors land in the oracle hash bit-identically; a
+    perfectly linear gap-free series backtests to zero error at every
+    origin (crafted test). Fewer than 3 observed days raises LOUDLY
+    on both engines.
+
+    Scale shape: the scan collapses to |days| rows in one map-side-
+    combinable agg; the recursion is the `grouped_map_user_ewma` rung
+    (one applyInPandas group over the horizon-bounded series); at
+    most {_BACKTEST_ORIGINS} output rows.
+
+    Reference basis: none; contract ops-analytics/time-series family
+    — the evaluation rung above `ts_holt_linear_forecast`."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sentinel = spark.range(1).select(
+        F.lit(None).cast("long").alias("day"),
+        F.lit(None).cast("long").alias("n"),
+    )
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.dropna(subset=["day", "n"]).sort_values("day")
+        xs = [int(v) for v in pdf["n"]]
+        days = [int(v) for v in pdf["day"]]
+        nd = len(xs)
+        if nd < 3:
+            raise ValueError(_BACKTEST_GUARD)
+        states = []  # (l, b) at 1-based index i
+        l, b = xs[0], xs[1] - xs[0]
+        states.append((l, b))
+        for x in xs[1:]:
+            l_new = math.floor((x + l + b) / 2.0)
+            b = math.floor((b + l_new - l) / 2.0)
+            l = l_new
+            states.append((l, b))
+        out = {
+            "origin_day_us": [], "target_day_us": [], "gap_days": [],
+            "forecast_events": [], "actual_events": [],
+            "err": [], "abs_err": [],
+        }
+        for c in range(max(2, nd - _BACKTEST_ORIGINS), nd):  # 1-based c
+            lc, bc = states[c - 1]
+            gap = days[c] - days[c - 1]
+            f = lc + gap * bc
+            out["origin_day_us"].append(days[c - 1] * 86_400_000_000)
+            out["target_day_us"].append(days[c] * 86_400_000_000)
+            out["gap_days"].append(gap)
+            out["forecast_events"].append(f)
+            out["actual_events"].append(xs[c])
+            out["err"].append(f - xs[c])
+            out["abs_err"].append(abs(f - xs[c]))
+        return pd.DataFrame(out)
+
+    return (
+        d.select("day", "n")
+        .unionByName(sentinel)
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            backtest,
+            "origin_day_us long, target_day_us long, gap_days long,"
+            " forecast_events long, actual_events long, err long,"
+            " abs_err long",
+        )
+        .orderBy("origin_day_us")
+    )

@@ -399,3 +399,85 @@ def test_signature_cosine_closed_form(spark, tmp_path):
         ("s1", "s3", 0, 0),
         ("s2", "s3", 0, 0),
     ]
+
+
+def test_holt_backtest_linear_is_exact_and_gaps(spark, tmp_path):
+    """A perfectly linear gap-free series (n = 10 + 5*i over 12
+    consecutive days) backtests to ZERO error at every origin (the
+    dyadic recursion reproduces its own line); then a 3-day gap
+    series checks the calendar-faithful Delta*b forecast. Cross-engine
+    equality on both."""
+    import os
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.timeseries import (
+        ts_forecast_backtest_holt,
+    )
+
+    d = dt.datetime
+    rows = []
+    for i in range(12):
+        for k in range(10 + 5 * i):
+            rows.append(
+                (k + 1, d(2024, 5, 1 + i, 10, 0, k % 60), "view", 1.0)
+            )
+    os.makedirs(str(tmp_path / "lin"), exist_ok=True)
+    out = _write_events(spark, tmp_path / "lin", rows)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            ts_forecast_backtest_holt(spark, str(tmp_path / "lin"))
+        )
+    finally:
+        clear_shared()
+    con = _con("events", out)
+    assert got == _oracle(con, "ts_forecast_backtest_holt")
+    assert len(got) == 7
+    assert all(r[5] == 0 and r[6] == 0 for r in got)  # err, abs_err
+    assert all(r[2] == 1 for r in got)                # gap_days
+
+    # gapped series: days 1,2,3 then 6 -> last origin gap 3,
+    # forecast = l + 3*b
+    rows_g = []
+    for di, n in ((1, 10), (2, 20), (3, 30), (6, 60)):
+        for k in range(n):
+            rows_g.append((k + 1, d(2024, 5, di, 9, 0, k % 60), "view", 1.0))
+    os.makedirs(str(tmp_path / "gap"), exist_ok=True)
+    out_g = _write_events(spark, tmp_path / "gap", rows_g)
+    clear_shared()
+    try:
+        got_g = _spark_rows(
+            ts_forecast_backtest_holt(spark, str(tmp_path / "gap"))
+        )
+    finally:
+        clear_shared()
+    con_g = _con("events", out_g)
+    assert got_g == _oracle(con_g, "ts_forecast_backtest_holt")
+    last = got_g[-1]
+    # state at day 3: l=30, b=10 (exact linear); target day 6:
+    # forecast = 30 + 3*10 = 60 = actual
+    assert last[2] == 3 and last[3] == 60 and last[4] == 60 and last[5] == 0
+
+
+def test_holt_backtest_guard_both_engines(spark, tmp_path):
+    """Fewer than 3 observed days raises loudly on both engines."""
+    import pytest
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.timeseries import (
+        ts_forecast_backtest_holt,
+    )
+
+    d = dt.datetime
+    rows = [(1, d(2024, 5, 1, 10, 0), "view", 1.0),
+            (2, d(2024, 5, 2, 10, 0), "view", 1.0)]
+    out = _write_events(spark, tmp_path, rows)
+    clear_shared()
+    try:
+        with pytest.raises(Exception, match="holt backtest undefined"):
+            ts_forecast_backtest_holt(spark, str(tmp_path)).collect()
+    finally:
+        clear_shared()
+    con = _con("events", out)
+    with pytest.raises(duckdb.Error, match="holt backtest undefined"):
+        _oracle(con, "ts_forecast_backtest_holt")
