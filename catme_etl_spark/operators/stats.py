@@ -2162,3 +2162,114 @@ def agg_theil_between_within(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("v_w")).alias("theil_within"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: HOOVER (Robin Hood) index — the redistribution
+# rung of the inequality ladder.
+# ---------------------------------------------------------------------------
+
+_HOOVER_ORACLE = """
+    WITH s AS MATERIALIZED (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS tot
+      FROM s GROUP BY 1
+    ),
+    dv AS (
+      SELECT s.c_nationkey,
+             SUM(abs(CAST(a.n AS HUGEINT) * s.x - a.tot)) AS dev
+      FROM s JOIN a USING (c_nationkey)
+      GROUP BY 1
+    )
+    SELECT a.c_nationkey,
+           a.n AS n_customers,
+           a.tot AS total_cents,
+           CAST(floor(1000000.0 * CAST(dv.dev AS DOUBLE)
+                      / (2.0 * CAST(a.n AS DOUBLE)
+                             * CAST(a.tot AS DOUBLE)) + 0.5)
+                AS BIGINT) AS hoover_ppm
+    FROM a JOIN dv USING (c_nationkey)
+    ORDER BY 1
+    """
+
+
+@pending_query("agg_hoover_index", oracle=_HOOVER_ORACLE)
+def agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOOVER (Robin Hood) index of order spend per nation — the
+    redistribution rung of the inequality ladder beside Gini
+    (`agg_gini_order_concentration`), Theil (`agg_theil_index`), and
+    the between/within decomposition: the share of total spend that
+    would have to move between customers to equalize everyone,
+    H = Σ|x_i − mean| / (2·Σx). Unlike Gini's rank form (an
+    order-dependent double Σ r·x under ROUND(4)) and unlike
+    entropy-based Theil (libm logs), Hoover is EXACT: the
+    cross-multiplied deviation Σ|n·x_i − S| accumulates in wide
+    integer arithmetic (HUGEINT / DECIMAL(38,0) — n·x overflows
+    int64 at warehouse cardinalities), and the single final division
+    is correctly-rounded double over exactly-representable sums, so
+    the floor-ppm index hashes bit-identically cross-engine. H = 0
+    for equal spend; H -> 1 as one customer becomes the book; for
+    two customers H = Gini exactly (crafted test).
+
+    Scale shape: one shuffle to per-(nation, customer) integer-cents
+    totals (map-side combinable), one |nations|-row aggregate, one
+    broadcast-sized join back for the deviation sum — the identical
+    join budget as the certified Gini, with no per-nation rank
+    window at all (Hoover needs no sort, which at 100 TB is the
+    cheaper ladder rung).
+
+    Reference basis: none; contract analytics family (SURVEY §2.10
+    A6-A13 extension)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("x"))
+    )
+    a = s.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    dev = (
+        # |nations|-row aggregate: unconditionally broadcast-safe
+        s.join(F.broadcast(a), "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.abs(
+                F.col("n").cast("decimal(19,0)")
+                * F.col("x").cast("decimal(19,0)")
+                - F.col("tot").cast("decimal(19,0)")
+            ).alias("d"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("d").cast("decimal(38,0)").alias("dev"))
+    )
+    return (
+        a.join(dev, "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.col("n").alias("n_customers"),
+            F.col("tot").alias("total_cents"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("dev").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n").cast("double")
+                    * F.col("tot").cast("double")
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("hoover_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -481,3 +481,37 @@ def test_holt_backtest_guard_both_engines(spark, tmp_path):
     con = _con("events", out)
     with pytest.raises(duckdb.Error, match="holt backtest undefined"):
         _oracle(con, "ts_forecast_backtest_holt")
+
+
+def test_hoover_index_closed_forms(spark, tmp_path):
+    """Hand-computed Hoover: nation 0's two customers spend (100, 300)
+    -> dev = |2*100-400| + |2*300-400| = 400, H = 400/(2*2*400) =
+    0.25 -> 250000 ppm (equal to Gini for n=2); nation 1's two equal
+    spenders -> 0. Cross-engine equality included."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.stats import agg_hoover_index
+
+    cust = [(1, 0), (2, 0), (3, 1), (4, 1)]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        (10, 1, 1.00), (11, 2, 3.00),
+        (12, 3, 2.00), (13, 4, 2.00),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_shared()
+    try:
+        got = _spark_rows(agg_hoover_index(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    assert got == _oracle(con, "agg_hoover_index")
+    assert got == [(0, 2, 400, 250000), (1, 2, 400, 0)]
