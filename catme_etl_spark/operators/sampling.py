@@ -1277,9 +1277,10 @@ DRAW_RATE_DIV = 20  # the draw realizes a 5% (N div 20) corpus sample
 
 _DRAW_BUCKET_SHIFT = 44  # h is 60 bits; h div 2^44 = 65536 prefix buckets
 
-_DRAW_ORACLE = (
-    _NEYMAN_CTES
-    + f""",
+# the draw's full CTE stack (allocation -> targets -> ranked draw),
+# factored so the post-stratification weighting rung composes the
+# IDENTICAL lineage; _DRAW_ORACLE bytes are unchanged
+_DRAW_CTES = f""",
     alloc AS (
       SELECT stratum, n_rows,
              fshare + CASE WHEN sb < leftover THEN 1 ELSE 0 END AS alloc_ppm
@@ -1338,7 +1339,12 @@ _DRAW_ORACLE = (
         ON c.stratum = k.stratum AND k.rn <= c.n_draw
       GROUP BY 1
     )
-    SELECT c.stratum, CAST(c.n_rows AS BIGINT) AS n_rows,
+"""
+
+_DRAW_ORACLE = (
+    _NEYMAN_CTES
+    + _DRAW_CTES
+    + """    SELECT c.stratum, CAST(c.n_rows AS BIGINT) AS n_rows,
            c.n_target,
            COALESCE(d.n_drawn, CAST(0 AS BIGINT)) AS n_drawn,
            c.shortfall,
@@ -1522,6 +1528,141 @@ def sample_neyman_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("f_cent", z) + F.coalesce("p_cent", z))
             .cast("long")
             .alias("sum_cents"),
+        )
+        .orderBy("stratum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: POST-STRATIFICATION WEIGHTS over the realized
+# Neyman draw (allocation -> draw -> weighting).
+# ---------------------------------------------------------------------------
+
+_POSTSTRAT_ORACLE = (
+    _NEYMAN_CTES
+    + _DRAW_CTES
+    + """,
+    act AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS actual_total_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT c.stratum,
+           CAST(c.n_rows AS BIGINT) AS n_rows,
+           COALESCE(d.n_drawn, CAST(0 AS BIGINT)) AS n_drawn,
+           CASE WHEN COALESCE(d.n_drawn, 0) = 0 THEN NULL
+                ELSE CAST((1000000 * c.n_rows) // d.n_drawn AS BIGINT)
+           END AS weight_ppm,
+           CASE WHEN COALESCE(d.n_drawn, 0) = 0 THEN NULL
+                ELSE CAST((CAST(c.n_rows AS HUGEINT) * d.sum_cents)
+                          // d.n_drawn AS BIGINT)
+           END AS est_total_cents,
+           a.actual_total_cents,
+           CAST(CASE WHEN COALESCE(d.n_drawn, 0) = 0 THEN 0
+                     WHEN (CAST(c.n_rows AS HUGEINT) * d.sum_cents)
+                          // d.n_drawn > a.actual_total_cents THEN 1
+                     WHEN (CAST(c.n_rows AS HUGEINT) * d.sum_cents)
+                          // d.n_drawn < a.actual_total_cents THEN -1
+                     ELSE 0 END AS BIGINT) AS err_sign,
+           CASE WHEN COALESCE(d.n_drawn, 0) = 0 THEN NULL
+                ELSE CAST((CAST(1000000 AS HUGEINT)
+                           * abs((CAST(c.n_rows AS HUGEINT) * d.sum_cents)
+                                 // d.n_drawn - a.actual_total_cents))
+                          // a.actual_total_cents AS BIGINT)
+           END AS abs_err_ppm
+    FROM cap c
+    LEFT JOIN dr d ON d.stratum = c.stratum
+    JOIN act a ON a.stratum = c.stratum
+    ORDER BY c.stratum
+    """
+)
+
+
+@pending_query("sample_poststrat_weights", oracle=_POSTSTRAT_ORACLE)
+def sample_poststrat_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POST-STRATIFICATION design weights over the realized Neyman
+    draw — the weighting rung that completes the survey-design ladder
+    (allocation says how the budget SHOULD split, the draw REALIZES
+    it, this op says how to USE the sample): per stratum, the design
+    weight w_h = N_h / n_h in exact floor-ppm, the Horvitz-Thompson
+    estimate of the stratum's total spend reconstructed FROM the
+    sample (floor((N_h · sampled_cents) / n_h), wide-integer exact —
+    N_h · Σcents overflows int64 at warehouse scale, so HUGEINT /
+    DECIMAL(38,0) carry the product), the true total from the full
+    scan, and the calibration error as (sign, abs floor-ppm) — split
+    because DuckDB's `//` floors while Spark's `div` truncates, so a
+    signed floor-div would diverge on negatives.
+
+    The estimate audit is the op's point: a curator shipping the 5%
+    Neyman sample needs to know the weighted sample REPRODUCES
+    population totals (error ppm near zero for well-mixed strata) —
+    and the md5-ordered draw makes the whole read deterministic, so
+    the calibration number is certified, not sampled noise.
+
+    Scale shape: the draw's own lineage (|strata|-row tables behind
+    one scan + the two-pass bucket selection) plus one
+    map-side-combinable per-stratum cents total; the weighting
+    arithmetic is |strata| rows. A stratum the draw missed entirely
+    (n_drawn = 0) reports NULL weight/estimate with err_sign 0 rather
+    than inventing a number.
+
+    Reference basis: none; contract curation-economics family (SURVEY
+    §2.10) — the rung above `sample_neyman_draw`."""
+    from ..functions.money import cents
+    from ._shared import shared_df
+
+    draw = shared_df(
+        "neyman_draw_result",
+        sf_dir,
+        spark,
+        lambda: sample_neyman_draw(spark, sf_dir),
+        materialize=True,
+    )
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.sum(cents("o_totalprice"))
+            .cast("long")
+            .alias("actual_total_cents")
+        )
+    )
+    est = F.expr(
+        "CAST((CAST(n_rows AS DECIMAL(38,0)) * sum_cents) div n_drawn"
+        " AS BIGINT)"
+    )
+    drawn = F.col("n_drawn") > 0
+    return (
+        draw.join(act, "stratum")
+        .select(
+            "stratum",
+            "n_rows",
+            "n_drawn",
+            F.when(
+                drawn,
+                F.expr("CAST((1000000 * n_rows) div n_drawn AS BIGINT)"),
+            ).alias("weight_ppm"),
+            F.when(drawn, est).alias("est_total_cents"),
+            "actual_total_cents",
+            F.when(~drawn, F.lit(0))
+            .when(est > F.col("actual_total_cents"), F.lit(1))
+            .when(est < F.col("actual_total_cents"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("err_sign"),
+            F.when(
+                drawn,
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                    " * abs(CAST((CAST(n_rows AS DECIMAL(38,0))"
+                    "             * sum_cents) div n_drawn AS BIGINT)"
+                    "       - actual_total_cents))"
+                    " div actual_total_cents AS BIGINT)"
+                ),
+            ).alias("abs_err_ppm"),
         )
         .orderBy("stratum")
     )

@@ -515,3 +515,50 @@ def test_hoover_index_closed_forms(spark, tmp_path):
         )
     assert got == _oracle(con, "agg_hoover_index")
     assert got == [(0, 2, 400, 250000), (1, 2, 400, 0)]
+
+
+def test_poststrat_weights_consistency(spark, tmp_path):
+    """Crafted two-stratum book (40 varied orders each): cross-engine
+    equality plus the definitional identities against the realized
+    draw — weight_ppm = floor(1e6 * N_h / n_h) and est_total =
+    floor(N_h * sampled_cents / n_h) — and the n_drawn = 0 NULL
+    contract never fires here (both strata draw)."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.sampling import (
+        sample_neyman_draw,
+        sample_poststrat_weights,
+    )
+
+    orders = []
+    ok = 1
+    for strat, base in (("1-URGENT", 10000.0), ("5-LOW", 50000.0)):
+        for i in range(40):
+            # kilodollar spread: the allocation weights live in exact
+            # v = cents div 100000 units, so constant-kilodollar strata
+            # would trip the zero-total-weight guard
+            orders.append((ok, strat, base + 3000.0 * (i % 7) + 1000.0 * i))
+            ok += 1
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_shared()
+    try:
+        got = _spark_rows(sample_poststrat_weights(spark, str(tmp_path)))
+        draw = _spark_rows(sample_neyman_draw(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM"
+        f" '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    assert got == _oracle(con, "sample_poststrat_weights")
+    dmap = {r[0]: r for r in draw}  # stratum -> (.., n_drawn, .., sum_cents)
+    assert len(got) == 2
+    for (strat, n_rows, n_drawn, w, est, actual, sign, aerr) in got:
+        d = dmap[strat]
+        assert n_drawn == d[3] and n_drawn > 0
+        assert w == (1000000 * n_rows) // n_drawn
+        assert est == (n_rows * d[6]) // n_drawn
+        assert sign == (1 if est > actual else -1 if est < actual else 0)
+        assert aerr == (1000000 * abs(est - actual)) // actual
