@@ -2297,3 +2297,81 @@ def stream_watermark_lateness_audit(
             .alias("n_events_pending"),
         )
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30-minute session gap
+_SESSION_ORACLE = f"""
+    WITH se AS (
+      SELECT user_id, epoch_us(ts) AS tus
+      FROM events WHERE ts IS NOT NULL
+    ),
+    sm AS (
+      SELECT user_id, tus,
+             CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                       IS NULL
+                       OR tus - LAG(tus) OVER (PARTITION BY user_id
+                                               ORDER BY tus)
+                          > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM se
+    ),
+    sg AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sm
+    ),
+    ss AS (
+      SELECT user_id,
+             CAST(MIN(tus) AS BIGINT) AS session_start_us,
+             CAST(MAX(tus) + {_SESSION_GAP_US} AS BIGINT)
+               AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sg GROUP BY user_id, sid
+    ),
+    swm AS (SELECT MAX(tus) - 3600000000 AS wmf FROM se)
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM ss, swm
+    WHERE session_end_us <= wmf
+    ORDER BY user_id, session_start_us
+    """
+
+
+@pending_query("stream_session_window_gap", oracle=_SESSION_ORACLE)
+def stream_session_window_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GAP-BASED SESSION WINDOWS maintained by the stream — the
+    dynamic-window member the C5/C6 family was missing (tumbling and
+    sliding windows are fixed grids; sessions grow with activity):
+    `F.session_window(ts, 30 minutes)` merges a user's events into
+    state-backed sessions that extend while events keep arriving
+    within the gap (ADJACENT windows merge too: an event exactly one
+    gap after the last still joins — probed, so the oracle breaks
+    only at inter-event gap STRICTLY greater than 30 min) and close when the watermark passes session end
+    (last event + gap). Append mode emits exactly the FINALIZED
+    sessions — end <= global-max - 1h delay under the one-shot
+    staging — and the oracle derives the identical set from the batch
+    gaps-islands formulation (break at inter-event gap > 30 min,
+    sessions as island aggregates, the SAME finalization filter), so
+    a green hash certifies Spark's session-merge + eviction semantics
+    against the classical SQL construction, cross-engine.
+
+    State shape: one (start, end, count) record per OPEN session per
+    user — bounded by the watermark horizon, the exact reason session
+    windows need one; the oracle's window functions are per-user
+    partitions (never a global sort).
+
+    Reference basis: none; contract C5/C6 streaming family — the
+    dynamic-window rung beside `stream_tumbling_10min` /
+    `stream_sliding_10min_5min`."""
+    e = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    s = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    snap = _run_to_memory(s, "append")
+    return snap.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")

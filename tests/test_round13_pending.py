@@ -562,3 +562,43 @@ def test_poststrat_weights_consistency(spark, tmp_path):
         assert est == (n_rows * d[6]) // n_drawn
         assert sign == (1 if est > actual else -1 if est < actual else 0)
         assert aerr == (1000000 * abs(est - actual)) // actual
+
+
+def test_session_window_edges(spark, tmp_path):
+    """Session semantics pinned by hand: events 29:59 apart merge, and
+    exactly 30:00 apart ALSO merge (adjacent windows coalesce); a session
+    spanning day-quartile slice boundaries still merges through
+    state; sessions ending within the 1h watermark horizon of the
+    stream tail are NOT emitted. Cross-engine equality included."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.streaming.jobs import stream_session_window_gap
+
+    d = dt.datetime
+    rows = [
+        # user 1: two events 29:59 apart -> ONE session of 2
+        (1, d(2024, 5, 1, 8, 0, 0), "view", 1.0),
+        (1, d(2024, 5, 1, 8, 29, 59), "view", 1.0),
+        # user 2: two events exactly 30:00 apart -> adjacent windows MERGE
+        # (probed Spark semantics; split needs gap STRICTLY > 30 min)
+        (2, d(2024, 5, 1, 8, 0, 0), "view", 1.0),
+        (2, d(2024, 5, 1, 8, 30, 0), "view", 1.0),
+        # user 3: a singleton far later, pushing the watermark; its own
+        # session ends within the 1h horizon -> NOT emitted
+        (3, d(2024, 5, 4, 23, 0, 0), "view", 1.0),
+    ]
+    out = _write_events(spark, tmp_path, rows)
+    clear_shared()
+    try:
+        got = _spark_rows(stream_session_window_gap(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = _con("events", out)
+    assert got == _oracle(con, "stream_session_window_gap")
+
+    us = 1_000_000
+    t0 = int(d(2024, 5, 1, 8, 0, 0, tzinfo=dt.timezone.utc).timestamp()) * us
+    gap = 1800 * us
+    assert got == [
+        (1, t0, t0 + 1799 * us + gap, 2),
+        (2, t0, t0 + 2 * gap, 2),
+    ]
