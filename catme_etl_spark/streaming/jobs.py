@@ -2375,3 +2375,213 @@ def stream_session_window_gap(
         F.unix_micros(F.col("w.end")).alias("session_end_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: streaming RELEASE-ADMISSION GATE (the release
+# budget as an intake controller).
+# ---------------------------------------------------------------------------
+
+_ADMIT_INTAKE_DIV = 10  # intake budget = |corpus| div 10 documents
+
+from ..operators.dedup import _RELEASE_HEAD_CTES  # noqa: E402
+from ..operators.dedup import _manifest_chain_sql  # noqa: E402
+
+_ADMIT_GATE_ORACLE = f"""
+    WITH {_RELEASE_HEAD_CTES},
+    {_manifest_chain_sql("b", "TRUE")},
+    caps AS MATERIALIZED (
+      SELECT source,
+             (alloc_tokens * ((SELECT COUNT(*) FROM documents)
+                              // {_ADMIT_INTAKE_DIV})) // 1000000
+               AS cap_docs
+      FROM manb
+    ),
+    arr AS (
+      SELECT source, doc_id % 4 AS sl, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, sl, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY sl
+                          ROWS UNBOUNDED PRECEDING) AS cm
+      FROM arr
+    ),
+    tots AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_arrived FROM arr
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT t.source, CAST(COALESCE(c.cap_docs, 0) AS BIGINT) AS cap_docs,
+             t.n_arrived
+      FROM tots t LEFT JOIN caps c USING (source)
+    ),
+    ex AS (
+      SELECT cum.source, CAST(MIN(cum.sl) AS BIGINT) AS exhausted_at_slice
+      FROM cum JOIN j ON j.source = cum.source
+      WHERE cum.cm > j.cap_docs
+      GROUP BY 1
+    )
+    SELECT j.source, j.cap_docs, j.n_arrived,
+           CAST(LEAST(j.cap_docs, j.n_arrived) AS BIGINT) AS n_admitted,
+           CAST(j.n_arrived - LEAST(j.cap_docs, j.n_arrived) AS BIGINT)
+             AS n_rejected,
+           CAST(COALESCE(ex.exhausted_at_slice, -1) AS BIGINT)
+             AS exhausted_at_slice
+    FROM j LEFT JOIN ex ON ex.source = j.source
+    ORDER BY j.source
+    """
+
+
+def _stream_docs_mod4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents staged into 4 slices by the EXACT rule doc_id % 4 —
+    the admission gate's oracle must replay per-slice arrival counts
+    bit-for-bit, which the approxQuantile stager can't give it.
+    FIXTURE-ONLY staging, as ever."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    stage = os.path.join(
+        "/tmp/catme_etl_stream_docs_mod4_v1",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        src = spark.read.parquet(path)
+        for i in range(4):  # sequential writes -> increasing mtimes
+            src.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, f"slice{i}"))
+        open(done, "w").close()
+    schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+
+@pending_query("stream_release_admission_gate", oracle=_ADMIT_GATE_ORACLE)
+def stream_release_admission_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-release BUDGET as a streaming ADMISSION CONTROLLER —
+    the enforcement rung above the release capstone: the certified
+    manifest's per-source `alloc_tokens` shares convert into intake
+    caps over a |corpus| div {_ADMIT_INTAKE_DIV} document budget
+    (cap = (alloc · intake) div 1e6 — the same floor-share
+    convention), and the stream admits arriving documents per source
+    FIRST-COME until the cap exhausts: per micro-batch,
+    take = min(batch, cap − admitted), carried across batches in
+    per-source state (`applyInPandasWithState`). A source absent from
+    the manifest (no train documents) gets cap 0 — everything
+    rejected, loudly visible in the output rather than silently
+    admitted.
+
+    Per source: cap, arrivals, admissions, rejections, and the slice
+    index where the FIRST rejection happened (−1 if the cap never
+    exhausted) — the last column is what certifies genuine
+    cross-batch state: it depends on the running admitted count at
+    each slice boundary, which no per-batch recount can fake. The
+    oracle replays the identical greedy arithmetic from per-(source,
+    slice) arrival counts (slices are the exact doc_id % 4 staging
+    rule) and the manifest lineage.
+
+    State shape: two int64 per source — bounded by |sources|, not by
+    stream volume; admission work per batch is a length read per
+    source group. The 100 TB shape is the same controller in front of
+    the ingest landing zone, caps refreshed per release.
+
+    Reference basis: none; contract C7 streaming family + the
+    training-data release ladder (SURVEY §2.10)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import (
+        _decon_survivors,
+        _neardup_pairs_05,
+        _release_manifest,
+    )
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    man = _release_manifest(
+        d, _decon_survivors(spark, sf_dir), _neardup_pairs_05(spark, sf_dir)
+    )
+    n_docs = d.count()
+    intake = n_docs // _ADMIT_INTAKE_DIV
+    # |sources|-bounded driver read: the caps table IS the controller's
+    # config artifact
+    caps = {
+        r.source: (int(r.alloc_tokens) * intake) // 1_000_000
+        for r in man.select("source", "alloc_tokens").collect()
+    }
+
+    docs = _stream_docs_mod4(spark, sf_dir).select(
+        "source", (F.col("doc_id") % 4).alias("sl")
+    )
+
+    def admit(key, pdfs, state):
+        admitted, exhausted = (
+            state.get if state.exists else (0, -1)
+        )
+        cap = caps.get(key[0], 0)
+        for pdf in pdfs:
+            arr = len(pdf)
+            sl = int(pdf["sl"].iloc[0])
+            take = min(arr, cap - admitted)
+            if take < arr and exhausted == -1:
+                exhausted = sl
+            admitted += take
+        state.update((admitted, exhausted))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_admitted": [admitted],
+                "exhausted_at_slice": [exhausted],
+            }
+        )
+
+    out = docs.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=(
+            "source string, n_admitted long, exhausted_at_slice long"
+        ),
+        stateStructType="admitted long, exhausted long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_to_memory(out, "update")
+    # latest state per source: admitted grows monotonically and the
+    # exhaustion slice is set once, so max(struct) is the final row
+    fin = sunk.groupBy("source").agg(
+        F.max(F.struct("n_admitted", "exhausted_at_slice")).alias("s")
+    )
+    arr = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrived")
+    )
+    caps_df = spark.createDataFrame(
+        [(s, int(c)) for s, c in sorted(caps.items())],
+        "source string, cap_docs long",
+    )
+    return (
+        arr.join(caps_df, "source", "left")
+        .join(fin, "source", "left")
+        .select(
+            "source",
+            F.coalesce("cap_docs", F.lit(0)).cast("long").alias("cap_docs"),
+            "n_arrived",
+            F.coalesce(F.col("s.n_admitted"), F.lit(0))
+            .cast("long")
+            .alias("n_admitted"),
+            (
+                F.col("n_arrived")
+                - F.coalesce(F.col("s.n_admitted"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rejected"),
+            F.coalesce(F.col("s.exhausted_at_slice"), F.lit(-1))
+            .cast("long")
+            .alias("exhausted_at_slice"),
+        )
+        .orderBy("source")
+    )

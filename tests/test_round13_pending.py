@@ -602,3 +602,31 @@ def test_session_window_edges(spark, tmp_path):
         (1, t0, t0 + 1799 * us + gap, 2),
         (2, t0, t0 + 2 * gap, 2),
     ]
+
+
+def test_release_admission_gate_hand_computed(spark, tmp_path):
+    """The release fixture: alloc puts the whole token budget on s2
+    (the only source with passing final tokens), so the 1-doc intake
+    budget caps s2 at 1 and everyone else at 0. Per-slice arrivals
+    (doc_id % 4) pin the exhaustion slices by hand; cross-engine
+    equality certifies the greedy cross-batch arithmetic."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.streaming.jobs import (
+        stream_release_admission_gate,
+    )
+
+    out = _write_docs(spark, tmp_path, _REL_DOCS)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            stream_release_admission_gate(spark, str(tmp_path))
+        )
+    finally:
+        clear_shared()
+    con = _con("documents", out)
+    assert got == _oracle(con, "stream_release_admission_gate")
+    assert got == [
+        ("s1", 0, 4, 0, 4, 1),
+        ("s2", 1, 4, 1, 3, 1),
+        ("s3", 0, 2, 0, 2, 3),
+    ]
