@@ -4585,3 +4585,139 @@ def sim_ivf_rebalanced_recall(
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 debut queue: DELETE + COMPACT over the vector index (the
+# lifecycle rung after ingest/maintain/rebalance).
+# ---------------------------------------------------------------------------
+
+DELETE_MOD = 25  # tombstone rule: members with vec_id % 25 == 3
+
+_DELETE_COMPACT_ORACLE = (
+    _INGEST_CTES
+    + f""",
+    adm AS (
+      SELECT b.vec_id, bc.cid,
+             CAST(CASE WHEN st.n_cand IS NULL THEN 1
+                       WHEN {INGEST_REJECT_FACTOR} * st.min_adc * st.n_cand
+                            < st.sum_adc THEN 0
+                       ELSE 1 END AS BIGINT) AS admitted
+      FROM batch b
+      JOIN bcid bc ON bc.query_id = b.vec_id
+      LEFT JOIN st ON st.query_id = b.vec_id
+    ),
+    mem AS MATERIALIZED (
+      SELECT vec_id, cid AS list_id FROM assign WHERE vec_id % 10 <> 9
+      UNION ALL
+      SELECT vec_id, cid AS list_id FROM adm WHERE admitted = 1
+    ),
+    dstat AS (
+      SELECT list_id,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(COALESCE(SUM(CASE WHEN vec_id % {DELETE_MOD} = 3
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_deleted
+      FROM mem GROUP BY 1
+    )
+    SELECT list_id, n_before, n_deleted,
+           CAST(n_before - n_deleted AS BIGINT) AS n_live,
+           CAST(CASE WHEN 4 * n_deleted >= n_before THEN 1 ELSE 0 END
+                AS BIGINT) AS do_compact,
+           CAST(CASE WHEN 4 * n_deleted >= n_before THEN n_deleted
+                     ELSE 0 END AS BIGINT) AS n_reclaimed,
+           CAST(CASE WHEN 4 * n_deleted >= n_before THEN 0
+                     ELSE n_deleted END AS BIGINT) AS n_tombstones
+    FROM dstat
+    ORDER BY list_id
+    """
+)
+
+
+@pending_query(
+    "pipeline_vector_index_delete_compact", oracle=_DELETE_COMPACT_ORACLE
+)
+def pipeline_vector_index_delete_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE + COMPACT over the vector index — the lifecycle rung
+    that completes the family (probe -> admit -> observe -> rebalance
+    -> now retire): a deterministic tombstone set (members with
+    vec_id % {DELETE_MOD} == 3 — the repo's deletion stand-in, e.g.
+    docs pulled for takedown or dedup) marks rows dead across the
+    POST-ingest membership (existing assignment + certified
+    admissions — the same `mem` the rebalance executor certifies),
+    and each inverted list gets the nightly compaction decision: a
+    list REWRITES (reclaiming its dead postings) iff at least a
+    quarter of it is dead (exact integer 4·deleted >= before);
+    otherwise the tombstones stay in place and the probe path keeps
+    filtering them — the classic write-amplification vs read-overhead
+    trade, decided per list, not globally.
+
+    Per list: members before, deleted, live, the compaction verdict,
+    and the reclaimed vs still-tombstoned split (one of the two is
+    always zero — pinned by the crafted suite). Conservation:
+    Σ n_deleted == Σ n_reclaimed + Σ n_tombstones.
+
+    Scale shape: ONE groupBy over the shared session-materialized
+    membership artifact (`ivf_rebalance_members` — computed once,
+    read by the rebalance executor AND this op); the verdict is
+    |lists| rows of integer arithmetic. No corpus rescans, no
+    re-scoring — deletion never touches vectors, only postings.
+
+    Reference basis: none; contract F10/F14 ANN family — the
+    retirement rung beside `pipeline_vector_index_rebalance`."""
+    from ._shared import shared_df
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 9).select("vec_id")
+    adm = (
+        fan_out(batch, spark)
+        .mapInPandas(
+            _ingest_gen(art),
+            schema=(
+                "vec_id long, cid long, n_cand long, min_adc long,"
+                " sum_adc long, admitted long"
+            ),
+        )
+        .filter(F.col("admitted") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"))
+    )
+    existing = (
+        fan_out(emb.filter(F.col("vec_id") % 10 != 9), spark)
+        .select("vec_id")
+        .mapInPandas(_assign_lookup_gen(art), "vec_id long, list_id long")
+    )
+    members = shared_df(
+        "ivf_rebalance_members",
+        sf_dir,
+        spark,
+        lambda: existing.unionByName(adm),
+        materialize=True,
+    )
+    dead = F.when(F.col("vec_id") % DELETE_MOD == 3, 1).otherwise(0)
+    stat = members.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(dead).cast("long").alias("n_deleted"),
+    )
+    compact = 4 * F.col("n_deleted") >= F.col("n_before")
+    z = F.lit(0).cast("long")
+    return stat.select(
+        "list_id",
+        "n_before",
+        "n_deleted",
+        (F.col("n_before") - F.col("n_deleted")).cast("long").alias("n_live"),
+        F.when(compact, 1).otherwise(0).cast("long").alias("do_compact"),
+        F.when(compact, F.col("n_deleted")).otherwise(z)
+        .cast("long")
+        .alias("n_reclaimed"),
+        F.when(compact, z).otherwise(F.col("n_deleted"))
+        .cast("long")
+        .alias("n_tombstones"),
+    ).orderBy("list_id")

@@ -630,3 +630,49 @@ def test_release_admission_gate_hand_computed(spark, tmp_path):
         ("s2", 1, 4, 1, 3, 1),
         ("s3", 0, 2, 0, 2, 3),
     ]
+
+
+def test_delete_compact_invariants(spark, tmp_path):
+    """Cross-engine equality on the crafted corpus plus the verdict
+    invariants: exactly one of (reclaimed, tombstones) is nonzero per
+    list, conservation of deleted rows across the split, the exact
+    4*deleted >= before threshold, and membership consistency with
+    the rebalance executor's n_before."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import (
+        pipeline_vector_index_delete_compact,
+        pipeline_vector_index_rebalance,
+    )
+
+    vecs = []
+    for i in range(160):
+        vecs.append(
+            (
+                i,
+                [
+                    math.sin(i * 0.9 + j * 1.1) * (1.0 + (i % 7))
+                    for j in range(64)
+                ],
+            )
+        )
+    _write_emb(spark, tmp_path, vecs)
+    clear_shared()
+    try:
+        got = _spark_rows(
+            pipeline_vector_index_delete_compact(spark, str(tmp_path))
+        )
+        reb = _spark_rows(
+            pipeline_vector_index_rebalance(spark, str(tmp_path))
+        )
+    finally:
+        clear_shared()
+    con = _emb_con(tmp_path)
+    assert got == _oracle(con, "pipeline_vector_index_delete_compact")
+    assert sum(r[2] for r in got) > 0  # tombstones actually fire
+    for (lid, before, deleted, live, comp, recl, tomb) in got:
+        assert live == before - deleted
+        assert comp == (1 if 4 * deleted >= before else 0)
+        assert (recl, tomb) == ((deleted, 0) if comp else (0, deleted))
+    # same membership as the rebalance executor's n_before
+    reb_before = {r[0]: r[1] for r in reb if r[3] != "split_child"}
+    assert {r[0]: r[1] for r in got} == reb_before
