@@ -85,10 +85,20 @@ def test_pending_queue_discipline():
     # (evidence: PENDING_CHECK_r11.txt, tests/test_round12_pending.py).
     # The staged round-13 debut queue, pinned by name (evidence:
     # PENDING_CHECK_r12.txt, tests/test_round13_pending.py):
-    assert set(PENDING) == set(), (
-        "round-13 queue not yet staged — re-pin this set when "
-        "registry.pending_query registrations land"
-    )
+    assert set(PENDING) == {
+        "pipeline_vector_index_rebalance",
+        "sim_ivf_rebalanced_recall",
+        "pipeline_vector_index_delete_compact",
+        "pipeline_release_pin",
+        "dedup_winnowing_source_matrix",
+        "text_source_signature_cosine",
+        "ts_forecast_backtest_holt",
+        "agg_hoover_index",
+        "sample_poststrat_weights",
+        "stream_watermark_lateness_audit",
+        "stream_session_window_gap",
+        "stream_release_admission_gate",
+    }
 
 
 def test_max_staleness_bound():

@@ -1,0 +1,294 @@
+"""Third-implementation property checks for the round-13 debut queue
+(the `test_round9_oracle_property` pattern): each queued oracle runs
+against an INDEPENDENT pure-Python mirror over hypothesis-generated
+tables — DuckDB-only, no Spark session."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as entry  # noqa: F401 — populates the registries
+
+
+def _oracle_rows(name: str, **frames) -> list[tuple]:
+    from catme_etl_spark.operators.registry import ORACLE, PENDING_ORACLE
+
+    sql = ORACLE.get(name) or PENDING_ORACLE[name]
+    con = duckdb.connect()
+    for t, df in frames.items():
+        con.register(t, df)
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+# --- Hoover index: exact cross-multiplied deviation ---------------------------
+
+hoover_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=3),              # nation key
+    st.lists(st.integers(min_value=1, max_value=10_000_00),  # cents
+             min_size=1, max_size=12),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(hoover_strategy)
+def test_hoover_oracle_equals_python_mirror(nations):
+    rows_o, rows_c, ck = [], [], 0
+    for nk in sorted(nations):
+        for cents_v in nations[nk]:
+            ck += 1
+            rows_c.append((ck, nk))
+            rows_o.append((ck * 10, ck, cents_v / 100.0))
+    orders = pd.DataFrame(
+        rows_o, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    customer = pd.DataFrame(rows_c, columns=["c_custkey", "c_nationkey"])
+    got = _oracle_rows("agg_hoover_index", orders=orders, customer=customer)
+    expect = []
+    for nk in sorted(nations):
+        xs = nations[nk]
+        n, tot = len(xs), sum(xs)
+        dev = sum(abs(n * x - tot) for x in xs)
+        hoover = math.floor(1000000.0 * float(dev) / (2.0 * n * tot) + 0.5)
+        expect.append((nk, n, tot, hoover))
+    assert got == expect
+    for _, n, _, h in got:
+        # H is bounded by (n-1)/n strictly below 1e6
+        assert 0 <= h <= 1000000
+
+
+# --- Holt backtest: rolling-origin states of the dyadic recursion ------------
+
+series_strategy = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=20
+)
+gaps_strategy = st.lists(
+    st.integers(min_value=1, max_value=4), min_size=0, max_size=19
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(series_strategy, gaps_strategy)
+def test_holt_backtest_oracle_equals_python_mirror(counts, gaps):
+    base = 19_800  # day number
+    days, cur = [], base
+    for i, _ in enumerate(counts):
+        days.append(cur)
+        cur += gaps[i] if i < len(gaps) else 1
+    rows = []
+    for day, n in zip(days, counts):
+        t0 = dt.datetime.utcfromtimestamp(day * 86400)
+        for k in range(n + 1):  # n+1 so zero-count days still exist
+            rows.append((t0 + dt.timedelta(seconds=k),))
+    events = pd.DataFrame(rows, columns=["ts"])
+    xs = [n + 1 for n in counts]
+    if len(xs) < 3:
+        try:
+            _oracle_rows("ts_forecast_backtest_holt", events=events)
+            raise AssertionError("expected loud guard")
+        except duckdb.Error:
+            return
+    got = _oracle_rows("ts_forecast_backtest_holt", events=events)
+    states = []
+    l, b = xs[0], xs[1] - xs[0]
+    states.append((l, b))
+    for x in xs[1:]:
+        l_new = math.floor((x + l + b) / 2.0)
+        b = math.floor((b + l_new - l) / 2.0)
+        l = l_new
+        states.append((l, b))
+    nd = len(xs)
+    expect = []
+    for c in range(max(2, nd - 7), nd):
+        lc, bc = states[c - 1]
+        gap = days[c] - days[c - 1]
+        f = lc + gap * bc
+        expect.append(
+            (
+                days[c - 1] * 86_400_000_000,
+                days[c] * 86_400_000_000,
+                gap,
+                f,
+                xs[c],
+                f - xs[c],
+                abs(f - xs[c]),
+            )
+        )
+    assert got == sorted(expect)
+
+
+# --- session windows: islands with strict-gap break + finalization -----------
+
+sess_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user
+        st.integers(min_value=0, max_value=400),        # minutes offset
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(sess_strategy)
+def test_session_oracle_equals_python_mirror(evts):
+    t0 = dt.datetime(2024, 5, 1)
+    events = pd.DataFrame(
+        [(u, t0 + dt.timedelta(minutes=m)) for u, m in evts],
+        columns=["user_id", "ts"],
+    )
+    got = _oracle_rows("stream_session_window_gap", events=events)
+    gap = 1_800_000_000
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    by_u: dict = {}
+    for u, m in evts:
+        by_u.setdefault(u, []).append(base + m * 60_000_000)
+    wm_final = max(base + m * 60_000_000 for _, m in evts) - 3_600_000_000
+    expect = []
+    for u in by_u:
+        ts = sorted(by_u[u])
+        start, last, n = ts[0], ts[0], 1
+        sessions = []
+        for t in ts[1:]:
+            if t - last > gap:  # STRICT: adjacent windows merge
+                sessions.append((start, last + gap, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        sessions.append((start, last + gap, n))
+        for s, e, n_ in sessions:
+            if e <= wm_final:
+                expect.append((u, s, e, n_))
+    assert got == sorted(expect)
+
+
+# --- watermark-lateness audit: lagged-filter simulation -----------------------
+
+late_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=29),   # user (incl. %10==7)
+        st.integers(min_value=0, max_value=5),    # day
+        st.integers(min_value=0, max_value=1439), # minute of day
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(late_strategy)
+def test_lateness_oracle_equals_python_mirror(evts):
+    t0 = dt.datetime(2024, 5, 1)
+    events = pd.DataFrame(
+        [
+            (u, t0 + dt.timedelta(days=d, minutes=m))
+            for u, d, m in evts
+        ],
+        columns=["user_id", "ts"],
+    )
+    got = _oracle_rows("stream_watermark_lateness_audit", events=events)
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    rows = [
+        (u, base + (d * 1440 + m) * 60_000_000) for u, d, m in evts
+    ]
+    days_present = sorted({tus // 86_400_000_000 for _, tus in rows})
+    nd = len(days_present)
+    grp = {d: (i * 4) // nd for i, d in enumerate(days_present)}
+    # raw slice, then dense batch index over present slices
+    raw = [
+        (u, tus, 3 if u % 10 == 7 else grp[tus // 86_400_000_000])
+        for u, tus in rows
+    ]
+    present = sorted({b for _, _, b in raw})
+    dense = {b: i for i, b in enumerate(present)}
+    batches: dict = {}
+    for u, tus, b in raw:
+        batches.setdefault(dense[b], []).append(tus)
+    ks = sorted(batches)
+    bmax = [max(batches[k]) for k in ks]
+    wm_final = max(tus for _, tus in rows) - 3_600_000_000
+    total, dropped = len(rows), 0
+    survivors = []
+    for i, k in enumerate(ks):
+        wm_f = (max(bmax[: i - 1]) - 3_600_000_000) if i >= 2 else None
+        for tus in batches[k]:
+            wend = (tus // 600_000_000) * 600_000_000 + 600_000_000
+            if wm_f is not None and wend <= wm_f:
+                dropped += 1
+            else:
+                survivors.append((tus // 600_000_000, wend))
+    wins: dict = {}
+    for ws, wend in survivors:
+        wins[(ws, wend)] = wins.get((ws, wend), 0) + 1
+    n_fin = sum(1 for (_, we) in wins if we <= wm_final)
+    n_streamed = sum(n for (_, we), n in wins.items() if we <= wm_final)
+    n_pending = sum(n for (_, we), n in wins.items() if we > wm_final)
+    assert got == [(total, dropped, n_fin, n_streamed, n_pending)]
+
+
+# --- signature cosine: tf/df profiles + exact wide dot ------------------------
+
+cos_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(cos_docs_strategy)
+def test_signature_cosine_oracle_equals_python_mirror(docs):
+    frame = pd.DataFrame(
+        [
+            (i + 1, " ".join(toks), src)
+            for i, (src, toks) in enumerate(docs)
+        ],
+        columns=["doc_id", "text", "source"],
+    )
+    got = _oracle_rows("text_source_signature_cosine", documents=frame)
+    tf: dict = {}
+    dfc: dict = {}
+    for i, (src, toks) in enumerate(docs):
+        for t in toks:
+            tf[(src, t)] = tf.get((src, t), 0) + 1
+        for t in set(toks):
+            dfc[t] = dfc.get(t, 0) + 1
+    prof: dict = {}
+    for (src, t), f in tf.items():
+        w = (1000000 * f) // dfc[t]
+        prof.setdefault(src, []).append((w, t))
+    top: dict = {}
+    for src, ws in prof.items():
+        ws.sort(key=lambda x: (-x[0], x[1]))
+        top[src] = {t: w for w, t in ws[:25]}
+    srcs = sorted(top)
+    expect = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = set(top[a]) & set(top[b])
+            dot = sum(top[a][t] * top[b][t] for t in shared)
+            na2 = sum(w * w for w in top[a].values())
+            nb2 = sum(w * w for w in top[b].values())
+            cos = math.floor(
+                1000000.0 * float(dot)
+                / math.sqrt(float(na2) * float(nb2))
+                + 0.5
+            )
+            expect.append((a, b, len(shared), cos))
+    assert got == sorted(expect)
