@@ -292,3 +292,156 @@ def test_signature_cosine_oracle_equals_python_mirror(docs):
             )
             expect.append((a, b, len(shared), cos))
     assert got == sorted(expect)
+
+
+# --- winnowing source matrix: containment mirror + source rollup --------------
+
+def _md5_56(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+matrix_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.text(alphabet="abcd ", min_size=0, max_size=60),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(matrix_strategy)
+def test_winnow_matrix_oracle_equals_python_mirror(docs):
+    K, W, T, CAP = 16, 8, 2, 64
+    frame = pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": [s for s, _ in docs],
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    got = _oracle_rows("dedup_winnowing_source_matrix", documents=frame)
+
+    src = {i + 1: s for i, (s, _) in enumerate(docs)}
+    fps: dict[int, set[int]] = {}
+    for doc_id, (_, t) in enumerate(docs, start=1):
+        ng = len(t) - K + 1
+        if ng < W:
+            continue
+        hs = [_md5_56(t[i: i + K]) for i in range(ng)]
+        fps[doc_id] = {min(hs[i: i + W]) for i in range(ng - W + 1)}
+    df_count: dict[int, int] = {}
+    for s in fps.values():
+        for f in s:
+            df_count[f] = df_count.get(f, 0) + 1
+    live = {f for f, c in df_count.items() if c <= CAP}
+    idx = {d: s & live for d, s in fps.items() if s & live}
+    roll: dict = {}
+    ids = sorted(idx)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = len(idx[a] & idx[b])
+            if shared < T:
+                continue
+            na, nb = len(idx[a]), len(idx[b])
+            mn = min(na, nb)
+            if 2 * shared < mn:
+                continue
+            if na < nb:
+                small, big = a, b
+            elif nb < na:
+                small, big = b, a
+            else:
+                small, big = max(a, b), min(a, b)
+            key = (src[small], src[big])
+            n, ds, sh, nm = roll.get(key, (0, set(), 0, 0))
+            roll[key] = (n + 1, ds | {small}, sh + shared, nm + mn)
+    expect = sorted(
+        (a, b, n, len(ds), (1_000_000 * sh) // nm)
+        for (a, b), (n, ds, sh, nm) in roll.items()
+    )
+    assert got == expect
+
+
+# --- post-stratification weights: draw mirror + HT arithmetic ------------------
+
+poststrat_strategy = st.dictionaries(
+    st.sampled_from(["A", "B", "C"]),
+    st.lists(st.integers(min_value=0, max_value=900), min_size=1,
+             max_size=30),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(poststrat_strategy)
+def test_poststrat_oracle_equals_python_mirror(strata):
+    import hashlib
+
+    rows, okey = [], 0
+    for s in sorted(strata):
+        for v in strata[s]:
+            okey += 1
+            rows.append((okey, s, float(v * 1000)))
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    weights = {}
+    for s, vs in strata.items():
+        n, s1, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+        weights[s] = math.isqrt(n * s2 - s1 * s1)
+    tw = sum(weights.values())
+    if tw == 0:
+        try:
+            _oracle_rows("sample_poststrat_weights", orders=df)
+            raise AssertionError("expected loud guard on zero weight")
+        except duckdb.Error:
+            return
+    got = _oracle_rows("sample_poststrat_weights", orders=df)
+
+    # the certified allocation -> targets -> draw mirror
+    fshare = {s: (1000000 * w) // tw for s, w in weights.items()}
+    rem = {s: (1000000 * w) % tw for s, w in weights.items()}
+    leftover = 1000000 - sum(fshare.values())
+    order = sorted(weights, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: fshare[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    n_corpus = sum(len(vs) for vs in strata.values())
+    n_total = n_corpus // 20
+    fsh = {s: (alloc[s] * n_total) // 1000000 for s in strata}
+    rm = {s: (alloc[s] * n_total) % 1000000 for s in strata}
+    left2 = n_total - sum(fsh.values())
+    order2 = sorted(strata, key=lambda s: (-rm[s], s))
+    target = {
+        s: fsh[s] + (1 if i < left2 else 0) for i, s in enumerate(order2)
+    }
+    by_s: dict = {}
+    for k, s, price in rows:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        by_s.setdefault(s, []).append((h, k, round(price * 100)))
+    expect = []
+    for s in sorted(strata):
+        n_rows = len(strata[s])
+        n_draw = min(target[s], n_rows)
+        drawn = sorted(by_s[s])[:n_draw]
+        sum_cents = sum(c for _, _, c in drawn)
+        actual = sum(round(p * 100) for k, st_, p in rows if st_ == s)
+        if n_draw == 0:
+            expect.append((s, n_rows, 0, None, None, actual, 0, None))
+        else:
+            w = (1000000 * n_rows) // n_draw
+            est = (n_rows * sum_cents) // n_draw
+            sign = 1 if est > actual else -1 if est < actual else 0
+            aerr = (1000000 * abs(est - actual)) // actual
+            expect.append(
+                (s, n_rows, n_draw, w, est, actual, sign, aerr)
+            )
+    assert got == expect
