@@ -445,3 +445,203 @@ def test_poststrat_oracle_equals_python_mirror(strata):
                 (s, n_rows, n_draw, w, est, actual, sign, aerr)
             )
     assert got == expect
+
+
+# --- release pin: full-pipeline mirror (split -> decon -> scrub -> manifest) --
+
+import hashlib as _hl
+
+
+def _md5_hex(s: str) -> str:
+    return _hl.md5(s.encode()).hexdigest()
+
+
+def _split_of(doc_id: int) -> str:
+    b = int(_md5_hex(str(doc_id))[:14], 16) % 100
+    return "train" if b < 80 else ("val" if b < 90 else "test")
+
+
+def _release_manifest_mirror(docs, pred):
+    """Pure-Python third implementation of the sliced release manifest
+    (_manifest_chain_sql over _RELEASE_HEAD_CTES): md5 split buckets,
+    banded-minhash near-dup pairs verified at jaccard >= 0.5, 8-gram
+    decontamination vs the frozen eval grams, leak/within scrub, and
+    the largest-remainder token-budget allocation. Raises ValueError
+    for the engine's loud empty-release guards."""
+    from catme_etl_spark.functions.texttools import (
+        MINHASH_P,
+        minhash_constants,
+    )
+    from catme_etl_spark.operators.dedup import _BAND_ROWS, _N_SEEDS
+    from catme_etl_spark.operators.quality import DECON_K
+
+    split = {d: _split_of(d) for d, _, _ in docs}
+    toks = {d: [t for t in text.split(" ") if t != ""] for d, text, _ in docs}
+    raw_toks = {d: text.split(" ") for d, text, _ in docs}
+    source = {d: s for d, _, s in docs}
+
+    # near-dup pairs: banded minhash candidates + exact jaccard >= 0.5
+    consts = minhash_constants(_N_SEEDS)
+    sh = {
+        d: {
+            " ".join(raw_toks[d][i: i + 3])
+            for i in range(len(raw_toks[d]) - 2)
+        }
+        for d, _, _ in docs
+    }
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d in sorted(sh):
+        if not sh[d]:
+            continue
+        xs = [int(_md5_hex(g)[:14], 16) % MINHASH_P for g in sh[d]]
+        sig = [min((a * x + b) % MINHASH_P for x in xs) for a, b in consts]
+        for band in range(_N_SEEDS // _BAND_ROWS):
+            key = (
+                band,
+                ",".join(
+                    str(sig[band * _BAND_ROWS + r])
+                    for r in range(_BAND_ROWS)
+                ),
+            )
+            buckets[key].append(d)
+    cand = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cand.add((min(a, b), max(a, b)))
+    ndj = set()
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+            ndj.add((a, b))
+    ndu = defaultdict(set)
+    for a, b in ndj:
+        ndu[a].add(b)
+        ndu[b].add(a)
+
+    def grams(d):
+        t = toks[d]
+        return {
+            " ".join(t[i: i + DECON_K])
+            for i in range(max(0, len(t) - DECON_K + 1))
+        }
+
+    eval_g = set()
+    for d in split:
+        if split[d] != "train":
+            eval_g |= grams(d)
+
+    tag = [d for d in split if pred(d)]
+    train = [d for d in tag if split[d] == "train"]
+    if not train:
+        return None  # degenerate: empty manifest (NULL-row edge)
+    surv0 = [d for d in train if not (grams(d) & eval_g)]
+    surv_set = set(surv0)
+    leak = {
+        d for d in surv0
+        if any(split[o] != "train" for o in ndu.get(d, ()))
+    }
+    within = {
+        b for (a, b) in ndj if a in surv_set and b in surv_set
+    }
+    final = [d for d in surv0 if d not in leak and d not in within]
+
+    srcs = sorted({source[d] for d in train})
+    raw_n = {s: sum(1 for d in train if source[d] == s) for s in srcs}
+    sv_n = {s: sum(1 for d in surv0 if source[d] == s) for s in srcs}
+    fin_n = {s: sum(1 for d in final if source[d] == s) for s in srcs}
+    passing = {s: 0 for s in srcs}
+    for d in final:
+        nt, ndt = len(toks[d]), len(set(toks[d]))
+        if 20 <= nt <= 80 and ndt / nt > 0.25:
+            passing[source[d]] += nt
+    total_raw = sum(raw_n.values())
+    total_final = sum(fin_n.values())
+    total_passing = sum(passing.values())
+    if total_final == 0 or total_passing == 0:
+        raise ValueError("release guard")
+    sb_ppm = {s: (1000000 * raw_n[s]) // total_raw for s in srcs}
+    sa_ppm = {s: (1000000 * fin_n[s]) // total_final for s in srcs}
+    fshare = {s: (1000000 * passing[s]) // total_passing for s in srcs}
+    rem = {s: (1000000 * passing[s]) % total_passing for s in srcs}
+    leftover = 1000000 - sum(fshare.values())
+    order = sorted(srcs, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: fshare[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    return {
+        s: (
+            raw_n[s],
+            raw_n[s] - sv_n[s],
+            sv_n[s] - fin_n[s],
+            fin_n[s],
+            sb_ppm[s],
+            sa_ppm[s],
+            passing[s],
+            alloc[s],
+        )
+        for s in srcs
+    }
+
+
+pin_vocab = [f"w{i}" for i in range(40)]
+pin_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(st.sampled_from(pin_vocab), min_size=5, max_size=50),
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pin_strategy)
+def test_release_pin_oracle_equals_full_pipeline_mirror(docs):
+    frame = pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": [" ".join(t) for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": [s for s, _ in docs],
+            "n_chars": [1] * len(docs),
+        }
+    )
+    rows = [
+        (i + 1, " ".join(t), s) for i, (s, t) in enumerate(docs)
+    ]
+
+    def pred(d):
+        return not (d % 7 == 3 and _split_of(d) == "train")
+
+    try:
+        man = _release_manifest_mirror(rows, pred)
+        guard = False
+    except ValueError:
+        guard = True
+    if guard:
+        try:
+            _oracle_rows("pipeline_release_pin", documents=frame)
+            raise AssertionError("expected loud empty-release guard")
+        except duckdb.Error:
+            return
+    if man is None:
+        return  # no train docs in the slice: NULL-aggregate edge
+    got = _oracle_rows("pipeline_release_pin", documents=frame)
+    canon = sorted(
+        "|".join([s] + [str(v) for v in vals]) for s, vals in man.items()
+    )
+    digest = _hl.md5("\n".join(canon).encode()).hexdigest()
+    expect = [
+        (
+            "rel-prior-train-docid-mod7-ne-3",
+            len(man),
+            sum(v[3] for v in man.values()),
+            sum(v[7] for v in man.values()),
+            digest,
+        )
+    ]
+    assert got == expect
