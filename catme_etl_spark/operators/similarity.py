@@ -3960,6 +3960,38 @@ def _rebalance_move_gen(art_bc, split_seed, merge_recv):
     return gen
 
 
+def _merge_receivers(C, cindex, merge_ids, keep_ids):
+    """Nearest keep centroid per merging list — exact int64 squared
+    distance, ties -> lowest keep id. Chunked numpy broadcast over the
+    ascending keep axis (argmin first-hit = lowest id): identical
+    values to the naive |merge|x|keep| Python scan but C-speed and
+    memory-bounded (<= ~64 MB per chunk), so a fixture that ties
+    |lists| to corpus/8 stays sub-second on the driver (round-12
+    verdict item #6)."""
+    import numpy as np
+
+    if not merge_ids:
+        return {}
+    if not keep_ids:
+        raise ValueError(
+            "ivf rebalance: every list is a merge candidate — no keep"
+            " centroid can receive the merged postings"
+        )
+    keep_ids = sorted(int(r) for r in keep_ids)
+    K = C[[cindex[r] for r in keep_ids]]
+    keep_arr = np.asarray(keep_ids, dtype=np.int64)
+    out: dict[int, int] = {}
+    chunk = max(1, 8_388_608 // max(1, K.shape[0] * K.shape[1]))
+    for lo in range(0, len(merge_ids), chunk):
+        ms = merge_ids[lo : lo + chunk]
+        M = C[[cindex[m] for m in ms]]
+        D = ((M[:, None, :] - K[None, :, :]) ** 2).sum(axis=2)
+        near = keep_arr[D.argmin(axis=1)]
+        for m, r in zip(ms, near):
+            out[int(m)] = int(r)
+    return out
+
+
 @pending_query("pipeline_vector_index_rebalance", oracle=_REBALANCE_ORACLE)
 def pipeline_vector_index_rebalance(
     spark: SparkSession, sf_dir: str
@@ -4106,14 +4138,7 @@ def pipeline_vector_index_rebalance(
     if merge_ids:
         _ids_a, _Q, _assign, _codes, cids, C, _w, _W = art.value
         cindex = {int(c): i for i, c in enumerate(cids)}
-        for m in merge_ids:
-            best = None
-            for r in keep_ids:
-                d = int(((C[cindex[m]] - C[cindex[r]]) ** 2).sum())
-                key = (d, r)
-                if best is None or key < best:
-                    best = key
-            merge_recv[m] = best[1]
+        merge_recv = _merge_receivers(C, cindex, merge_ids, keep_ids)
 
     moved = fan_out(members, spark).mapInPandas(
         _rebalance_move_gen(art, split_seed, merge_recv),
