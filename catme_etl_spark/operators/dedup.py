@@ -3791,7 +3791,7 @@ _RELEASE_PIN_ORACLE = f"""
     """
 
 
-@pending_query("pipeline_release_pin", oracle=_RELEASE_PIN_ORACLE)
+@query("pipeline_release_pin", oracle=_RELEASE_PIN_ORACLE)
 def pipeline_release_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIN a recorded corpus release and certify it REPRODUCES — the
     audit rung above `pipeline_release_diff` (round-11 verdict item
@@ -3937,7 +3937,7 @@ _WINNOW_MATRIX_ORACLE = f"""
     """
 
 
-@pending_query("dedup_winnowing_source_matrix", oracle=_WINNOW_MATRIX_ORACLE)
+@query("dedup_winnowing_source_matrix", oracle=_WINNOW_MATRIX_ORACLE)
 def dedup_winnowing_source_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

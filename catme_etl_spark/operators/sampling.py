@@ -1579,7 +1579,7 @@ _POSTSTRAT_ORACLE = (
 )
 
 
-@pending_query("sample_poststrat_weights", oracle=_POSTSTRAT_ORACLE)
+@query("sample_poststrat_weights", oracle=_POSTSTRAT_ORACLE)
 def sample_poststrat_weights(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

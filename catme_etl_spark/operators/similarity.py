@@ -3992,7 +3992,7 @@ def _merge_receivers(C, cindex, merge_ids, keep_ids):
     return out
 
 
-@pending_query("pipeline_vector_index_rebalance", oracle=_REBALANCE_ORACLE)
+@query("pipeline_vector_index_rebalance", oracle=_REBALANCE_ORACLE)
 def pipeline_vector_index_rebalance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4517,7 +4517,7 @@ _REBAL_RECALL_ORACLE = (
 )
 
 
-@pending_query("sim_ivf_rebalanced_recall", oracle=_REBAL_RECALL_ORACLE)
+@query("sim_ivf_rebalanced_recall", oracle=_REBAL_RECALL_ORACLE)
 def sim_ivf_rebalanced_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4659,7 +4659,7 @@ _DELETE_COMPACT_ORACLE = (
 )
 
 
-@pending_query(
+@query(
     "pipeline_vector_index_delete_compact", oracle=_DELETE_COMPACT_ORACLE
 )
 def pipeline_vector_index_delete_compact(

@@ -2200,7 +2200,7 @@ _HOOVER_ORACLE = """
     """
 
 
-@pending_query("agg_hoover_index", oracle=_HOOVER_ORACLE)
+@query("agg_hoover_index", oracle=_HOOVER_ORACLE)
 def agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOOVER (Robin Hood) index of order spend per nation — the
     redistribution rung of the inequality ladder beside Gini

@@ -2103,7 +2103,7 @@ _SIG_COS_ORACLE = f"""
     """
 
 
-@pending_query("text_source_signature_cosine", oracle=_SIG_COS_ORACLE)
+@query("text_source_signature_cosine", oracle=_SIG_COS_ORACLE)
 def text_source_signature_cosine(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

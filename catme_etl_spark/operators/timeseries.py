@@ -1221,7 +1221,7 @@ _BACKTEST_ORACLE = f"""
     """
 
 
-@pending_query("ts_forecast_backtest_holt", oracle=_BACKTEST_ORACLE)
+@query("ts_forecast_backtest_holt", oracle=_BACKTEST_ORACLE)
 def ts_forecast_backtest_holt(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

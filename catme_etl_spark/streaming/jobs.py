@@ -2172,7 +2172,7 @@ def _stream_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-@pending_query("stream_watermark_lateness_audit", oracle=_LATENESS_ORACLE)
+@query("stream_watermark_lateness_audit", oracle=_LATENESS_ORACLE)
 def stream_watermark_lateness_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2336,7 +2336,7 @@ _SESSION_ORACLE = f"""
     """
 
 
-@pending_query("stream_session_window_gap", oracle=_SESSION_ORACLE)
+@query("stream_session_window_gap", oracle=_SESSION_ORACLE)
 def stream_session_window_gap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2460,7 +2460,7 @@ def _stream_docs_mod4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pending_query("stream_release_admission_gate", oracle=_ADMIT_GATE_ORACLE)
+@query("stream_release_admission_gate", oracle=_ADMIT_GATE_ORACLE)
 def stream_release_admission_gate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
