@@ -179,3 +179,103 @@ def test_stream_histogram_tie_rule_matches_oracle(spark, bin_width_cents):
         int(g) // bin_width_cents if g // bin_width_cents <= 19 else 19
         for g in got
     ]
+
+
+def test_release_family_empty_is_loud_on_both_engines(spark, tmp_path):
+    """Round-12 verdict item #3 (the guard-pruning sweep): the release
+    manifest's two `raise_error` guards (total_final == 0,
+    total_passing == 0) must fire through EVERY consumer of
+    `_release_manifest` — diff, gate, and pin select only a subset of
+    manifest columns, so if either engine's optimizer pruned the guard
+    column (the `events_changepoint_two_level` bug class, fixed commit
+    e76ca12) an empty release would ship as a silent 0-share row. The
+    guards are structurally load-bearing (groupBy keys of the final
+    allocation aggregate, and `fshare` feeds `alloc_tokens`), and this
+    pins it: a corpus where decontamination drops everything raises
+    'release is empty' on BOTH engines for all three consumers."""
+    import pytest
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import (
+        pipeline_release_diff,
+        pipeline_release_pin,
+        quality_release_gate,
+    )
+
+    # same degenerate corpus as test_corpus_release_empty_is_loud:
+    # both docs are verbatim copies of the eval slice's text, so the
+    # decon gram join drops every train doc -> total_final == 0.
+    ta = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, ta, "en", "s1", 1), (9, ta, "en", "s1", 1)]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(out)
+
+    import __spark_entry__ as entry
+
+    for op in (pipeline_release_diff, quality_release_gate, pipeline_release_pin):
+        clear_shared()
+        try:
+            with pytest.raises(Exception, match="release is empty"):
+                op(spark, str(tmp_path)).collect()
+        finally:
+            clear_shared()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'"
+    )
+    for name in (
+        "pipeline_release_diff",
+        "quality_release_gate",
+        "pipeline_release_pin",
+    ):
+        with pytest.raises(duckdb.Error, match="release is empty"):
+            con.execute(entry.oracle_sql()[name]).fetchall()
+
+
+def test_release_passing_zero_fires_fshare_guard(spark, tmp_path):
+    """The OTHER manifest guard: a release where docs survive
+    (total_final > 0) but every survivor fails the passing predicate
+    (nt outside [20, 80]) has total_passing == 0 — `fshare` is
+    undefined and must raise on BOTH engines even through consumers
+    that never select fshare directly (it feeds alloc_tokens, so
+    pruning it would be the silent-NULL-allocation lie)."""
+    import pytest
+
+    import __spark_entry__ as entry
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import (
+        pipeline_corpus_release,
+        quality_release_gate,
+    )
+
+    # short unique texts (< 20 tokens) -> survive decon (no shared
+    # grams with anything) but fail the passing window.
+    docs = [
+        (1, "quark lepton boson", "en", "s1", 1),
+        (2, "meson hadron gluon", "en", "s1", 1),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(out)
+
+    for op in (pipeline_corpus_release, quality_release_gate):
+        clear_shared()
+        try:
+            with pytest.raises(Exception, match="release is empty"):
+                op(spark, str(tmp_path)).collect()
+        finally:
+            clear_shared()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'"
+    )
+    for name in ("pipeline_corpus_release", "quality_release_gate"):
+        with pytest.raises(duckdb.Error, match="release is empty"):
+            con.execute(entry.oracle_sql()[name]).fetchall()
