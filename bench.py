@@ -11,6 +11,17 @@ Execution is forced through Spark's ``noop`` sink — the full plan runs
 (every column materialized, nothing short-circuited by count-only
 optimization) and nothing funnels through the driver, which is exactly
 the shape of a production write job.
+
+Protocol (artifact-warm, round 13): session-shared artifacts (decon
+survivors, near-dup pairs, MinHash/SRP bands, matrix/IVF-PQ
+broadcasts) are force-built ONCE in an untimed discovery pass and
+reported as their own ``artifact:<name>`` entries (self-time, nested
+builds attributed once); the timed sweep then runs artifact-warm, so
+``queries`` report each consumer's net cost. This is the 100 TB-honest
+split — artifacts are written once to reliable storage and every
+release/dedup job reads them — and it stops the one-time build cost
+from landing on whichever family member a single-pass sweep touches
+first (round-12 verdict item #4).
 """
 
 from __future__ import annotations
@@ -365,29 +376,60 @@ def main() -> None:
     # warm sf0.1 parquet footers once
     qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # Timing: min of two COLD runs per query. Session-shared
-    # intermediates (persisted shingle/signature builders, matrix
-    # broadcasts) and builder-local persists are dropped between
-    # repetitions, so both runs pay the full pipeline — the min is the
-    # query's genuine cold cost with single-run jitter (GC pauses,
-    # micro-batch scheduling, OS noise — observed ±30% on identical
-    # plans) removed, not a warm-cache number.
+    # ---- Artifact pass (round-12 verdict item #4) ----------------
+    # Session-shared artifacts (decon survivors, near-dup pairs,
+    # MinHash/SRP bands, matrix/IVF-PQ broadcasts, ...) used to be
+    # rebuilt inside every timed run: each consumer's number included
+    # the one-time artifact build, and in single-pass sweeps (the
+    # driver's) the build landed on whichever family member ran first
+    # — 26 names flagged >=1.3x vs local in round 12 purely from that
+    # attribution. New protocol: ONE untimed discovery pass over the
+    # headline set at SF_DIR with the _shared build hooks armed, so
+    # every artifact is force-built exactly once and its build cost is
+    # recorded as its own "artifact:<name>" entry; the timed sweep then
+    # runs ARTIFACT-WARM and "queries" report the consumer's net cost —
+    # the 100 TB-honest split, where artifacts are written once to
+    # reliable storage and every release/dedup job reads them.
+    from catme_etl_spark.operators import _shared as _shmod
     from catme_etl_spark.operators._shared import clear_shared
 
-    # The footer warmup above executed names[0] end-to-end, populating
-    # the session-shared builders — clear NOW so the first timed run of
-    # names[0] is as cold as every other (cold_run only clears AFTER
-    # its timing).
     clear_shared()
     spark.catalog.clearCache()
+    artifacts: dict[str, float] = {}
 
+    def _observe(name: str, sf_dir: str, sec: float) -> None:
+        if sf_dir == SF_DIR:
+            artifacts[f"artifact:{name}"] = round(
+                artifacts.get(f"artifact:{name}", 0.0) + sec, 3
+            )
+
+    _shmod.BUILD_OBSERVER = _observe
+    _shmod.FORCE_ON_BUILD = True
+    try:
+        for name in names:
+            try:
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # discovery must never break the timed run
+    finally:
+        _shmod.BUILD_OBSERVER = None
+        _shmod.FORCE_ON_BUILD = False
+
+    # Timing: min of two ARTIFACT-WARM runs per query. Shared
+    # artifacts stay materialized from the discovery pass (their build
+    # cost is already reported under its own entry), so both runs
+    # measure the query's own pipeline; the min removes single-run
+    # jitter (GC pauses, micro-batch scheduling, OS noise — observed
+    # ±30% on identical plans). No clear_shared()/clearCache() inside
+    # the sweep: clearing would silently re-attribute artifact builds
+    # to the next consumer AND clearCache() would drop persist()-mode
+    # shared entries out from under later queries.
     def cold_run(name: str) -> float:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        elapsed = time.time() - t0
-        clear_shared()
-        spark.catalog.clearCache()
-        return elapsed
+        return time.time() - t0
 
     local_rec, local_name = _load_local_record()
     local_q = (local_rec or {}).get("queries", {})
@@ -447,10 +489,7 @@ def main() -> None:
         agg.select(_canary_pudf(F.col("n").cast("double")).alias("v")).agg(
             F.sum("v")
         ).write.format("noop").mode("overwrite").save()
-        elapsed = time.time() - t0
-        clear_shared()
-        spark.catalog.clearCache()
-        return elapsed
+        return time.time() - t0
 
     canary_fn = {"join": lambda: cold_run(CANARY), "heavy": heavy_canary}
     # prime each family's cold cost: best of two before the sweep
@@ -498,6 +537,9 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "artifacts": artifacts,
+                "artifact_total": round(sum(artifacts.values()), 3),
+                "protocol": "artifact-warm-r13",
                 "canary_ref_sec": {
                     fam: round(v, 3) for fam, v in c_ref.items()
                 },
