@@ -3995,3 +3995,344 @@ def dedup_winnowing_source_matrix(
         )
         .orderBy("source_contained", "source_container")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: release RETENTION LEDGER (the provenance rung
+# above the pin certificate — round-12 verdict item #8).
+# ---------------------------------------------------------------------------
+
+_RETENTION_PREDS = [
+    (1, "rel-hist-train-docid-mod7-ne-3-5",
+     "NOT (doc_id % 7 IN (3, 5) AND split = 'train')"),
+    (2, "rel-prior-train-docid-mod7-ne-3",
+     "NOT (doc_id % 7 = 3 AND split = 'train')"),
+    (3, "rel-current-full", "TRUE"),
+]
+
+_RETENTION_DRIFT_PPM = 20000  # the diff family's alert threshold
+
+_RETENTION_CANON = """
+    canon{s} AS (
+      SELECT concat_ws('|', source,
+                       CAST(n_train_raw AS VARCHAR),
+                       CAST(n_dropped_decon AS VARCHAR),
+                       CAST(n_dropped_neardup AS VARCHAR),
+                       CAST(n_train_final AS VARCHAR),
+                       CAST(share_before_ppm AS VARCHAR),
+                       CAST(share_after_ppm AS VARCHAR),
+                       CAST(passing_tokens AS VARCHAR),
+                       CAST(alloc_tokens AS VARCHAR)) AS r,
+             n_train_final, alloc_tokens
+      FROM man{s}
+    ),
+    pin{s} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(n_train_final) AS BIGINT) AS total_final,
+             CAST(SUM(alloc_tokens) AS BIGINT) AS total_alloc,
+             md5(string_agg(r, chr(10) ORDER BY r)) AS manifest_md5
+      FROM canon{s}
+    )"""
+
+_RETENTION_ORACLE = (
+    f"""
+    WITH {_RELEASE_HEAD_CTES},
+    {_manifest_chain_sql("h", _RETENTION_PREDS[0][2])},
+    {_manifest_chain_sql("p", _RETENTION_PREDS[1][2])},
+    {_manifest_chain_sql("c", _RETENTION_PREDS[2][2])},
+    """
+    + ",".join(_RETENTION_CANON.format(s=s) for s in ("h", "p", "c"))
+    + f""",
+    dhp AS (
+      SELECT CAST(COALESCE(MAX(abs(COALESCE(a.share_after_ppm, 0)
+                                   - COALESCE(b.share_after_ppm, 0))), 0)
+                  AS BIGINT) AS drift
+      FROM manh a FULL JOIN manp b USING (source)
+    ),
+    dpc AS (
+      SELECT CAST(COALESCE(MAX(abs(COALESCE(a.share_after_ppm, 0)
+                                   - COALESCE(b.share_after_ppm, 0))), 0)
+                  AS BIGINT) AS drift
+      FROM manp a FULL JOIN manc b USING (source)
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS seq,
+             '{_RETENTION_PREDS[0][1]}' AS release_id,
+             n_sources, total_final, total_alloc, manifest_md5,
+             (SELECT drift FROM dhp) AS drift_vs_next_ppm,
+             CAST(CASE WHEN (SELECT drift FROM dhp)
+                            > {_RETENTION_DRIFT_PPM}
+                       THEN 1 ELSE 0 END AS BIGINT) AS retained,
+             CASE WHEN (SELECT drift FROM dhp) > {_RETENTION_DRIFT_PPM}
+                  THEN 'milestone-drift' ELSE 'expired-no-drift'
+             END AS reason
+      FROM pinh
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), '{_RETENTION_PREDS[1][1]}',
+             n_sources, total_final, total_alloc, manifest_md5,
+             (SELECT drift FROM dpc),
+             CAST(1 AS BIGINT), 'rollback-window'
+      FROM pinp
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), '{_RETENTION_PREDS[2][1]}',
+             n_sources, total_final, total_alloc, manifest_md5,
+             CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'head'
+      FROM pinc
+    ) ORDER BY seq
+    """
+)
+
+
+@pending_query("pipeline_release_retention", oracle=_RETENTION_ORACLE)
+def pipeline_release_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The release RETENTION LEDGER — chains pin certificates across
+    the release HISTORY (three simulated releases: two nested
+    train-only ingest slices and the current full corpus, each
+    re-derived through the identical certified manifest lineage) and
+    certifies the retention verdict a provenance registry applies
+    (round-12 verdict item #8): the HEAD release and its rollback
+    predecessor are always retained; an older release is retained only
+    as a MILESTONE — its max per-source share_after drift vs its
+    successor exceeds the diff family's {_RETENTION_DRIFT_PPM} ppm
+    alert threshold (a release whose mix its successor reproduces
+    within tolerance adds no provenance value and expires).
+
+    Each row is a full pin certificate (content-addressed
+    manifest_md5 over the canonicalized manifest, byte-identical to
+    `pipeline_release_pin`'s rendering — seq 2 IS that op's
+    certificate, cross-pinned by the crafted suite), so a green row
+    set means every RETAINED release remains bit-for-bit reproducible
+    from its recorded predicate months later — the "which exact
+    corpus trained which model" ledger, time-depth included.
+
+    Scale shape: the heavy legs (gram join, pairs) are the SHARED
+    session-materialized artifacts — three manifest lineages over
+    filtered inputs reuse them (near-dup pairs of a subset are the
+    full corpus's pairs restricted; eval gram sets are frozen), and
+    everything per-release collapses to |sources|-row aggregates. At
+    100 TB the ledger costs three |sources|-row scans over manifests
+    the release jobs already wrote.
+
+    Reference basis: none; contract training-data pipeline family
+    (SURVEY §2.10)."""
+    from .sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    surv0 = _decon_survivors(spark, sf_dir)
+    nd = _neardup_pairs_05(spark, sf_dir)
+    train = hash_bucket(F.col("doc_id"), 100) < 80
+
+    def man_for(mods):
+        if not mods:
+            return _release_manifest(d, surv0, nd)
+        sl = F.col("doc_id") % 7
+        hit = sl.isin(mods) & train
+        return _release_manifest(
+            d.filter(~hit), surv0.filter(~(sl.isin(mods))), nd
+        )
+
+    mans = [man_for([3, 5]), man_for([3]), man_for([])]
+
+    def pin(man, seq, rid):
+        canon = man.select(
+            F.concat_ws(
+                "|",
+                "source",
+                F.col("n_train_raw").cast("string"),
+                F.col("n_dropped_decon").cast("string"),
+                F.col("n_dropped_neardup").cast("string"),
+                F.col("n_train_final").cast("string"),
+                F.col("share_before_ppm").cast("string"),
+                F.col("share_after_ppm").cast("string"),
+                F.col("passing_tokens").cast("string"),
+                F.col("alloc_tokens").cast("string"),
+            ).alias("r"),
+            "n_train_final",
+            "alloc_tokens",
+        )
+        return canon.agg(
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(rid).alias("release_id"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum("n_train_final").cast("long").alias("total_final"),
+            F.sum("alloc_tokens").cast("long").alias("total_alloc"),
+            F.md5(
+                F.concat_ws("\n", F.array_sort(F.collect_list("r"))).cast(
+                    "binary"
+                )
+            ).alias("manifest_md5"),
+        )
+
+    def drift(ma, mb):
+        a = ma.select("source", F.col("share_after_ppm").alias("sa"))
+        b = mb.select("source", F.col("share_after_ppm").alias("sb"))
+        z = F.lit(0)
+        return (
+            a.join(b, "source", "full")
+            .agg(
+                F.coalesce(
+                    F.max(
+                        F.abs(F.coalesce("sa", z) - F.coalesce("sb", z))
+                    ),
+                    z,
+                )
+                .cast("long")
+                .alias("drift")
+            )
+        )
+
+    d12, d23 = drift(mans[0], mans[1]), drift(mans[1], mans[2])
+    rows = []
+    for i, (seq, rid, _pred) in enumerate(_RETENTION_PREDS):
+        p = pin(mans[i], seq, rid)
+        if seq == 1:
+            milestone = F.col("drift") > _RETENTION_DRIFT_PPM
+            p = p.crossJoin(F.broadcast(d12)).select(
+                "seq", "release_id", "n_sources", "total_final",
+                "total_alloc", "manifest_md5",
+                F.col("drift").alias("drift_vs_next_ppm"),
+                F.when(milestone, 1).otherwise(0)
+                .cast("long")
+                .alias("retained"),
+                F.when(milestone, "milestone-drift")
+                .otherwise("expired-no-drift")
+                .alias("reason"),
+            )
+        elif seq == 2:
+            p = p.crossJoin(F.broadcast(d23)).select(
+                "seq", "release_id", "n_sources", "total_final",
+                "total_alloc", "manifest_md5",
+                F.col("drift").alias("drift_vs_next_ppm"),
+                F.lit(1).cast("long").alias("retained"),
+                F.lit("rollback-window").alias("reason"),
+            )
+        else:
+            p = p.select(
+                "seq", "release_id", "n_sources", "total_final",
+                "total_alloc", "manifest_md5",
+                F.lit(0).cast("long").alias("drift_vs_next_ppm"),
+                F.lit(1).cast("long").alias("retained"),
+                F.lit("head").alias("reason"),
+            )
+        rows.append(p)
+    out = rows[0]
+    for p in rows[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("seq")
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: DEDUP SOURCE-BIAS AUDIT (does the scrub fall
+# evenly? — the selection-bias read of the release manifest).
+# ---------------------------------------------------------------------------
+
+_BIAS_ALERT_PPM = 100000  # flag a source deviating >10 points from global
+
+_DEDUP_BIAS_ORACLE = f"""
+    WITH {_RELEASE_HEAD_CTES},
+    {_manifest_chain_sql("b", "TRUE")},
+    g AS (
+      SELECT CAST(SUM(n_train_raw) AS BIGINT) AS traw,
+             CAST(SUM(n_dropped_decon) AS BIGINT) AS tdec,
+             CAST(SUM(n_dropped_neardup) AS BIGINT) AS tnd
+      FROM manb
+    )
+    SELECT m.source,
+           CAST(m.n_train_raw AS BIGINT) AS n_train_raw,
+           CAST((1000000 * m.n_dropped_decon) // m.n_train_raw AS BIGINT)
+             AS drop_decon_ppm,
+           CAST((1000000 * m.n_dropped_neardup) // m.n_train_raw AS BIGINT)
+             AS drop_neardup_ppm,
+           CAST((1000000 * g.tdec) // g.traw AS BIGINT)
+             AS global_decon_ppm,
+           CAST((1000000 * g.tnd) // g.traw AS BIGINT)
+             AS global_neardup_ppm,
+           CAST(CASE WHEN abs((1000000 * m.n_dropped_decon)
+                              // m.n_train_raw
+                              - (1000000 * g.tdec) // g.traw)
+                          > {_BIAS_ALERT_PPM}
+                       OR abs((1000000 * m.n_dropped_neardup)
+                              // m.n_train_raw
+                              - (1000000 * g.tnd) // g.traw)
+                          > {_BIAS_ALERT_PPM}
+                     THEN 1 ELSE 0 END AS BIGINT) AS bias_flag
+    FROM manb m, g
+    ORDER BY m.source
+    """
+
+
+@pending_query("quality_dedup_source_bias", oracle=_DEDUP_BIAS_ORACLE)
+def quality_dedup_source_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEDUP SOURCE-BIAS AUDIT — does the scrub fall evenly across
+    sources? Deduplication and decontamination are corpus-level
+    filters, but their drop mass is rarely uniform: a source whose
+    decon drop rate towers over the global rate is an eval-overlap
+    factory (benchmark-adjacent scrape), and one whose near-dup rate
+    does is a mirror/boilerplate farm — either way the release's mix
+    shifted for a REASON the share-drift monitor alone can't name.
+    Per source: exact-ppm decon and near-dup drop rates off the
+    certified release manifest, the global rates beside them, and an
+    alert flag when either leg deviates more than
+    {_BIAS_ALERT_PPM / 10000:.0f} points — the selection-bias read a
+    data-governance review asks for (documented caveat: a flag is a
+    SIGNAL of disparate impact, not proof — small sources have noisy
+    rates, and the crafted suite pins a 1-doc source's flag
+    semantics).
+
+    A source in the manifest has n_train_raw >= 1 by construction
+    (manifest rows group the raw train slice), so the rate divisors
+    need no degenerate guard; the empty-release guards upstream in
+    the manifest still fire loudly.
+
+    Scale shape: |sources|-row arithmetic over the session-shared
+    manifest lineage (gram join + pairs artifacts reused) plus one
+    1-row global aggregate — free beside the release build it audits.
+
+    Reference basis: none; contract training-data pipeline family
+    (SURVEY §2.10) — the governance rung beside `quality_release_gate`
+    and `pipeline_release_diff`."""
+    d = load_table(spark, sf_dir, "documents")
+    surv0 = _decon_survivors(spark, sf_dir)
+    nd = _neardup_pairs_05(spark, sf_dir)
+    man = _release_manifest(d, surv0, nd)
+    g = man.agg(
+        F.sum("n_train_raw").cast("long").alias("traw"),
+        F.sum("n_dropped_decon").cast("long").alias("tdec"),
+        F.sum("n_dropped_neardup").cast("long").alias("tnd"),
+    )
+    m = man.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_train_raw",
+        F.expr("(1000000 * n_dropped_decon) div n_train_raw")
+        .cast("long")
+        .alias("drop_decon_ppm"),
+        F.expr("(1000000 * n_dropped_neardup) div n_train_raw")
+        .cast("long")
+        .alias("drop_neardup_ppm"),
+        F.expr("(1000000 * tdec) div traw")
+        .cast("long")
+        .alias("global_decon_ppm"),
+        F.expr("(1000000 * tnd) div traw")
+        .cast("long")
+        .alias("global_neardup_ppm"),
+    )
+    dev = (
+        F.abs(F.col("drop_decon_ppm") - F.col("global_decon_ppm"))
+        > _BIAS_ALERT_PPM
+    ) | (
+        F.abs(F.col("drop_neardup_ppm") - F.col("global_neardup_ppm"))
+        > _BIAS_ALERT_PPM
+    )
+    return m.select(
+        "source",
+        "n_train_raw",
+        "drop_decon_ppm",
+        "drop_neardup_ppm",
+        "global_decon_ppm",
+        "global_neardup_ppm",
+        F.when(dev, 1).otherwise(0).cast("long").alias("bias_flag"),
+    ).orderBy("source")

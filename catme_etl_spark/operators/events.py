@@ -2384,3 +2384,173 @@ def events_changepoint_two_level(
         .unionByName(_cp_seg_out(_cp_seg_spark(d3), 2, "right"))
         .orderBy("lvl", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: SESSION-SCOPED FUNNEL ATTRIBUTION (the session
+# sibling of the attribution trio, over the gap-session windows the
+# streaming family certified).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000  # 30-minute gap — matches the C5/C6 op
+_FUNNEL_DAY_US = 86_400_000_000
+
+_SESSION_FUNNEL_ORACLE = f"""
+    WITH se AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus
+      FROM events WHERE ts IS NOT NULL
+    ),
+    sm AS (
+      SELECT user_id, event_type, tus,
+             CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                       IS NULL
+                       OR tus - LAG(tus) OVER (PARTITION BY user_id
+                                               ORDER BY tus)
+                          > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM se
+    ),
+    sg AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sm
+    ),
+    sv AS (
+      SELECT user_id, sid,
+             CAST(MIN(tus) AS BIGINT) AS s_start,
+             MIN(CASE WHEN event_type = 'view' THEN tus END) AS v
+      FROM sg GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT g.user_id, g.sid, CAST(MIN(g.tus) AS BIGINT) AS c
+      FROM sg g JOIN sv ON sv.user_id = g.user_id AND sv.sid = g.sid
+      WHERE g.event_type = 'click' AND g.tus >= sv.v
+      GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT g.user_id, g.sid, CAST(MIN(g.tus) AS BIGINT) AS p
+      FROM sg g JOIN sc ON sc.user_id = g.user_id AND sc.sid = g.sid
+      WHERE g.event_type = 'purchase' AND g.tus >= sc.c
+      GROUP BY 1, 2
+    ),
+    fs AS (
+      SELECT sv.user_id, sv.sid, sv.s_start, sv.v, sc.c, sp.p
+      FROM sv LEFT JOIN sc USING (user_id, sid)
+              LEFT JOIN sp USING (user_id, sid)
+    )
+    SELECT CAST(s_start // {_FUNNEL_DAY_US} AS BIGINT) AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(v) AS BIGINT) AS n_view,
+           CAST(COUNT(c) AS BIGINT) AS n_view_click,
+           CAST(COUNT(p) AS BIGINT) AS n_full_funnel,
+           CAST(CASE WHEN COUNT(v) > 0
+                     THEN (1000000 * COUNT(p)) // COUNT(v) END
+                AS BIGINT) AS conv_full_per_view_ppm
+    FROM fs
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@pending_query("events_session_funnel", oracle=_SESSION_FUNNEL_ORACLE)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SCOPED FUNNEL ATTRIBUTION — per gap-session (the
+    30-minute-gap sessionization `stream_session_window_gap`
+    certified, batch-replayed here as the classical gaps-islands
+    construction) the ORDERED funnel view -> click -> purchase:
+    a session converts a stage only if the event occurs AT/AFTER the
+    previous stage's first completion (first view, then first click
+    >= that view, then first purchase >= that click — min-ts
+    anchoring, so an early purchase before any view never counts).
+    Rolled up per session-start day: sessions, view sessions,
+    view->click sessions, full-funnel sessions, and the exact-integer
+    full-per-view conversion in ppm (NULL on view-less days, never a
+    silent 0/0).
+
+    The session sibling of the attribution trio — where
+    `events_attribution_*` credit a conversion to its upstream
+    touches, this certifies the within-session ORDER constraint, the
+    thing position-based attribution assumes and never checks.
+
+    Scale shape: per-user window functions (never a global sort),
+    three per-session conditional aggregates over the sessionized
+    frame, |sessions|-row joins collapsing to |days| rows. At 100 TB
+    events are day-partitioned and the user-hash shuffle is the one
+    repartition every session op shares.
+
+    Reference basis: none; contract C5/C6 + attribution families
+    (SURVEY §2.5, §2.10)."""
+    from pyspark.sql import Window
+
+    se = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("tus"),
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("tus")
+    brk = (
+        F.when(
+            F.lag("tus").over(wu).isNull()
+            | ((F.col("tus") - F.lag("tus").over(wu)) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    sg = se.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("tus")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sv = sg.groupBy("user_id", "sid").agg(
+        F.min("tus").cast("long").alias("s_start"),
+        F.min(F.when(F.col("event_type") == "view", F.col("tus"))).alias(
+            "v"
+        ),
+    )
+    sc = (
+        sg.join(sv, ["user_id", "sid"])
+        .filter(
+            (F.col("event_type") == "click") & (F.col("tus") >= F.col("v"))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("tus").cast("long").alias("c"))
+    )
+    sp = (
+        sg.join(sc, ["user_id", "sid"])
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("tus") >= F.col("c"))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("tus").cast("long").alias("p"))
+    )
+    fs = (
+        sv.join(sc, ["user_id", "sid"], "left")
+        .join(sp, ["user_id", "sid"], "left")
+    )
+    return (
+        fs.groupBy(
+            F.expr(f"s_start div {_FUNNEL_DAY_US}")
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.count("v").cast("long").alias("n_view"),
+            F.count("c").cast("long").alias("n_view_click"),
+            F.count("p").cast("long").alias("n_full_funnel"),
+            F.when(
+                F.count("v") > 0,
+                F.expr("(1000000 * count(p)) div count(v)"),
+            )
+            .cast("long")
+            .alias("conv_full_per_view_ppm"),
+        )
+        .orderBy("day_idx")
+    )

@@ -1666,3 +1666,130 @@ def sample_poststrat_weights(
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: IMPORTANCE REWEIGHTING toward a target mix
+# (the weights-side sibling of the temperature/Neyman DRAW ops).
+# ---------------------------------------------------------------------------
+
+_IMPORTANCE_REWEIGHT_ORACLE = f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM s
+    ),
+    w AS (
+      SELECT s.source, s.n_docs,
+             (1000000 * s.n_docs) // t.total AS actual_share_ppm,
+             (1000000 * t.total) // (t.n_src * s.n_docs)
+               AS weight_ppm,
+             t.total, t.n_src
+      FROM s, t
+    ),
+    e AS (
+      SELECT CAST(SUM(n_docs * weight_ppm) AS BIGINT) AS sw,
+             CAST(SUM(n_docs * weight_ppm * weight_ppm) AS BIGINT) AS sww,
+             CAST(MAX(total) AS BIGINT) AS total
+      FROM w
+    )
+    SELECT w.source,
+           w.n_docs,
+           CAST(w.actual_share_ppm AS BIGINT) AS actual_share_ppm,
+           CAST(w.weight_ppm AS BIGINT) AS weight_ppm,
+           CAST((w.n_docs * w.weight_ppm) // 1000000 AS BIGINT)
+             AS effective_docs,
+           floor(CAST(e.sw AS DOUBLE) * e.sw / e.total / e.sww * 10000
+                 + 0.5) / 10000 AS ess_ratio
+    FROM w, e ORDER BY w.source
+    """
+
+
+@pending_query(
+    "sample_importance_reweight", oracle=_IMPORTANCE_REWEIGHT_ORACLE
+)
+def sample_importance_reweight(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMPORTANCE REWEIGHTING toward a UNIFORM source mix — the
+    weights-side alternative to resampling (`sample_temperature_mix`
+    draws documents; this keeps every document and hands the
+    dataloader per-source weights): weight_ppm = target/actual share
+    as the exact integer (1e6·N)/(S·n_s), so Σ n_s·w_s ≈ 1e6·N and
+    each source's effective count lands within integer truncation of
+    N/S — certified by the `effective_docs` column (a source present
+    in the groupBy has n_docs >= 1 by construction, so the divisor
+    needs no degenerate guard). The global cost of reweighting is the
+    EFFECTIVE SAMPLE SIZE ratio, Kish's (Σw)²/(N·Σw²) computed from
+    exact int64 source-level sums (one double division at the end,
+    pinned to the 1e-4 grid) — the number that says how much variance
+    the mix correction buys back.
+
+    Scale shape: ONE |sources|-row aggregate end to end — the corpus
+    scan is the single groupBy('source') count; weights and the ESS
+    are |sources|-row integer arithmetic on the driver-free plan. At
+    100 TB this is the cheapest op in the sampling family; the
+    weights table broadcasts to the dataloader.
+
+    Reference basis: none; contract training-data sampling family
+    (SURVEY §2.10) — the reweight rung beside `sample_temperature_mix`
+    and `sample_neyman_allocation`."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.expr("(1000000 * n_docs) div total")
+        .cast("long")
+        .alias("actual_share_ppm"),
+        F.expr("(1000000 * total) div (n_src * n_docs)")
+        .cast("long")
+        .alias("weight_ppm"),
+        "total",
+    )
+    e = w.agg(
+        F.sum(F.col("n_docs") * F.col("weight_ppm"))
+        .cast("long")
+        .alias("sw"),
+        F.sum(
+            F.col("n_docs") * F.col("weight_ppm") * F.col("weight_ppm")
+        )
+        .cast("long")
+        .alias("sww"),
+        F.max("total").cast("long").alias("total_g"),
+    )
+    return (
+        w.crossJoin(F.broadcast(e))
+        .select(
+            "source",
+            "n_docs",
+            "actual_share_ppm",
+            "weight_ppm",
+            F.expr("(n_docs * weight_ppm) div 1000000")
+            .cast("long")
+            .alias("effective_docs"),
+            (
+                F.floor(
+                    F.col("sw").cast("double")
+                    * F.col("sw")
+                    / F.col("total_g")
+                    / F.col("sww")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("ess_ratio"),
+        )
+        .orderBy("source")
+    )

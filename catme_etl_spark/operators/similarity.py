@@ -4746,3 +4746,552 @@ def pipeline_vector_index_delete_compact(
         .cast("long")
         .alias("n_tombstones"),
     ).orderBy("list_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: the COMPACTION EXECUTOR + post-compaction
+# recall re-audit + the lifecycle decision report (closing the index
+# family: probe -> admit -> observe -> rebalance -> retire -> compact
+# -> re-certify).
+# ---------------------------------------------------------------------------
+
+_MEM_CTES = (
+    _INGEST_CTES
+    + f""",
+    adm AS (
+      SELECT b.vec_id, bc.cid,
+             CAST(CASE WHEN st.n_cand IS NULL THEN 1
+                       WHEN {INGEST_REJECT_FACTOR} * st.min_adc * st.n_cand
+                            < st.sum_adc THEN 0
+                       ELSE 1 END AS BIGINT) AS admitted
+      FROM batch b
+      JOIN bcid bc ON bc.query_id = b.vec_id
+      LEFT JOIN st ON st.query_id = b.vec_id
+    ),
+    mem AS MATERIALIZED (
+      SELECT vec_id, cid AS list_id FROM assign WHERE vec_id % 10 <> 9
+      UNION ALL
+      SELECT vec_id, cid AS list_id FROM adm WHERE admitted = 1
+    )"""
+)
+
+_COMPACTION_ORACLE = (
+    _MEM_CTES
+    + f""",
+    dstat AS MATERIALIZED (
+      SELECT list_id,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(COALESCE(SUM(CASE WHEN vec_id % {DELETE_MOD} = 3
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_deleted
+      FROM mem GROUP BY 1
+    ),
+    dig AS MATERIALIZED (
+      SELECT list_id,
+             md5(string_agg(CAST(vec_id AS VARCHAR), ','
+                            ORDER BY vec_id)) AS live_md5
+      FROM mem WHERE vec_id % {DELETE_MOD} <> 3 GROUP BY 1
+    )
+    SELECT d.list_id,
+           d.n_before AS n_postings_before,
+           CAST(CASE WHEN 4 * d.n_deleted >= d.n_before THEN 1 ELSE 0 END
+                AS BIGINT) AS compacted,
+           CAST(CASE WHEN 4 * d.n_deleted >= d.n_before
+                     THEN d.n_before - d.n_deleted
+                     ELSE d.n_before END AS BIGINT) AS n_postings_after,
+           CAST(d.n_before - d.n_deleted AS BIGINT) AS n_live,
+           g.live_md5
+    FROM dstat d LEFT JOIN dig g USING (list_id)
+    ORDER BY d.list_id
+    """
+)
+
+
+@pending_query("pipeline_vector_index_compaction", oracle=_COMPACTION_ORACLE)
+def pipeline_vector_index_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPACTION EXECUTOR — applies the per-list verdicts
+    `pipeline_vector_index_delete_compact` emits (round-12 verdict
+    item #7): lists where at least a quarter of the postings are dead
+    (exact integer 4·deleted >= before) are REWRITTEN — their posting
+    count drops to the live count — while under-threshold lists keep
+    their tombstones in place (postings_after == postings_before, the
+    probe path keeps filtering). The rewrite is certified by CONTENT,
+    not just counts: `live_md5` is the md5 over the list's ascending
+    live member ids (','-joined, the canonical posting-file rendering)
+    — the digest a storage layer would record beside the rewritten
+    segment, and the value the re-audit (`sim_ivf_compacted_recall`)
+    implicitly searches. A fully-dead list keeps its row with
+    live_md5 NULL on both engines.
+
+    Scale shape: ONE groupBy over the shared session-materialized
+    membership artifact (`ivf_rebalance_members`) for the stats plus
+    one live-only groupBy for the digests — both |members|-linear
+    with |lists|-row outputs; the digest aggregate is the only
+    collect_list and it is list-bounded (a posting list by
+    construction fits a worker — the same bound the index itself
+    requires). No vector ever moves: compaction touches postings
+    only.
+
+    Reference basis: none; contract F10/F14 ANN family — completes
+    retire the way `pipeline_vector_index_rebalance` completed
+    occupancy."""
+    from ._shared import shared_df
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 9).select("vec_id")
+    adm = (
+        fan_out(batch, spark)
+        .mapInPandas(
+            _ingest_gen(art),
+            schema=(
+                "vec_id long, cid long, n_cand long, min_adc long,"
+                " sum_adc long, admitted long"
+            ),
+        )
+        .filter(F.col("admitted") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"))
+    )
+    existing = (
+        fan_out(emb.filter(F.col("vec_id") % 10 != 9), spark)
+        .select("vec_id")
+        .mapInPandas(_assign_lookup_gen(art), "vec_id long, list_id long")
+    )
+    members = shared_df(
+        "ivf_rebalance_members",
+        sf_dir,
+        spark,
+        lambda: existing.unionByName(adm),
+        materialize=True,
+    )
+    dead = F.col("vec_id") % DELETE_MOD == 3
+    stat = members.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(F.when(dead, 1).otherwise(0)).cast("long").alias("n_deleted"),
+    )
+    dig = (
+        members.filter(~dead)
+        .groupBy("list_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("vec_id")),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("live_md5")
+        )
+    )
+    compact = 4 * F.col("n_deleted") >= F.col("n_before")
+    return (
+        stat.join(dig, "list_id", "left")
+        .select(
+            "list_id",
+            F.col("n_before").alias("n_postings_before"),
+            F.when(compact, 1).otherwise(0).cast("long").alias("compacted"),
+            F.when(compact, F.col("n_before") - F.col("n_deleted"))
+            .otherwise(F.col("n_before"))
+            .cast("long")
+            .alias("n_postings_after"),
+            (F.col("n_before") - F.col("n_deleted"))
+            .cast("long")
+            .alias("n_live"),
+            "live_md5",
+        )
+        .orderBy("list_id")
+    )
+
+
+def _ivf_compact_gen(art_bc, plan_bc):
+    """mapInPandas generator for the post-compaction recall audit: per
+    panel query emit exact truth + coarse-IVF top-k under the BEFORE
+    (full membership, tombstones still probed) and AFTER (live-only
+    membership — what the compacted/tombstone-filtered probe path
+    returns) index states. Same stable-sort lowest-id tie discipline
+    as `_ivf_rebal_gen` — byte-identical to the oracle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, Q, _assign, _codes, cids, C, _wids, _W = art_bc.value
+        member_ids, mb, _ma, _aids, _avecs = plan_bc.value
+        mpos = np.searchsorted(ids, member_ids)
+        Qm = Q[mpos]
+        live = member_ids % DELETE_MOD != 3
+        BIG = np.int64(1 << 62)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["vec_id"].to_numpy()
+            pos = np.searchsorted(ids, ia)
+            qa = Q[pos]
+            db = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (qa @ C.T)
+            )
+            pb = cids[np.argsort(db, axis=1, kind="stable")[:, :NPROBE]]
+            dm = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (Qm * Qm).sum(axis=1)[None, :]
+                - 2 * (qa @ Qm.T)
+            )
+            dm = np.where(ia[:, None] == member_ids[None, :], BIG, dm)
+            out_q, out_n, out_t = [], [], []
+
+            def take(q_id, nbr, tier):
+                out_q.extend([q_id] * len(nbr))
+                out_n.extend(int(v) for v in nbr)
+                out_t.extend([tier] * len(nbr))
+
+            for r in range(len(ia)):
+                probed = np.isin(mb, pb[r]) & (member_ids != ia[r])
+                for tier_t, tier_i, mask in (
+                    ("truth_before", "before", np.ones_like(live)),
+                    ("truth_after", "after", live),
+                ):
+                    tm = mask & (member_ids != ia[r])
+                    tidx = np.nonzero(tm)[0]
+                    nbr, de = member_ids[tidx], dm[r][tidx]
+                    take(
+                        int(ia[r]),
+                        nbr[np.lexsort((nbr, de))[:TOP_K]],
+                        tier_t,
+                    )
+                    cidx = np.nonzero(probed & mask)[0]
+                    nbr, de = member_ids[cidx], dm[r][cidx]
+                    take(
+                        int(ia[r]),
+                        nbr[np.lexsort((nbr, de))[:TOP_K]],
+                        tier_i,
+                    )
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "tier": out_t}
+            )
+
+    return gen
+
+
+_COMPACT_RECALL_ORACLE = (
+    _MEM_CTES
+    + f""",
+    panel AS MATERIALIZED (
+      SELECT vec_id, qv FROM (
+        SELECT vec_id, qv,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr
+        FROM qc
+      ) WHERE pr <= {PQ_PANEL_N}
+    ),
+    memq AS MATERIALIZED (
+      SELECT m.vec_id, m.list_id,
+             CAST(m.vec_id % {DELETE_MOD} <> 3 AS BIGINT) AS is_live,
+             q.qv
+      FROM mem m JOIN qc q ON q.vec_id = m.vec_id
+    ),
+    tr_b AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM panel p JOIN memq b ON b.vec_id <> p.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    tr_a AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM panel p JOIN memq b ON b.vec_id <> p.vec_id
+                     AND b.is_live = 1
+      ) WHERE rank <= {TOP_K}
+    ),
+    prq AS MATERIALIZED (
+      SELECT query_id, cid FROM (
+        SELECT p.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - c.cqv[j+1]) * (p.qv[j+1] - c.cqv[j+1])))
+                 AS BIGINT), c.cid) AS rn
+        FROM panel p, cent c
+      ) WHERE rn <= {NPROBE}
+    ),
+    iv_b AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT pq.query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY pq.query_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM prq pq
+        JOIN panel p ON p.vec_id = pq.query_id
+        JOIN memq b ON b.list_id = pq.cid AND b.vec_id <> pq.query_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    iv_a AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT pq.query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY pq.query_id ORDER BY
+                 CAST(list_sum(list_transform(range(len(p.qv)), j ->
+                   (p.qv[j+1] - b.qv[j+1]) * (p.qv[j+1] - b.qv[j+1])))
+                 AS BIGINT), b.vec_id) AS rank
+        FROM prq pq
+        JOIN panel p ON p.vec_id = pq.query_id
+        JOIN memq b ON b.list_id = pq.cid AND b.vec_id <> pq.query_id
+                   AND b.is_live = 1
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT * FROM (
+      SELECT 'after' AS tier,
+             (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM tr_a)
+               AS n_queries,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tr_a) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM iv_a JOIN tr_a
+                USING (query_id, neighbor_id)) AS n_hits,
+             floor((CAST((SELECT COUNT(*) FROM iv_a JOIN tr_a
+                            USING (query_id, neighbor_id)) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM tr_a)) * 1000000 + 0.5)
+               / 1000000 AS recall_at_{TOP_K}
+      UNION ALL
+      SELECT 'before' AS tier,
+             (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM tr_b)
+               AS n_queries,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tr_b) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM iv_b JOIN tr_b
+                USING (query_id, neighbor_id)) AS n_hits,
+             floor((CAST((SELECT COUNT(*) FROM iv_b JOIN tr_b
+                            USING (query_id, neighbor_id)) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM tr_b)) * 1000000 + 0.5)
+               / 1000000 AS recall_at_{TOP_K}
+    ) ORDER BY tier
+    """
+)
+
+
+@pending_query("sim_ivf_compacted_recall", oracle=_COMPACT_RECALL_ORACLE)
+def sim_ivf_compacted_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@{TOP_K} BEFORE vs AFTER delete+compaction — the
+    re-certification rung that closes the retirement loop the way
+    `sim_ivf_rebalanced_recall` closed rebalance (round-12 verdict
+    item #7): 'before' is the original index over the full post-ingest
+    membership with truth over that membership; 'after' is the
+    compacted/tombstone-filtered probe path — live members only — with
+    truth over the LIVE corpus (deletions shrink the answer set, so
+    the honest denominator shrinks with it). A green row certifies
+    both halves of the deletion contract: no dead posting is ever
+    returned, and coarse recall over the surviving corpus is
+    preserved. List geometry is identical across tiers (compaction
+    never moves a vector), so any recall delta is attributable to the
+    membership change alone.
+
+    Exact int64 arithmetic end to end; ties to the lowest id via
+    stable sorts — the recall values land in the oracle hash
+    bit-identically.
+
+    Scale shape: identical to `sim_ivf_rebalanced_recall` — fitted
+    artifacts broadcast once (the SHARED `ivf_rebalance_plan`
+    supplies the membership; only its before-lists leg is read),
+    panel scan tasks do per-query work only, O(panel · members) worst
+    case on the exact-truth rows, recall pinned to the fixed
+    {PQ_PANEL_N}-query md5 panel (the round-8 quadratic-truth fix).
+
+    Reference basis: none; contract F10/F14 ANN audit family."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    plan = shared_broadcast(
+        "ivf_rebalance_plan",
+        sf_dir,
+        spark,
+        lambda: _rebalance_plan(art.value),
+    )
+    panel = (
+        emb.withColumn("_pk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_pk", "vec_id")
+        .limit(PQ_PANEL_N)
+        .select("vec_id")
+    )
+    rows = fan_out(panel, spark).mapInPandas(
+        _ivf_compact_gen(art, plan),
+        schema="query_id long, neighbor_id long, tier string",
+    )
+    out = []
+    for tier, truth_tier in (("after", "truth_after"), ("before", "truth_before")):
+        truth = rows.filter(F.col("tier") == truth_tier).select(
+            "query_id", "neighbor_id"
+        )
+        denom = truth.agg(
+            F.count_distinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+        )
+        hits = (
+            rows.filter(F.col("tier") == tier)
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        out.append(
+            denom.crossJoin(F.broadcast(hits)).select(
+                F.lit(tier).alias("tier"),
+                "n_queries",
+                "n_truth",
+                "n_hits",
+                (
+                    F.floor(
+                        (F.col("n_hits").cast("double") / F.col("n_truth"))
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000
+                ).alias(f"recall_at_{TOP_K}"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("tier")
+
+
+_LIFECYCLE_ORACLE = (
+    _MEM_CTES
+    + f""",
+    occ AS MATERIALIZED (
+      SELECT list_id,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COALESCE(SUM(CASE WHEN vec_id % {DELETE_MOD} = 3
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_deleted
+      FROM mem GROUP BY 1
+    ),
+    rtot AS (
+      SELECT CAST(SUM(n_total) AS BIGINT) AS grand,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM occ
+    )
+    SELECT occ.list_id, occ.n_total, occ.n_deleted,
+           CAST(CASE WHEN 2 * occ.n_total * rtot.n_lists > 3 * rtot.grand
+                THEN 1 ELSE 0 END AS BIGINT) AS do_split,
+           CAST(CASE WHEN 4 * occ.n_total * rtot.n_lists < rtot.grand
+                THEN 1 ELSE 0 END AS BIGINT) AS do_merge,
+           CAST(CASE WHEN 4 * occ.n_deleted >= occ.n_total
+                THEN 1 ELSE 0 END AS BIGINT) AS do_compact,
+           CASE
+             WHEN 2 * occ.n_total * rtot.n_lists > 3 * rtot.grand
+               THEN 'split'
+             WHEN 4 * occ.n_total * rtot.n_lists < rtot.grand
+               THEN 'merge'
+             WHEN 4 * occ.n_deleted >= occ.n_total THEN 'compact'
+             ELSE 'none'
+           END AS action
+    FROM occ, rtot
+    ORDER BY occ.list_id
+    """
+)
+
+
+@pending_query("pipeline_index_lifecycle_report", oracle=_LIFECYCLE_ORACLE)
+def pipeline_index_lifecycle_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The index LIFECYCLE REPORT — the nightly decision table that
+    unifies the three maintenance verdicts over one membership scan:
+    occupancy split/merge (the `stream_ivf_list_maintenance` /
+    `pipeline_vector_index_rebalance` rule: split when a list holds
+    >1.5x the mean, merge when <0.25x — exact integer cross-products,
+    no division) and the compaction verdict (a quarter of the postings
+    dead). One ACTION per list with the precedence an operator
+    schedules by: split > merge > compact > none — a list being split
+    resolves its occupancy before any space reclaim matters, and a
+    merging list's postings move anyway so compacting it first would
+    be wasted I/O.
+
+    This is the report the executors consume: `..._rebalance` applies
+    the split/merge rows, `..._compaction` the compact rows, and the
+    two recall re-audits certify each application — the family's
+    capstone view (round-12 verdict item #7, lifecycle close).
+
+    Scale shape: ONE groupBy over the shared session-materialized
+    membership artifact + a 1-row broadcast total; |lists| rows of
+    integer arithmetic, no corpus rescans.
+
+    Reference basis: none; contract F10/F14 ANN family."""
+    from ._shared import shared_df
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 9).select("vec_id")
+    adm = (
+        fan_out(batch, spark)
+        .mapInPandas(
+            _ingest_gen(art),
+            schema=(
+                "vec_id long, cid long, n_cand long, min_adc long,"
+                " sum_adc long, admitted long"
+            ),
+        )
+        .filter(F.col("admitted") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"))
+    )
+    existing = (
+        fan_out(emb.filter(F.col("vec_id") % 10 != 9), spark)
+        .select("vec_id")
+        .mapInPandas(_assign_lookup_gen(art), "vec_id long, list_id long")
+    )
+    members = shared_df(
+        "ivf_rebalance_members",
+        sf_dir,
+        spark,
+        lambda: existing.unionByName(adm),
+        materialize=True,
+    )
+    occ = members.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("vec_id") % DELETE_MOD == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+    )
+    rtot = occ.agg(
+        F.sum("n_total").cast("long").alias("grand"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    split = 2 * F.col("n_total") * F.col("n_lists") > 3 * F.col("grand")
+    merge = 4 * F.col("n_total") * F.col("n_lists") < F.col("grand")
+    compact = 4 * F.col("n_deleted") >= F.col("n_total")
+    return (
+        occ.crossJoin(F.broadcast(rtot))
+        .select(
+            "list_id",
+            "n_total",
+            "n_deleted",
+            F.when(split, 1).otherwise(0).cast("long").alias("do_split"),
+            F.when(merge, 1).otherwise(0).cast("long").alias("do_merge"),
+            F.when(compact, 1).otherwise(0).cast("long").alias("do_compact"),
+            F.when(split, "split")
+            .when(merge, "merge")
+            .when(compact, "compact")
+            .otherwise("none")
+            .alias("action"),
+        )
+        .orderBy("list_id")
+    )

@@ -2211,3 +2211,141 @@ def text_source_signature_cosine(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: INGEST N-GRAM NOVELTY (how much genuinely new
+# text a crawl slice brings — the freshness audit beside the decon
+# scrub, same gram machinery).
+# ---------------------------------------------------------------------------
+
+_NOVELTY_K = 8  # DECON_K — the release family's gram resolution
+
+_NOVELTY_GRAM_SQL = (
+    f"list_transform(range(len(toks) - {_NOVELTY_K - 1}), i -> "
+    + " || ' ' || ".join(f"toks[i+{j + 1}]" for j in range(_NOVELTY_K))
+    + ")"
+)
+
+_NGRAM_NOVELTY_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    base_g AS MATERIALIZED (
+      SELECT DISTINCT md5(unnest({_NOVELTY_GRAM_SQL})) AS gh
+      FROM d WHERE doc_id % 7 <> 3
+    ),
+    new_g AS MATERIALIZED (
+      SELECT DISTINCT source, md5(unnest({_NOVELTY_GRAM_SQL})) AS gh
+      FROM d WHERE doc_id % 7 = 3
+    ),
+    nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_docs
+      FROM d WHERE doc_id % 7 = 3 GROUP BY 1
+    ),
+    ng AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_grams
+      FROM new_g GROUP BY 1
+    ),
+    nv AS (
+      SELECT n.source, CAST(COUNT(*) AS BIGINT) AS n_novel_grams
+      FROM new_g n LEFT JOIN base_g b USING (gh)
+      WHERE b.gh IS NULL GROUP BY 1
+    )
+    SELECT nd.source, nd.n_new_docs,
+           CAST(COALESCE(ng.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+           CAST(COALESCE(nv.n_novel_grams, 0) AS BIGINT) AS n_novel_grams,
+           CAST(CASE WHEN COALESCE(ng.n_new_grams, 0) > 0
+                     THEN (1000000 * COALESCE(nv.n_novel_grams, 0))
+                          // ng.n_new_grams END AS BIGINT) AS novelty_ppm
+    FROM nd LEFT JOIN ng USING (source) LEFT JOIN nv USING (source)
+    ORDER BY nd.source
+    """
+
+
+@pending_query("text_ingest_novelty", oracle=_NGRAM_NOVELTY_ORACLE)
+def text_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST N-GRAM NOVELTY — per source, how much of an arriving
+    crawl slice is text the corpus has never seen: the {_NOVELTY_K}-gram
+    digest set of the NEW slice (the diff family's `doc_id % 7 == 3`
+    ingest slice) anti-joined against the base corpus's global gram
+    set, novelty = |unseen grams| / |slice grams| in exact ppm. The
+    freshness dial a crawl scheduler reads: a source whose slices
+    trend toward zero novelty is re-crawling what the corpus already
+    holds and its budget should move (the decon scrub asks "did we
+    train on eval"; this asks "did we ingest anything new") — same
+    gram machinery (space-normalized token stream, per-doc DISTINCT
+    before the explode, md5 digests so raw grams never shuffle), so
+    the two audits share cost at scale. A slice whose documents are
+    all shorter than {_NOVELTY_K} tokens reports novelty NULL, never
+    a silent 0/0.
+
+    Scale shape: the decon gram-join shape exactly — two DISTINCT
+    gram builds collapsing to digests, ONE equi-join on the 16-byte
+    digest, |sources|-row rollup. At 100 TB the base gram set is the
+    persisted artifact the nightly ingest reuses; the slice side is
+    ingest-sized.
+
+    Reference basis: none; contract text-analysis family (SURVEY
+    §2.10) — the freshness rung beside `text_source_signature_terms`
+    and the decon scrub (`quality.py:1395` lineage)."""
+    from ..functions.texttools import word_shingles
+    from ._shared import fan_out
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
+    grams = F.explode(
+        F.array_distinct(word_shingles(norm, k=_NOVELTY_K))
+    )
+    base_g = (
+        fan_out(d.filter(F.col("doc_id") % 7 != 3), spark)
+        .select(grams.alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    new_g = (
+        fan_out(d.filter(F.col("doc_id") % 7 == 3), spark)
+        .select("source", grams.alias("g"))
+        .select("source", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    nd = (
+        d.filter(F.col("doc_id") % 7 == 3)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_docs"))
+    )
+    ng = new_g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_grams")
+    )
+    nv = (
+        new_g.join(base_g, "gh", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel_grams"))
+    )
+    z = F.lit(0)
+    return (
+        nd.join(ng, "source", "left")
+        .join(nv, "source", "left")
+        .select(
+            "source",
+            "n_new_docs",
+            F.coalesce("n_new_grams", z).cast("long").alias("n_new_grams"),
+            F.coalesce("n_novel_grams", z)
+            .cast("long")
+            .alias("n_novel_grams"),
+            F.when(
+                F.coalesce("n_new_grams", z) > 0,
+                F.expr(
+                    "(1000000 * coalesce(n_novel_grams, 0))"
+                    " div n_new_grams"
+                ),
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )

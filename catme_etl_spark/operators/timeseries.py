@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents
 from ..sources.tables import load_table
-from .registry import query
+from .registry import pending_query, query
 
 _BUCKET_S = 600  # 10-minute buckets
 
@@ -1295,6 +1295,188 @@ def ts_forecast_backtest_holt(
             lc, bc = states[c - 1]
             gap = days[c] - days[c - 1]
             f = lc + gap * bc
+            out["origin_day_us"].append(days[c - 1] * 86_400_000_000)
+            out["target_day_us"].append(days[c] * 86_400_000_000)
+            out["gap_days"].append(gap)
+            out["forecast_events"].append(f)
+            out["actual_events"].append(xs[c])
+            out["err"].append(f - xs[c])
+            out["abs_err"].append(abs(f - xs[c]))
+        return pd.DataFrame(out)
+
+    return (
+        d.select("day", "n")
+        .unionByName(sentinel)
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            backtest,
+            "origin_day_us long, target_day_us long, gap_days long,"
+            " forecast_events long, actual_events long, err long,"
+            " abs_err long",
+        )
+        .orderBy("origin_day_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: ROLLING-ORIGIN BACKTEST of the Holt-Winters
+# seasonal forecaster (the seasonal sibling of
+# `ts_forecast_backtest_holt`, same one-pass intermediate-state read).
+# ---------------------------------------------------------------------------
+
+_HW_BT_GUARD = (
+    "holt-winters backtest undefined: fewer than 3 observed days"
+)
+_HW_BT_ORIGINS = 7  # evaluate the last <= 7 usable origins
+
+_HW_SOLD = (
+    "(CASE CAST(s.day % 7 AS BIGINT) "
+    + " ".join(f"WHEN {k} THEN r.s{k}" for k in range(7))
+    + " END)"
+)
+_HW_LNEW = f"CAST(floor((s.n - {_HW_SOLD} + r.l + r.b) / 2.0) AS BIGINT)"
+_HW_SNEW = (
+    f"(CAST(floor((s.n - ({_HW_LNEW}) + {_HW_SOLD}) / 2.0) AS BIGINT))"
+)
+_HW_REC_STEP = (
+    f"SELECT r.i + 1,\n"
+    f"       {_HW_LNEW} AS l,\n"
+    f"       CAST(floor((r.b + ({_HW_LNEW}) - r.l) / 2.0) AS BIGINT)"
+    f" AS b,\n"
+    + ",\n".join(
+        f"       CASE WHEN CAST(s.day % 7 AS BIGINT) = {k}"
+        f" THEN {_HW_SNEW} ELSE r.s{k} END AS s{k}"
+        for k in range(7)
+    )
+    + "\n      FROM rec r JOIN ser s ON s.i = r.i + 1"
+)
+
+_HW_BT_ORACLE = f"""
+    WITH RECURSIVE d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ser AS (
+      SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
+    ),
+    g AS (
+      SELECT CASE WHEN COUNT(*) < 3
+                  THEN CAST(error('{_HW_BT_GUARD}') AS BIGINT)
+                  ELSE CAST(COUNT(*) AS BIGINT) END AS nd
+      FROM ser
+    ),
+    rec AS (
+      SELECT 1 AS i,
+             CAST(seed1.n AS BIGINT) AS l,
+             CAST(seed2.n - seed1.n AS BIGINT) AS b,
+             {", ".join(f"CAST(0 AS BIGINT) AS s{k}" for k in range(7))}
+      FROM (SELECT n FROM ser WHERE i = 1) seed1,
+           (SELECT n FROM ser WHERE i = 2) seed2
+      UNION ALL
+      {_HW_REC_STEP}
+    ),
+    orig AS (
+      SELECT r.*
+      FROM rec r, g
+      WHERE r.i <= g.nd - 1
+        AND r.i >= GREATEST(2, g.nd - {_HW_BT_ORIGINS})
+    ),
+    fc AS (
+      SELECT o.i AS c, sc.day AS oday, sn.day AS tday, sn.n AS actual,
+             CAST(o.l + (sn.day - sc.day) * o.b
+                  + (CASE CAST(sn.day % 7 AS BIGINT)
+                     {" ".join(f"WHEN {k} THEN o.s{k}" for k in range(7))}
+                     END) AS BIGINT) AS f
+      FROM orig o
+      JOIN ser sc ON sc.i = o.i
+      JOIN ser sn ON sn.i = o.i + 1
+    )
+    SELECT CAST(oday * 86400000000 AS BIGINT) AS origin_day_us,
+           CAST(tday * 86400000000 AS BIGINT) AS target_day_us,
+           CAST(tday - oday AS BIGINT) AS gap_days,
+           CAST(f AS BIGINT) AS forecast_events,
+           CAST(actual AS BIGINT) AS actual_events,
+           CAST(f - actual AS BIGINT) AS err,
+           CAST(abs(f - actual) AS BIGINT) AS abs_err
+    FROM fc ORDER BY 1
+    """
+
+
+@pending_query("ts_forecast_backtest_hw", oracle=_HW_BT_ORACLE)
+def ts_forecast_backtest_hw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING-ORIGIN BACKTEST of the certified Holt-Winters weekly
+    forecaster — the seasonal sibling of `ts_forecast_backtest_holt`
+    (round-12 README candidate (d)): for each of the last
+    {_HW_BT_ORIGINS} usable origins c, take the FULL 9-state
+    (l, b, s[0..6]) from the identical dyadic-floor recursion
+    `ts_holt_winters_weekly` certifies (origins reuse the recursion's
+    intermediate states — one pass, never a refit), forecast the next
+    OBSERVED day calendar-faithfully (f = l + Δ·b + s[target_day mod
+    7] — the seasonal slot follows the TRUE epoch-day of the target,
+    exactly the parent's f_h convention), and report forecast vs
+    actual with signed and absolute integer errors. The number this
+    adds over the Holt backtest is the seasonal term's out-of-sample
+    value: on a weekday/weekend-cycled series the HW backtest's
+    abs_err should undercut the Holt backtest's at the same origins
+    (crafted test pins a pure-cycle series to zero error), and a
+    series where it DOESN'T is the signal to drop the seasonal state.
+
+    Everything integer-exact (floor(x/2.0) dyadic smoothing), so the
+    errors land in the oracle hash bit-identically; fewer than 3
+    observed days raises LOUDLY on both engines.
+
+    Scale shape: |days|-row map-side-combinable agg, ONE sequential
+    applyInPandas group over the horizon-bounded series, at most
+    {_HW_BT_ORIGINS} output rows — the `ts_forecast_backtest_holt`
+    shape with 7 more longs of state.
+
+    Reference basis: none; contract ops-analytics/time-series family
+    — the evaluation rung above `ts_holt_winters_weekly`."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sentinel = spark.range(1).select(
+        F.lit(None).cast("long").alias("day"),
+        F.lit(None).cast("long").alias("n"),
+    )
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.dropna(subset=["day", "n"]).sort_values("day")
+        xs = [int(v) for v in pdf["n"]]
+        days = [int(v) for v in pdf["day"]]
+        nd = len(xs)
+        if nd < 3:
+            raise ValueError(_HW_BT_GUARD)
+        l, b = xs[0], xs[1] - xs[0]
+        s = [0] * 7
+        states = [(l, b, tuple(s))]
+        for t in range(1, nd):
+            x, dow = xs[t], days[t] % 7
+            s_old = s[dow]
+            l_new = math.floor((x - s_old + l + b) / 2.0)
+            b = math.floor((b + l_new - l) / 2.0)
+            s[dow] = math.floor((x - l_new + s_old) / 2.0)
+            l = l_new
+            states.append((l, b, tuple(s)))
+        out = {
+            "origin_day_us": [], "target_day_us": [], "gap_days": [],
+            "forecast_events": [], "actual_events": [],
+            "err": [], "abs_err": [],
+        }
+        for c in range(max(2, nd - _HW_BT_ORIGINS), nd):  # 1-based c
+            lc, bc, sc = states[c - 1]
+            gap = days[c] - days[c - 1]
+            f = lc + gap * bc + sc[days[c] % 7]
             out["origin_day_us"].append(days[c - 1] * 86_400_000_000)
             out["target_day_us"].append(days[c] * 86_400_000_000)
             out["gap_days"].append(gap)

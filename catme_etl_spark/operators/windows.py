@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.money import cents, money_from_cents
 from ..sources.tables import load_table
 from ._shared import maybe_broadcast
-from .registry import query
+from .registry import pending_query, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -467,4 +467,104 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wr).alias("r_q"),
         F.ntile(4).over(wf).alias("f_q"),
         F.ntile(4).over(wm).alias("m_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: USER LIFECYCLE STAGES (the longitudinal rung
+# above gaps-islands / retention cohorts).
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_GAP_DAYS = 7
+_LC_DAY_US = 86_400_000_000
+
+_USER_LIFECYCLE_ORACLE = f"""
+    WITH ad AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // {_LC_DAY_US} AS BIGINT) AS day_idx
+      FROM events WHERE ts IS NOT NULL
+    ),
+    lc AS (
+      SELECT user_id, day_idx,
+             LAG(day_idx) OVER (PARTITION BY user_id ORDER BY day_idx)
+               AS prev_day
+      FROM ad
+    ),
+    st AS (
+      SELECT day_idx,
+             CASE WHEN prev_day IS NULL THEN 'new'
+                  WHEN day_idx - prev_day > {_LIFECYCLE_GAP_DAYS}
+                    THEN 'resurrected'
+                  ELSE 'retained' END AS stage
+      FROM lc
+    )
+    SELECT day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COALESCE(SUM(CASE WHEN stage = 'new' THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_new,
+           CAST(COALESCE(SUM(CASE WHEN stage = 'retained' THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(SUM(CASE WHEN stage = 'resurrected' THEN 1
+                             ELSE 0 END), 0) AS BIGINT) AS n_resurrected
+    FROM st GROUP BY 1 ORDER BY 1
+    """
+
+
+@pending_query("window_user_lifecycle", oracle=_USER_LIFECYCLE_ORACLE)
+def window_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER LIFECYCLE STAGES — the longitudinal classification every
+    growth/retention dashboard is built on, as one per-user window
+    pass: each ACTIVE user-day (distinct user x UTC day index — the
+    same integer `epoch_us div day` grid the retention-cohort op
+    uses) is staged NEW (first activity ever), RESURRECTED (previous
+    active day more than {_LIFECYCLE_GAP_DAYS} days back — a closed
+    gap, the gaps-islands boundary reused as a lifecycle edge) or
+    RETAINED (active within the window), then rolled up to daily
+    stage counts. n_active == n_new + n_retained + n_resurrected by
+    construction — pinned by the crafted suite.
+
+    Scale shape: one distinct over (user, day) — map-side combinable
+    — then a per-user LAG (never a global sort) and a |days|-row
+    rollup. The 100 TB shape is the day-partitioned events table
+    with the user-hash shuffle shared by every session/retention op.
+
+    Reference basis: none; contract W window family (SURVEY §2.5) —
+    the lifecycle rung beside `window_gaps_islands_user_activity`
+    and the retention cohort curves."""
+    ad = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_LC_DAY_US}")
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .distinct()
+    )
+    prev = F.lag("day_idx").over(
+        Window.partitionBy("user_id").orderBy("day_idx")
+    )
+    st = ad.select(
+        "day_idx",
+        F.when(prev.isNull(), "new")
+        .when(F.col("day_idx") - prev > _LIFECYCLE_GAP_DAYS, "resurrected")
+        .otherwise("retained")
+        .alias("stage"),
+    )
+    return (
+        st.groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("stage") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("stage") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("stage") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .orderBy("day_idx")
     )

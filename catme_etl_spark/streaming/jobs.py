@@ -2585,3 +2585,153 @@ def stream_release_admission_gate(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 debut queue: streaming COMPACTION SCHEDULER (tombstone
+# telemetry -> prioritized compaction queue; the retire-side sibling
+# of `stream_ivf_list_maintenance`).
+# ---------------------------------------------------------------------------
+
+_COMPACT_SCHED_ORACLE = (
+    _INGEST_CTES
+    + """,
+    exi AS MATERIALIZED (
+      SELECT vec_id, cid AS list_id FROM assign WHERE vec_id % 10 <> 9
+    ),
+    exc AS (
+      SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_existing
+      FROM exi GROUP BY 1
+    ),
+    del AS (
+      SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_deleted
+      FROM exi WHERE vec_id % 25 = 3 GROUP BY 1
+    ),
+    v AS (
+      SELECT e.list_id, e.n_existing,
+             CAST(COALESCE(d.n_deleted, 0) AS BIGINT) AS n_deleted,
+             CAST(CASE WHEN 4 * COALESCE(d.n_deleted, 0) >= e.n_existing
+                       THEN 1 ELSE 0 END AS BIGINT) AS do_compact
+      FROM exc e LEFT JOIN del d USING (list_id)
+    ),
+    q AS (
+      SELECT list_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_deleted DESC, list_id)
+                  AS BIGINT) AS queue_rank
+      FROM v WHERE do_compact = 1
+    )
+    SELECT v.list_id, v.n_existing, v.n_deleted, v.do_compact,
+           q.queue_rank
+    FROM v LEFT JOIN q USING (list_id)
+    ORDER BY v.list_id
+    """
+)
+
+
+@pending_query("stream_compaction_scheduler", oracle=_COMPACT_SCHED_ORACLE)
+def stream_compaction_scheduler(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming COMPACTION SCHEDULER — tombstone telemetry folded by
+    the stream into a prioritized compaction queue, the retire-side
+    sibling of `stream_ivf_list_maintenance` (which watches
+    occupancy; this watches decay): deletion notices arrive on the
+    embedding stream (persisted-index members hitting the repo's
+    tombstone rule `vec_id % 25 == 3`), each micro-batch looks up the
+    victim's inverted list through the SAME persisted driver-fit
+    artifact every index op shares, and the stream state keeps one
+    mergeable per-list DELETE counter — replay/out-of-order safe the
+    way every streaming index store in the family is.
+
+    The batch-side verdict composes the snapshot with the persisted
+    list sizes (read off the broadcast artifact — |lists| rows, no
+    corpus rescan): `do_compact` iff 4·deleted >= existing (the
+    certified `pipeline_vector_index_delete_compact` threshold), and
+    — the scheduler's contribution — a QUEUE RANK over the flagged
+    lists by reclaimable postings (n_deleted DESC, ties to the lowest
+    list id), so a nightly compactor with a fixed I/O budget rewrites
+    the most decayed lists first and a list that never crosses the
+    threshold never costs a rewrite. NULL rank = not scheduled.
+
+    State shape: one int64 per inverted list — bounded by the index,
+    not stream volume; per-batch work is O(batch) id->list lookups
+    through the broadcast.
+
+    Reference basis: none; contract C7/C8 streaming-index family +
+    F10/F14 ANN retire rung."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from ..operators._shared import shared_broadcast, shared_matrix_broadcast
+    from ..operators.similarity import (
+        _assign_lookup_gen,
+        _ivfpq_artifacts,
+        DELETE_MOD,
+    )
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    dels = (
+        _stream_embeddings(spark, sf_dir)
+        .filter(
+            (F.col("vec_id") % 10 != 9)
+            & (F.col("vec_id") % DELETE_MOD == 3)
+        )
+        .select("vec_id")
+    )
+    looked = dels.mapInPandas(
+        _assign_lookup_gen(art), "vec_id long, list_id long"
+    )
+    agg = looked.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deleted")
+    )
+    snap = _run_to_memory(agg, "complete")
+
+    ids, _Q, assign, _codes, cids, _C, _wids, _W = art.value
+    exmask = ids % 10 != 9
+    vals, cnts = np.unique(assign[exmask], return_counts=True)
+    m = {int(v): int(c) for v, c in zip(vals, cnts)}
+    ex = spark.createDataFrame(
+        [(int(c), m.get(int(c), 0)) for c in cids],
+        "list_id long, n_existing long",
+    )
+    z = F.lit(0).cast("long")
+    v = ex.join(snap, "list_id", "left").select(
+        "list_id",
+        "n_existing",
+        F.coalesce("n_deleted", z).cast("long").alias("n_deleted"),
+        F.when(
+            4 * F.coalesce("n_deleted", z) >= F.col("n_existing"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("do_compact"),
+    )
+    q = (
+        v.filter(F.col("do_compact") == 1)
+        .select(
+            "list_id",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n_deleted").desc(), F.col("list_id")
+                )
+            )
+            .cast("long")
+            .alias("queue_rank"),
+        )
+    )
+    return (
+        v.join(q, "list_id", "left")
+        .select(
+            "list_id", "n_existing", "n_deleted", "do_compact", "queue_rank"
+        )
+        .orderBy("list_id")
+    )
