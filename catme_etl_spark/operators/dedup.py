@@ -4037,17 +4037,17 @@ _RETENTION_CANON = """
 _RETENTION_ORACLE = (
     f"""
     WITH {_RELEASE_HEAD_CTES},
-    {_manifest_chain_sql("h", _RETENTION_PREDS[0][2])},
+    {_manifest_chain_sql("x", _RETENTION_PREDS[0][2])},
     {_manifest_chain_sql("p", _RETENTION_PREDS[1][2])},
     {_manifest_chain_sql("c", _RETENTION_PREDS[2][2])},
     """
-    + ",".join(_RETENTION_CANON.format(s=s) for s in ("h", "p", "c"))
+    + ",".join(_RETENTION_CANON.format(s=s) for s in ("x", "p", "c"))
     + f""",
     dhp AS (
       SELECT CAST(COALESCE(MAX(abs(COALESCE(a.share_after_ppm, 0)
                                    - COALESCE(b.share_after_ppm, 0))), 0)
                   AS BIGINT) AS drift
-      FROM manh a FULL JOIN manp b USING (source)
+      FROM manx a FULL JOIN manp b USING (source)
     ),
     dpc AS (
       SELECT CAST(COALESCE(MAX(abs(COALESCE(a.share_after_ppm, 0)
@@ -4066,7 +4066,7 @@ _RETENTION_ORACLE = (
              CASE WHEN (SELECT drift FROM dhp) > {_RETENTION_DRIFT_PPM}
                   THEN 'milestone-drift' ELSE 'expired-no-drift'
              END AS reason
-      FROM pinh
+      FROM pinx
       UNION ALL
       SELECT CAST(2 AS BIGINT), '{_RETENTION_PREDS[1][1]}',
              n_sources, total_final, total_alloc, manifest_md5,
