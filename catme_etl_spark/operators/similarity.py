@@ -4822,8 +4822,11 @@ def pipeline_vector_index_compaction(
     live member ids (','-joined, the canonical posting-file rendering)
     — the digest a storage layer would record beside the rewritten
     segment, and the value the re-audit (`sim_ivf_compacted_recall`)
-    implicitly searches. A fully-dead list keeps its row with
-    live_md5 NULL on both engines.
+    implicitly searches. A list can never go fully dead on a stride
+    corpus (its centroid is structurally live: multiples of the
+    50-stride are never ≡ 3 mod {DELETE_MOD}), so the LEFT JOIN's
+    NULL live_md5 arm is defensive, not reachable — pinned by the
+    singleton-survivor crafted test.
 
     Scale shape: ONE groupBy over the shared session-materialized
     membership artifact (`ivf_rebalance_members`) for the stats plus
