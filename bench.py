@@ -390,21 +390,75 @@ def main() -> None:
     # runs ARTIFACT-WARM and "queries" report the consumer's net cost —
     # the 100 TB-honest split, where artifacts are written once to
     # reliable storage and every release/dedup job reads them.
+    # The instrumentation lives entirely HERE, as call-time wrappers
+    # swapped into every operator module's namespace — NOT as hooks
+    # inside _shared.py — so the engine's source (and with it the
+    # rotation fingerprints of the 150+ live queries whose closures
+    # include shared_df) stays byte-identical; bench.py is outside
+    # every query fingerprint.
     from catme_etl_spark.operators import _shared as _shmod
     from catme_etl_spark.operators._shared import clear_shared
 
     clear_shared()
     spark.catalog.clearCache()
     artifacts: dict[str, float] = {}
+    _orig_df, _orig_bc = _shmod.shared_df, _shmod.shared_broadcast
+    _stack: list[list[float]] = []  # nested-build self-time accounting
 
-    def _observe(name: str, sf_dir: str, sec: float) -> None:
-        if sf_dir == SF_DIR:
-            artifacts[f"artifact:{name}"] = round(
-                artifacts.get(f"artifact:{name}", 0.0) + sec, 3
-            )
+    def _record(name: str, sf_dir: str, fn):
+        """Run one cache-miss build observed: report self time (total
+        minus nested shared builds) under artifact:<name>."""
+        _stack.append([0.0])
+        t0 = time.time()
+        try:
+            return fn()
+        finally:
+            total = time.time() - t0
+            child = _stack.pop()[0]
+            if _stack:
+                _stack[-1][0] += total
+            if sf_dir == SF_DIR:
+                key = f"artifact:{name}"
+                artifacts[key] = round(
+                    artifacts.get(key, 0.0) + max(total - child, 0.0), 3
+                )
 
-    _shmod.BUILD_OBSERVER = _observe
-    _shmod.FORCE_ON_BUILD = True
+    def _wrap_df(name, sf_dir, spark, build, materialize=False):
+        key = (name, sf_dir, spark.sparkContext.applicationId)
+        if key in _shmod._DF_CACHE:
+            return _orig_df(name, sf_dir, spark, build, materialize)
+
+        def _miss():
+            df = _orig_df(name, sf_dir, spark, build, materialize)
+            # force-execute inside the observed window so the build
+            # cost lands on the artifact, not its first consumer
+            df.write.format("noop").mode("overwrite").save()
+            return df
+
+        return _record(name, sf_dir, _miss)
+
+    def _wrap_bc(name, sf_dir, spark, build):
+        key = (name, sf_dir, spark.sparkContext.applicationId)
+        if key in _shmod._BC_CACHE:
+            return _orig_bc(name, sf_dir, spark, build)
+        return _record(
+            name, sf_dir, lambda: _orig_bc(name, sf_dir, spark, build)
+        )
+
+    def _patch(on: bool) -> None:
+        df_fn = _wrap_df if on else _orig_df
+        bc_fn = _wrap_bc if on else _orig_bc
+        _shmod.shared_df = df_fn
+        _shmod.shared_broadcast = bc_fn
+        for mn, mod in list(sys.modules.items()):
+            if not mn.startswith("catme_etl_spark") or mod is None:
+                continue
+            if getattr(mod, "shared_df", None) in (_orig_df, _wrap_df):
+                mod.shared_df = df_fn
+            if getattr(mod, "shared_broadcast", None) in (_orig_bc, _wrap_bc):
+                mod.shared_broadcast = bc_fn
+
+    _patch(True)
     try:
         for name in names:
             try:
@@ -414,8 +468,7 @@ def main() -> None:
             except Exception:
                 pass  # discovery must never break the timed run
     finally:
-        _shmod.BUILD_OBSERVER = None
-        _shmod.FORCE_ON_BUILD = False
+        _patch(False)
 
     # Timing: min of two ARTIFACT-WARM runs per query. Shared
     # artifacts stay materialized from the discovery pass (their build

@@ -75,40 +75,6 @@ def _release_df(df: DataFrame, key) -> None:
             _free_checkpoint_blocks(df, rdd_ids)
 
 
-# Optional build-attribution hooks (bench.py's artifact protocol,
-# round-12 verdict item #4): when BUILD_OBSERVER is set, every shared
-# cache MISS reports (name, sf_dir, build_seconds) to it, and when
-# FORCE_ON_BUILD is also set, DataFrame artifacts are force-executed
-# (noop write) inside the observed window so the one-time build cost is
-# measured HERE instead of landing on whichever consumer's timing
-# happens to touch the artifact first. Both default off — zero effect
-# on queries, tests, or the driver.
-BUILD_OBSERVER: Callable[[str, str, float], None] | None = None
-FORCE_ON_BUILD = False
-# in-flight build windows: child build time is subtracted from every
-# enclosing window so a nested shared artifact (neardup pairs building
-# the minhash-pairs artifact inside its own build) is attributed ONCE
-_BUILD_STACK: list[list[float]] = []
-
-
-def _observed_build(name: str, sf_dir: str, fn):
-    """Run ``fn`` inside a self-time-accounted observation window and
-    report (name, sf_dir, seconds-minus-children) to BUILD_OBSERVER."""
-    import time as _time
-
-    _BUILD_STACK.append([0.0])
-    t0 = _time.time()
-    try:
-        return fn()
-    finally:
-        total = _time.time() - t0
-        child = _BUILD_STACK.pop()[0]
-        if _BUILD_STACK:
-            _BUILD_STACK[-1][0] += total
-        if BUILD_OBSERVER is not None:
-            BUILD_OBSERVER(name, sf_dir, max(total - child, 0.0))
-
-
 def clear_shared() -> None:
     """Release every session-shared intermediate (persisted DataFrames
     and broadcasts) regardless of owning session.
@@ -273,40 +239,25 @@ def shared_df(
     _evict_stale(spark)
     key = (name, sf_dir, spark.sparkContext.applicationId)
     if key not in _DF_CACHE:
-
-        def _miss():
-            _build_df_entry(key, build, materialize, spark)
-
-        if BUILD_OBSERVER is None:
-            _miss()
+        df = build()
+        if materialize:
+            # One pass straight into the checkpoint, final stage
+            # deferred to the first action (upstream shuffle stages run
+            # NOW under AQE — see docstring). (A persist+count prelude
+            # "to keep the build under AQE" was measured at 2× the cold
+            # cost — the extra full pass buys nothing at these
+            # intermediate sizes; direct checkpoint times identical to
+            # a plain persist while also truncating every consumer's
+            # static plan.) The RDD ids persisted by the checkpoint are
+            # recorded so eviction can free the blocks —
+            # DataFrame.unpersist() alone leaks them.
+            before = _persistent_rdd_ids(spark)
+            ck = df.localCheckpoint(eager=False)
+            _CK_RDD_IDS[key] = _persistent_rdd_ids(spark) - before
+            _DF_CACHE[key] = ck
         else:
-            _observed_build(name, sf_dir, _miss)
+            _DF_CACHE[key] = df.persist()
     return _DF_CACHE[key]
-
-
-def _build_df_entry(key, build, materialize, spark):
-    df = build()
-    if materialize:
-        # One pass straight into the checkpoint, final stage
-        # deferred to the first action (upstream shuffle stages run
-        # NOW under AQE — see docstring). (A persist+count prelude
-        # "to keep the build under AQE" was measured at 2× the cold
-        # cost — the extra full pass buys nothing at these
-        # intermediate sizes; direct checkpoint times identical to
-        # a plain persist while also truncating every consumer's
-        # static plan.) The RDD ids persisted by the checkpoint are
-        # recorded so eviction can free the blocks —
-        # DataFrame.unpersist() alone leaks them.
-        before = _persistent_rdd_ids(spark)
-        ck = df.localCheckpoint(eager=False)
-        _CK_RDD_IDS[key] = _persistent_rdd_ids(spark) - before
-        _DF_CACHE[key] = ck
-    else:
-        _DF_CACHE[key] = df.persist()
-    if BUILD_OBSERVER is not None and FORCE_ON_BUILD:
-        # force-execute inside the observed window so the build cost
-        # is attributed to the artifact, not its first consumer
-        _DF_CACHE[key].write.format("noop").mode("overwrite").save()
 
 
 def _over_budget_error(
@@ -398,12 +349,5 @@ def shared_broadcast(
     _evict_stale(spark)
     key = (name, sf_dir, spark.sparkContext.applicationId)
     if key not in _BC_CACHE:
-
-        def _miss():
-            _BC_CACHE[key] = spark.sparkContext.broadcast(build())
-
-        if BUILD_OBSERVER is None:
-            _miss()
-        else:
-            _observed_build(name, sf_dir, _miss)
+        _BC_CACHE[key] = spark.sparkContext.broadcast(build())
     return _BC_CACHE[key]

@@ -81,23 +81,23 @@ def test_pending_queue_discipline():
     assert set(PENDING_ORACLE) & set(ORACLE) == set()
     for name, fn in PENDING.items():
         assert callable(fn), name
-    # round 12 flipped the 12-op round-11 queue live as its first act
-    # (evidence: PENDING_CHECK_r11.txt, tests/test_round12_pending.py).
-    # The staged round-13 debut queue, pinned by name (evidence:
-    # PENDING_CHECK_r12.txt, tests/test_round13_pending.py):
+    # round 13 flipped the 12-op round-12 queue live as its first act
+    # (evidence: PENDING_CHECK_r12.txt, tests/test_round13_pending.py).
+    # The staged round-14 debut queue, pinned by name (evidence:
+    # PENDING_CHECK_r13.txt, tests/test_round14_pending.py):
     assert set(PENDING) == {
-        "pipeline_vector_index_rebalance",
-        "sim_ivf_rebalanced_recall",
-        "pipeline_vector_index_delete_compact",
-        "pipeline_release_pin",
-        "dedup_winnowing_source_matrix",
-        "text_source_signature_cosine",
-        "ts_forecast_backtest_holt",
-        "agg_hoover_index",
-        "sample_poststrat_weights",
-        "stream_watermark_lateness_audit",
-        "stream_session_window_gap",
-        "stream_release_admission_gate",
+        "pipeline_vector_index_compaction",
+        "sim_ivf_compacted_recall",
+        "pipeline_index_lifecycle_report",
+        "stream_compaction_scheduler",
+        "pipeline_release_retention",
+        "quality_dedup_source_bias",
+        "events_session_funnel",
+        "window_user_lifecycle",
+        "agg_trimmed_mean",
+        "sample_importance_reweight",
+        "text_ingest_novelty",
+        "ts_forecast_backtest_hw",
     }
 
 
@@ -280,6 +280,21 @@ ROUND11_DEBUT_QUEUE = [
     "stream_ivf_list_maintenance",
 ]
 
+ROUND12_DEBUT_QUEUE = [
+    "pipeline_vector_index_rebalance",
+    "sim_ivf_rebalanced_recall",
+    "pipeline_vector_index_delete_compact",
+    "pipeline_release_pin",
+    "dedup_winnowing_source_matrix",
+    "text_source_signature_cosine",
+    "ts_forecast_backtest_holt",
+    "agg_hoover_index",
+    "sample_poststrat_weights",
+    "stream_watermark_lateness_audit",
+    "stream_session_window_gap",
+    "stream_release_admission_gate",
+]
+
 
 def test_debut_queues_flipped_live():
     """Round-N+1 item #1 each round: operators deferred by a round's
@@ -303,11 +318,12 @@ def test_debut_queues_flipped_live():
         + ROUND9_DEBUT_QUEUE
         + ROUND10_DEBUT_QUEUE
         + ROUND11_DEBUT_QUEUE
+        + ROUND12_DEBUT_QUEUE
     ):
         assert name in QUERIES, f"{name} missing from live registry"
         assert name in ORACLE, f"{name} lost its oracle in the flip"
         assert name not in PENDING, f"{name} still queued"
-    for name in ROUND11_DEBUT_QUEUE:
+    for name in ROUND12_DEBUT_QUEUE:
         assert name in window, f"{name} outside the certification window"
 
 
