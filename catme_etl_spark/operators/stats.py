@@ -2323,9 +2323,13 @@ _TRIMMED_MEAN_ORACLE = f"""
 
 @pending_query("agg_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE)
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRIMMED and WINSORIZED MEAN per order priority — the exact-rank
-    robust location pair (the estimators a profiling layer reports
-    when the plain mean is outlier-hostage): rank every order's price
+    """TRIMMED and WINSORIZED MEAN per order priority — the exact-RANK
+    robust location pair, completing the family beside
+    `agg_winsorized_mean_price` (which clips lineitem prices at
+    grid-walk p05/p95 QUANTILES — a value-space rule; this op trims
+    and clips at RANK boundaries k = floor(n·pct), the classical
+    trimmed-mean definition, and adds the trimmed variant the
+    quantile op doesn't have): rank every order's price
     (exact integer cents, ties broken by o_orderkey — fully
     deterministic on both engines), drop the bottom and top
     floor(n*{_TRIM_PCT}/100) ranks for the trimmed mean, and CLAMP
