@@ -459,14 +459,25 @@ def main() -> None:
                 mod.shared_broadcast = bc_fn
 
     _patch(True)
+    discovery_failures: list[str] = []
     try:
         for name in names:
             try:
                 qs[name](spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
-            except Exception:
-                pass  # discovery must never break the timed run
+            except Exception as exc:
+                # Discovery must never break the timed run, but a
+                # failure here means the first timed consumer silently
+                # rebuilds the artifact — the exact attribution bug
+                # the warm protocol exists to fix (round-13 advisor
+                # finding). Make the taint loud and recorded.
+                discovery_failures.append(name)
+                print(
+                    f"bench: artifact discovery FAILED for {name}: "
+                    f"{type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
     finally:
         _patch(False)
 
@@ -593,6 +604,7 @@ def main() -> None:
                 "artifacts": artifacts,
                 "artifact_total": round(sum(artifacts.values()), 3),
                 "protocol": "artifact-warm-r13",
+                "discovery_failures": discovery_failures,
                 "canary_ref_sec": {
                     fam: round(v, 3) for fam, v in c_ref.items()
                 },

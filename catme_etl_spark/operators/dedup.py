@@ -4034,13 +4034,21 @@ _RETENTION_CANON = """
       FROM canon{s}
     )"""
 
-_RETENTION_ORACLE = (
-    f"""
-    WITH {_RELEASE_HEAD_CTES},
+# The three manifest lineages below are the retention ledger's entire
+# oracle cost (DuckDB re-inlines CTE chains per reference — the r12
+# release-family lesson); registering them as ONE byte-exact prefix
+# lets check_oracle materialize head + chains once per session. The
+# oracle string itself is reconstructed byte-identically, so the
+# driver still runs a fully self-contained query.
+_RETENTION_CHAINS_PREFIX = f"""WITH {_RELEASE_HEAD_CTES},
     {_manifest_chain_sql("x", _RETENTION_PREDS[0][2])},
     {_manifest_chain_sql("p", _RETENTION_PREDS[1][2])},
-    {_manifest_chain_sql("c", _RETENTION_PREDS[2][2])},
-    """
+    {_manifest_chain_sql("c", _RETENTION_PREDS[2][2])}"""
+
+_RETENTION_ORACLE = (
+    "\n    "
+    + _RETENTION_CHAINS_PREFIX
+    + ",\n    "
     + ",".join(_RETENTION_CANON.format(s=s) for s in ("x", "p", "c"))
     + f""",
     dhp AS (
@@ -4081,6 +4089,9 @@ _RETENTION_ORACLE = (
     ) ORDER BY seq
     """
 )
+
+
+oracle_prefix("retention_chains", _RETENTION_CHAINS_PREFIX)
 
 
 @pending_query("pipeline_release_retention", oracle=_RETENTION_ORACLE)

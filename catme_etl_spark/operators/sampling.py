@@ -1693,7 +1693,7 @@ _IMPORTANCE_REWEIGHT_ORACLE = f"""
     ),
     e AS (
       SELECT CAST(SUM(n_docs * weight_ppm) AS BIGINT) AS sw,
-             CAST(SUM(n_docs * weight_ppm * weight_ppm) AS BIGINT) AS sww,
+             SUM(CAST(n_docs AS HUGEINT) * weight_ppm * weight_ppm) AS sww,
              CAST(MAX(total) AS BIGINT) AS total
       FROM w
     )
@@ -1703,7 +1703,8 @@ _IMPORTANCE_REWEIGHT_ORACLE = f"""
            CAST(w.weight_ppm AS BIGINT) AS weight_ppm,
            CAST((w.n_docs * w.weight_ppm) // 1000000 AS BIGINT)
              AS effective_docs,
-           floor(CAST(e.sw AS DOUBLE) * e.sw / e.total / e.sww * 10000
+           floor(CAST(e.sw AS DOUBLE) * e.sw / e.total
+                 / CAST(e.sww AS DOUBLE) * 10000
                  + 0.5) / 10000 AS ess_ratio
     FROM w, e ORDER BY w.source
     """
@@ -1758,14 +1759,21 @@ def sample_importance_reweight(
         .alias("weight_ppm"),
         "total",
     )
+    # sww accumulates n_s * w_s^2; a 1-doc source in an N-doc corpus has
+    # w ~ 1e6*N/S, so the square reaches ~1e12*N^2/S^2 — int64 wraps
+    # silently past N ~ 3e3*S while DuckDB raises. DECIMAL(38,0)/HUGEINT
+    # on the two sides keeps both exact to N ~ 1e13 docs (1e36 < 1e38),
+    # far past the 100 TB corpus; one double division at the end.
     e = w.agg(
         F.sum(F.col("n_docs") * F.col("weight_ppm"))
         .cast("long")
         .alias("sw"),
         F.sum(
-            F.col("n_docs") * F.col("weight_ppm") * F.col("weight_ppm")
+            F.col("n_docs").cast("decimal(19,0)")
+            * F.col("weight_ppm")
+            * F.col("weight_ppm")
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("sww"),
         F.max("total").cast("long").alias("total_g"),
     )
@@ -1784,7 +1792,7 @@ def sample_importance_reweight(
                     F.col("sw").cast("double")
                     * F.col("sw")
                     / F.col("total_g")
-                    / F.col("sww")
+                    / F.col("sww").cast("double")
                     * 10000
                     + F.lit(0.5)
                 )

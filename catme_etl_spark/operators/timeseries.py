@@ -1355,7 +1355,7 @@ _HW_BT_ORACLE = f"""
     WITH RECURSIVE d AS (
       SELECT epoch_us(ts) // 86400000000 AS day,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     ser AS (
       SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
@@ -1438,8 +1438,15 @@ def ts_forecast_backtest_hw(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
+    # NULL ts rows are dropped BEFORE the day grouping on both engines:
+    # without the filter the oracle's d CTE emits a NULL-day row that
+    # counts toward the <3-days guard and takes a ROW_NUMBER slot
+    # (NULLS LAST) while the pandas side dropna()s it — divergent on
+    # any corpus with null timestamps (round-13 advisor finding; the
+    # sibling event-time round-14 ops already filter).
     d = (
-        e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        e.filter(F.col("ts").isNotNull())
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -2698,8 +2698,13 @@ def stream_compaction_scheduler(
     exmask = ids % 10 != 9
     vals, cnts = np.unique(assign[exmask], return_counts=True)
     m = {int(v): int(c) for v, c in zip(vals, cnts)}
+    # Universe = lists with >=1 EXISTING member, matching the oracle's
+    # exc CTE: a list whose members are all in the %10==9 ingest slice
+    # has nothing to compact and must not occupy a queue_rank slot —
+    # emitting it with n_existing=0 would flag it (4*0 >= 0) and shift
+    # every later rank (round-13 advisor finding).
     ex = spark.createDataFrame(
-        [(int(c), m.get(int(c), 0)) for c in cids],
+        [(int(c), m[int(c)]) for c in cids if int(c) in m],
         "list_id long, n_existing long",
     )
     z = F.lit(0).cast("long")

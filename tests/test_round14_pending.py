@@ -660,3 +660,113 @@ def test_stream_compaction_scheduler_rank(spark, tmp_path):
         if r[3] == 0:
             assert r[4] is None
         assert 4 * r[2] >= r[1] if r[3] else 4 * r[2] < r[1]
+
+
+def test_stream_compaction_scheduler_skips_memberless_list(spark, tmp_path):
+    """Round-13 advisor finding: a coarse centroid whose inverted list
+    has NO existing members must not occupy a queue_rank slot — the
+    old all-cids universe fabricated (n_existing=0, do_compact=1,
+    rank) rows the oracle's exc CTE omits, shifting every later rank.
+    Fixture: 120 vectors (nc=16), ids 0 and 100 share md5 cluster 5
+    and get IDENTICAL raw vectors, so after the 0.25/0.75 plant both
+    coarse centroids quantize to the same int8 point — every
+    assignment ties and argmin's first-tie rule sends all members to
+    list 0, leaving list 100 member-empty."""
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.streaming.jobs import stream_compaction_scheduler
+
+    vecs = [
+        (
+            i,
+            [
+                math.sin(i * 0.9 + j * 1.1) * (1.0 + (i % 7))
+                for j in range(64)
+            ],
+        )
+        for i in range(120)
+    ]
+    vecs[100] = (100, vecs[0][1])
+    _write_emb(spark, tmp_path, vecs)
+    clear_shared()
+    try:
+        got = _spark_rows(stream_compaction_scheduler(spark, str(tmp_path)))
+    finally:
+        clear_shared()
+    con = _emb_con(tmp_path)
+    assert got == _oracle(con, "stream_compaction_scheduler")
+    lists = [r[0] for r in got]
+    assert 0 in lists and 100 not in lists
+    flagged = [r for r in got if r[3] == 1]
+    assert sorted(r[4] for r in flagged) == list(range(1, len(flagged) + 1))
+
+
+def test_importance_reweight_extreme_skew_wide_sww(spark, tmp_path):
+    """Round-13 advisor finding: a 1-doc source in a 7001-doc corpus
+    gets weight_ppm = 3_500_500_000, whose square (1.2e19) overflows
+    int64 — the old SUM wrapped silently in Spark while DuckDB raised.
+    The DECIMAL(38,0)/HUGEINT path keeps both engines exact; the ESS
+    ratio is hand-computed from exact integers."""
+    from catme_etl_spark.operators.sampling import sample_importance_reweight
+
+    docs = [(0, "solo", "en", "a", 1)] + [
+        (i, f"text {i}", "en", "b", 1) for i in range(1, 7001)
+    ]
+    _write_docs(spark, tmp_path, docs)
+    got = _spark_rows(sample_importance_reweight(spark, str(tmp_path)))
+    con = _con("documents", str(tmp_path / "documents.parquet"))
+    assert got == _oracle(con, "sample_importance_reweight")
+    rows = {r[0]: r for r in got}
+    n = 7001
+    wa = 1000000 * n // (2 * 1)
+    wb = 1000000 * n // (2 * 7000)
+    assert rows["a"][3] == wa == 3_500_500_000
+    assert rows["b"][3] == wb
+    sw = 1 * wa + 7000 * wb
+    sww = 1 * wa * wa + 7000 * wb * wb  # exact int, > int64 max
+    assert sww > 2**63 - 1
+    ess = math.floor(float(sw) * sw / n / float(sww) * 10000 + 0.5) / 10000
+    assert rows["a"][5] == rows["b"][5] == ess
+
+
+def test_hw_backtest_null_ts_dropped_both_engines(spark, tmp_path):
+    """Round-13 advisor finding: NULL-ts rows must not mint a NULL-day
+    observation — the old oracle counted one toward the <3-days guard
+    and gave it a ROW_NUMBER slot while the pandas side dropna()d it.
+    5 real days + 3 NULL-ts rows agree cross-engine; 2 real days + 2
+    NULL-ts rows raise the guard LOUDLY on both engines."""
+    from catme_etl_spark.operators.timeseries import ts_forecast_backtest_hw
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(5):
+        for k in range(3 + d):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=d, minutes=k), 1,
+                 "view", 1.0, "{}")
+            )
+    for _ in range(3):
+        eid += 1
+        rows.append((eid, None, 1, "view", 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = _spark_rows(ts_forecast_backtest_hw(spark, str(tmp_path)))
+    con = _con("events", str(tmp_path / "events.parquet"))
+    assert got == _oracle(con, "ts_forecast_backtest_hw")
+    assert len(got) == 3  # origins 2..4 of 5 observed days
+    assert all(r[0] is not None for r in got)
+
+    rows2 = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(days=1), 1, "view", 1.0, "{}"),
+        (3, None, 1, "view", 1.0, "{}"),
+        (4, None, 1, "view", 1.0, "{}"),
+    ]
+    p2 = tmp_path / "two"
+    p2.mkdir()
+    _write_events(spark, p2, rows2)
+    with pytest.raises(Exception, match="holt-winters backtest undefined"):
+        ts_forecast_backtest_hw(spark, str(p2)).collect()
+    con2 = _con("events", str(p2 / "events.parquet"))
+    with pytest.raises(duckdb.Error, match="holt-winters backtest undefined"):
+        _oracle(con2, "ts_forecast_backtest_hw")
