@@ -4094,7 +4094,7 @@ _RETENTION_ORACLE = (
 oracle_prefix("retention_chains", _RETENTION_CHAINS_PREFIX)
 
 
-@pending_query("pipeline_release_retention", oracle=_RETENTION_ORACLE)
+@query("pipeline_release_retention", oracle=_RETENTION_ORACLE)
 def pipeline_release_retention(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4274,7 +4274,7 @@ _DEDUP_BIAS_ORACLE = f"""
     """
 
 
-@pending_query("quality_dedup_source_bias", oracle=_DEDUP_BIAS_ORACLE)
+@query("quality_dedup_source_bias", oracle=_DEDUP_BIAS_ORACLE)
 def quality_dedup_source_bias(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

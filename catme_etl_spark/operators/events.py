@@ -2451,7 +2451,7 @@ _SESSION_FUNNEL_ORACLE = f"""
     """
 
 
-@pending_query("events_session_funnel", oracle=_SESSION_FUNNEL_ORACLE)
+@query("events_session_funnel", oracle=_SESSION_FUNNEL_ORACLE)
 def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SESSION-SCOPED FUNNEL ATTRIBUTION — per gap-session (the
     30-minute-gap sessionization `stream_session_window_gap`

@@ -1710,7 +1710,7 @@ _IMPORTANCE_REWEIGHT_ORACLE = f"""
     """
 
 
-@pending_query(
+@query(
     "sample_importance_reweight", oracle=_IMPORTANCE_REWEIGHT_ORACLE
 )
 def sample_importance_reweight(

@@ -4807,7 +4807,7 @@ _COMPACTION_ORACLE = (
 )
 
 
-@pending_query("pipeline_vector_index_compaction", oracle=_COMPACTION_ORACLE)
+@query("pipeline_vector_index_compaction", oracle=_COMPACTION_ORACLE)
 def pipeline_vector_index_compaction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5085,7 +5085,7 @@ _COMPACT_RECALL_ORACLE = (
 )
 
 
-@pending_query("sim_ivf_compacted_recall", oracle=_COMPACT_RECALL_ORACLE)
+@query("sim_ivf_compacted_recall", oracle=_COMPACT_RECALL_ORACLE)
 def sim_ivf_compacted_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5208,7 +5208,7 @@ _LIFECYCLE_ORACLE = (
 )
 
 
-@pending_query("pipeline_index_lifecycle_report", oracle=_LIFECYCLE_ORACLE)
+@query("pipeline_index_lifecycle_report", oracle=_LIFECYCLE_ORACLE)
 def pipeline_index_lifecycle_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2321,7 +2321,7 @@ _TRIMMED_MEAN_ORACLE = f"""
     """
 
 
-@pending_query("agg_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE)
+@query("agg_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE)
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIMMED and WINSORIZED MEAN per order priority — the exact-RANK
     robust location pair, completing the family beside

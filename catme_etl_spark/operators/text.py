@@ -2265,7 +2265,7 @@ _NGRAM_NOVELTY_ORACLE = f"""
     """
 
 
-@pending_query("text_ingest_novelty", oracle=_NGRAM_NOVELTY_ORACLE)
+@query("text_ingest_novelty", oracle=_NGRAM_NOVELTY_ORACLE)
 def text_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INGEST N-GRAM NOVELTY — per source, how much of an arriving
     crawl slice is text the corpus has never seen: the {_NOVELTY_K}-gram

@@ -1403,7 +1403,7 @@ _HW_BT_ORACLE = f"""
     """
 
 
-@pending_query("ts_forecast_backtest_hw", oracle=_HW_BT_ORACLE)
+@query("ts_forecast_backtest_hw", oracle=_HW_BT_ORACLE)
 def ts_forecast_backtest_hw(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -510,7 +510,7 @@ _USER_LIFECYCLE_ORACLE = f"""
     """
 
 
-@pending_query("window_user_lifecycle", oracle=_USER_LIFECYCLE_ORACLE)
+@query("window_user_lifecycle", oracle=_USER_LIFECYCLE_ORACLE)
 def window_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USER LIFECYCLE STAGES — the longitudinal classification every
     growth/retention dashboard is built on, as one per-user window

@@ -2628,7 +2628,7 @@ _COMPACT_SCHED_ORACLE = (
 )
 
 
-@pending_query("stream_compaction_scheduler", oracle=_COMPACT_SCHED_ORACLE)
+@query("stream_compaction_scheduler", oracle=_COMPACT_SCHED_ORACLE)
 def stream_compaction_scheduler(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

