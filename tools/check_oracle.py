@@ -131,6 +131,68 @@ def _apply_prefix_artifacts(con, sql: str, done: dict) -> str:
     return sql
 
 
+
+def _arm_artifact_attribution():
+    """Call-time wrappers over ``_shared.shared_df``/``shared_broadcast``
+    (the bench.py artifact-warm pattern — instrumentation lives HERE so
+    engine sources and rotation fingerprints stay byte-identical): each
+    cache-miss build is timed with nested-build self-time accounting,
+    and the sweep loop subtracts the artifact cost charged during a
+    query from that query's printed reading, reporting the build as its
+    own ``art`` line instead. Round-13 verdict "What's wrong" #1: sweep
+    transcripts charged 30-50s one-time builds to whichever family
+    member ran first (pipeline_release_pin read 41.9s in
+    FULL_SWEEP_r13 vs 8.6s warm), distorting the timing column every
+    round. Returns the mutable state dict the sweep loop reads."""
+    import sys as _sys
+
+    from catme_etl_spark.operators import _shared as _shmod
+
+    state = {"charged": 0.0, "events": [], "orig": None}
+    _orig_df, _orig_bc = _shmod.shared_df, _shmod.shared_broadcast
+    _stack: list[list[float]] = []
+
+    def _record(name, fn):
+        _stack.append([0.0])
+        t0 = time.time()
+        try:
+            return fn()
+        finally:
+            total = time.time() - t0
+            child = _stack.pop()[0]
+            if _stack:
+                _stack[-1][0] += total
+            self_t = max(total - child, 0.0)
+            state["charged"] += self_t
+            state["events"].append((name, self_t))
+
+    def _wrap_df(name, sf_dir, spark, build, materialize=False):
+        key = (name, sf_dir, spark.sparkContext.applicationId)
+        if key in _shmod._DF_CACHE:
+            return _orig_df(name, sf_dir, spark, build, materialize)
+        return _record(
+            name,
+            lambda: _orig_df(name, sf_dir, spark, build, materialize),
+        )
+
+    def _wrap_bc(name, sf_dir, spark, build):
+        key = (name, sf_dir, spark.sparkContext.applicationId)
+        if key in _shmod._BC_CACHE:
+            return _orig_bc(name, sf_dir, spark, build)
+        return _record(name, lambda: _orig_bc(name, sf_dir, spark, build))
+
+    _shmod.shared_df = _wrap_df
+    _shmod.shared_broadcast = _wrap_bc
+    for mn, mod in list(_sys.modules.items()):
+        if not mn.startswith("catme_etl_spark") or mod is None:
+            continue
+        if getattr(mod, "shared_df", None) is _orig_df:
+            mod.shared_df = _wrap_df
+        if getattr(mod, "shared_broadcast", None) is _orig_bc:
+            mod.shared_broadcast = _wrap_bc
+    return state
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -161,6 +223,7 @@ def main() -> int:
         "check_oracle",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    art = _arm_artifact_attribution()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -180,20 +243,38 @@ def main() -> int:
     art_done: dict = {}
     for name in names:
         t0 = time.time()
+        n_ev = len(art["events"])
+        charged0 = art["charged"]
         try:
             sdf = qs[name](spark, args.sf).toPandas()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
             continue
+        for aname, self_t in art["events"][n_ev:]:
+            print(f"art   {aname}: built in {self_t:.1f}s (first toucher: {name})")
+        _art_t = art["charged"] - charged0
         if name not in oracles:
             rows_only.append(name)
-            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {name}: {len(sdf)} rows (no oracle)"
+                f" [{time.time()-t0-_art_t:.1f}s]"
+            )
             continue
         try:
             osql = oracles[name]
             if not args.no_materialize:
+                n_lbl = len(art_done)
+                t_m = time.time()
                 osql = _apply_prefix_artifacts(con, osql, art_done)
+                if len(art_done) > n_lbl:
+                    built = time.time() - t_m
+                    _art_t += built
+                    lbl = list(art_done)[-1]
+                    print(
+                        f"art   oracle:{lbl}: materialized in"
+                        f" {built:.1f}s (first toucher: {name})"
+                    )
             odf = con.execute(osql).fetchdf()
         except Exception as ex:
             failures.append(name)
@@ -216,7 +297,10 @@ def main() -> int:
             if diff is not None and not diff.empty:
                 print(diff.head(10))
         else:
-            print(f"OK    {name}: {len(sc)} rows hash={hs} [{time.time()-t0:.1f}s]")
+            print(
+                f"OK    {name}: {len(sc)} rows hash={hs}"
+                f" [{time.time()-t0-_art_t:.1f}s]"
+            )
 
     print(
         f"\n{len(names) - len(failures)}/{len(names)} passing"
