@@ -2406,3 +2406,156 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("winsorized_mean"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Round-15 debut queue: SPEARMAN RANK CORRELATION (the rank-statistic
+# rung beside the Pearson moments of `agg_stats_lineitem_by_flag` and
+# the rank tests agg_mann_whitney_u / agg_ks_drift_halves).
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+    WITH sp AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey AS k,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+             COALESCE(sp.y, 0) AS y
+      FROM customer c LEFT JOIN sp ON sp.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT seg,
+             2 * RANK() OVER (PARTITION BY seg ORDER BY x) - 1
+               + COUNT(*) OVER (PARTITION BY seg, x) AS rx,
+             2 * RANK() OVER (PARTITION BY seg ORDER BY y) - 1
+               + COUNT(*) OVER (PARTITION BY seg, y) AS ry,
+             CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM base
+    ),
+    cen AS (
+      SELECT seg, n, rx - (n + 1) AS u, ry - (n + 1) AS v FROM r
+    ),
+    s AS (
+      SELECT seg, MAX(n) AS n,
+             SUM(CAST(u AS HUGEINT) * v) AS suv,
+             SUM(CAST(u AS HUGEINT) * u) AS su2,
+             SUM(CAST(v AS HUGEINT) * v) AS sv2
+      FROM cen GROUP BY seg
+    )
+    SELECT seg AS c_mktsegment, n AS n_customers,
+           CASE WHEN su2 = 0 OR sv2 = 0 THEN NULL
+                ELSE CAST(floor(1000000.0 * CAST(suv AS DOUBLE)
+                                / sqrt(CAST(su2 AS DOUBLE)
+                                       * CAST(sv2 AS DOUBLE)) + 0.5)
+                          AS BIGINT)
+           END AS spearman_ppm
+    FROM s ORDER BY 1
+    """
+
+
+@pending_query("agg_spearman_corr", oracle=_SPEARMAN_ORACLE)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between account balance and lifetime
+    order spend, per market segment — the monotone-association rung
+    the moment family can't provide: Pearson (already certified in
+    `agg_stats_lineitem_by_flag`) measures LINEAR association and one
+    whale customer drags it arbitrarily; Spearman is Pearson on RANKS,
+    invariant to any monotone transform and bounded by construction —
+    the association statistic a data survey actually wants next to
+    the rank tests (Mann-Whitney, KS) already in the family.
+
+    Exactness device: ties get AVERAGE ranks, which are half-integers
+    — so both engines carry the DOUBLED average rank
+    2·RANK() + tiecount − 1 (an integer). Σ of doubled ranks is
+    exactly n(n+1) regardless of ties, so centering by the constant
+    (n+1) needs no computed mean, and rho collapses to
+    Σuv / sqrt(Σu²·Σv²) over integer centered ranks — exact
+    HUGEINT/DECIMAL(38,0) sums, one sqrt + one division at the very
+    end on the pinned floor(x·1e6 + 0.5) ppm grid. No float
+    accumulates across rows on either engine.
+
+    A segment where every x (or every y) is one giant tie group has
+    Σu² = 0 and an UNDEFINED rho: reported as NULL identically on
+    both engines (the statistical convention; pinned by a crafted
+    test) rather than a raise, because unlike the epoch-mix plan a
+    NULL correlation cannot be misread as an actionable number.
+
+    Scale shape: the spend rollup is one map-side-combinable agg on
+    o_custkey; both rank passes are windows partitioned by SEGMENT
+    (per-key groups, never a global sort — the same shape as the
+    trimmed-mean rank pass); the moment agg is map-side combinable.
+    Customers without orders enter as y = 0 — one coalesce, and a
+    deliberately fat tie group exercising the average-rank device on
+    real data.
+
+    Reference basis: none; contract A-family statistics (SURVEY §2.4).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        cents("c_acctbal").alias("x"),
+    )
+    sp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("y"))
+    )
+    base = cust.join(
+        sp, cust.c_custkey == sp.o_custkey, "left"
+    ).select(
+        "seg", F.col("x"), F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    n_w = Window.partitionBy("seg")
+    rx = (
+        2 * F.rank().over(Window.partitionBy("seg").orderBy("x"))
+        - 1
+        + F.count(F.lit(1)).over(Window.partitionBy("seg", "x"))
+    )
+    ry = (
+        2 * F.rank().over(Window.partitionBy("seg").orderBy("y"))
+        - 1
+        + F.count(F.lit(1)).over(Window.partitionBy("seg", "y"))
+    )
+    r = base.select(
+        "seg",
+        rx.cast("long").alias("rx"),
+        ry.cast("long").alias("ry"),
+        F.count(F.lit(1)).over(n_w).cast("long").alias("n"),
+    )
+    cen = r.select(
+        "seg",
+        "n",
+        (F.col("rx") - (F.col("n") + 1)).alias("u"),
+        (F.col("ry") - (F.col("n") + 1)).alias("v"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = cen.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.sum(d19("u") * d19("v")).cast("decimal(38,0)").alias("suv"),
+        F.sum(d19("u") * d19("u")).cast("decimal(38,0)").alias("su2"),
+        F.sum(d19("v") * d19("v")).cast("decimal(38,0)").alias("sv2"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return s.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").alias("n_customers"),
+        F.when(
+            (F.col("su2") == zero) | (F.col("sv2") == zero),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("suv").cast("double")
+                / F.sqrt(
+                    F.col("su2").cast("double") * F.col("sv2").cast("double")
+                )
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("spearman_ppm"),
+    ).orderBy("c_mktsegment")

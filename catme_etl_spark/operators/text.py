@@ -2349,3 +2349,98 @@ def text_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 debut queue: BPE MERGE CANDIDATES (one tokenizer-induction
+# round — the vocabulary-training step upstream of every token count
+# in the text family).
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20  # merge candidates reported (a trainer takes the argmax;
+# the top-20 table is what you audit before committing a vocab)
+
+_BPE_ORACLE = f"""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        AS w
+      FROM documents
+    ),
+    v AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY 1
+    ),
+    pos AS (
+      SELECT w, freq, UNNEST(range(1, length(w))) AS i
+      FROM v WHERE length(w) >= 2
+    ),
+    p AS (
+      SELECT w, freq, substring(w, CAST(i AS INTEGER), 2) AS pair
+      FROM pos
+    ),
+    agg AS (
+      SELECT pair,
+             CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_vocab_words
+      FROM p GROUP BY 1
+    )
+    SELECT pair, n_occurrences, n_vocab_words
+    FROM agg ORDER BY n_occurrences DESC, pair LIMIT {_BPE_TOP}
+    """
+
+
+@pending_query("text_bpe_merge_candidates", oracle=_BPE_ORACLE)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE BPE INDUCTION ROUND (Sennrich-Haddow-Birch byte-pair
+    encoding, the public tokenizer-training algorithm): count every
+    ADJACENT SYMBOL PAIR across the corpus at character granularity
+    and report the top {_BPE_TOP} merge candidates — the argmax of
+    this table IS the next merge a BPE trainer commits, and the table
+    itself is the audit a vocab owner reads before pinning a
+    tokenizer. Completes the tokenizer story the text family consumes
+    everywhere (`text_token_count_bpe_ish` counts with a FIXED
+    BPE-ish rule; this op is the training side that produces such a
+    rule).
+
+    The published scaling trick, load-bearing here: pairs are counted
+    over the VOCABULARY (distinct word, frequency) — Heaps-law sized,
+    ~n^0.5 of the corpus — with each word's pair multiset weighted by
+    its corpus frequency, NOT by re-scanning every token occurrence.
+    Both engines produce identical integer counts: occurrences sum
+    freq over every adjacent position (a word contributes one count
+    per position, so 'aaa' counts 'aa' twice), vocab support counts
+    distinct words containing the pair. Single-char words carry no
+    pair and exit via the same length >= 2 guard on both engines
+    (Spark's sequence(1, len-1) would DESCEND for len < 2 instead of
+    yielding empty — the guard is correctness, not just hygiene).
+
+    Scale shape: tokenize pass -> map-side-combinable vocab agg ->
+    position explode over vocab rows only -> one hash agg on the
+    2-char pair key (alphabet², tiny) -> TakeOrdered top-{_BPE_TOP}
+    (never a global sort). A full BPE train iterates this plan with
+    the committed merge applied; each round is this same bounded
+    shuffle.
+
+    Reference basis: none; contract F11 text-analysis family
+    (SURVEY §2.10) — the vocabulary-induction rung.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    p = v.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr("sequence(1, length(w) - 1)")
+        ).alias("i"),
+    ).select("w", "freq", F.expr("substring(w, i, 2)").alias("pair"))
+    agg = p.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("n_occurrences"),
+        F.count_distinct("w").cast("long").alias("n_vocab_words"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), "pair"
+    ).limit(_BPE_TOP)
