@@ -49,6 +49,7 @@ from ..sources.tables import load_table
 from ._shared import (
     bounded_collect,
     fan_out,
+    maybe_broadcast,
     require_bounded,
     shared_df,
     shared_matrix_broadcast,
@@ -4347,3 +4348,357 @@ def quality_dedup_source_bias(
         "global_neardup_ppm",
         F.when(dev, 1).otherwise(0).cast("long").alias("bias_flag"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-15 debut queue: PAGERANK over the similarity graph (the
+# iterative-algorithm rung beside the one-shot graph audits — degree
+# histogram, triangles, connected components).
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3  # fixed, certified iteration count (a production run
+# iterates to a residual; the certified op pins the plan per round)
+_PR_E9 = 1_000_000_000  # rank mass carried in integer ppb
+
+
+def _pagerank_iter_sql() -> str:
+    """Unrolled integer-ppb PageRank oracle: r0 + _PR_ITERS
+    contribution/update CTE pairs, byte-generated so the SQL and the
+    Spark loop share one iteration count."""
+    cte = [
+        f"pairs AS ({_COS_PAIR_SQL})",
+        """e AS (
+      SELECT vec_a AS s, vec_b AS d FROM pairs
+      UNION ALL
+      SELECT vec_b AS s, vec_a AS d FROM pairs
+    )""",
+        """deg AS (
+      SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1
+    )""",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+        f"r0 AS (SELECT v, {_PR_E9} // nn.n AS r FROM deg, nn)",
+    ]
+    for i in range(_PR_ITERS):
+        cte.append(
+            f"""c{i} AS (
+      SELECT e.d AS v, CAST(SUM(r{i}.r // deg.deg) AS BIGINT) AS s
+      FROM e JOIN r{i} ON r{i}.v = e.s JOIN deg ON deg.v = e.s
+      GROUP BY 1
+    )"""
+        )
+        cte.append(
+            f"""r{i + 1} AS (
+      SELECT c{i}.v,
+             {15 * _PR_E9} // (100 * nn.n) + (85 * c{i}.s) // 100 AS r
+      FROM c{i}, nn
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT f.v AS vec_id, deg.deg AS degree,
+           CAST(f.r AS BIGINT) AS rank_ppb
+    FROM r{_PR_ITERS} f JOIN deg ON deg.v = f.v
+    ORDER BY f.r DESC, f.v LIMIT 10
+    """
+    )
+
+
+@pending_query("sim_graph_pagerank_iter", oracle=_pagerank_iter_sql())
+def sim_graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the cosine >= 0.4 similarity graph — {iters}
+    damped power iterations (d = 0.85, the published constant)
+    reporting the top-10 HUB DOCUMENTS by stationary mass: the graph
+    family's centrality rung, and the near-dup triage tool the degree
+    histogram motivates — a high-PageRank vector is boilerplate GLUE
+    (connected to well-connected neighborhoods, chaining clusters the
+    CC pass would merge), which a plain degree count cannot separate
+    from a locally-dense but isolated clique.
+
+    Exactness device: rank mass travels as INTEGER PPB. Each node
+    starts at 1e9 // N; each iteration sends r(u) // deg(u) along
+    every edge and updates to (15·1e9) // (100·N) + (85·Σ) // 100 —
+    floor division at every step, so both engines walk bit-identical
+    integer states and NO float ever accumulates across an iteration
+    boundary (the classic cross-engine failure of float PageRank: sum
+    order changes the 15th decimal, three iterations amplify it). The
+    deterministic mass leak of floor division is the documented trade
+    — ranking, not probability, is the contract. The graph is
+    symmetric and degree >= 1 by construction, so the dangling-node
+    term is structurally absent.
+
+    Scale shape: the edge set is the SHARED materialized artifact
+    behind every graph audit (`_cos_pair_edges` — pairs << docs);
+    each iteration is one shuffle-join of ranks onto edges plus one
+    map-side-combinable SUM on the destination key — the textbook
+    distributed PageRank plan, with the iteration count FIXED so the
+    certified plan is {iters} joins, not a driver-side convergence
+    loop. Top-10 lands via TakeOrdered, never a global sort.
+
+    Reference basis: none; contract F10/F14 similarity-graph family
+    (SURVEY §2.10).
+    """
+    edges = _cos_pair_edges(spark, sf_dir)
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("s"), F.col("vec_b").alias("d")
+                ),
+                F.struct(
+                    F.col("vec_b").alias("s"), F.col("vec_a").alias("d")
+                ),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
+    deg = e.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    n = deg.select(F.count(F.lit(1)).cast("long").alias("n"))
+    r = deg.crossJoin(F.broadcast(n)).select(
+        "v", F.expr(f"{_PR_E9}L div n").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = r.join(deg, "v").select(
+            "v", F.expr("r div deg").alias("c")
+        )
+        s = (
+            e.join(contrib, e.s == contrib.v)
+            .groupBy(F.col("d").alias("v"))
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        r = s.crossJoin(F.broadcast(n)).select(
+            "v",
+            F.expr(
+                f"(15L * {_PR_E9}L) div (100L * n) + (85L * s) div 100L"
+            ).alias("r"),
+        )
+    return (
+        r.join(deg, "v")
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("deg").alias("degree"),
+            F.col("r").cast("long").alias("rank_ppb"),
+        )
+        .orderBy(F.col("rank_ppb").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+sim_graph_pagerank_iter.__doc__ = sim_graph_pagerank_iter.__doc__.format(
+    iters=_PR_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-15 debut queue: REPEATED-SPAN AUDIT (substring-level dedup —
+# WHERE the copied text sits, the localization rung under the
+# winnowing pair/containment/cluster reports).
+# ---------------------------------------------------------------------------
+
+_SPAN_GAP = WINNOW_K + WINNOW_W  # stitch tolerance: consecutive
+# winnowing minima inside one contiguous shared span are <= W apart;
+# K + W also rides out a single boilerplate-capped fingerprint hole
+_SPAN_MIN_FPS = 2  # a 1-fingerprint diagonal is collision noise
+_SPAN_TOP = 15
+
+_SPAN_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, text, len(text) - {WINNOW_K} + 1 AS ng
+      FROM documents WHERE len(text) >= {WINNOW_K}
+    ),
+    grams AS (
+      SELECT doc_id, ng, UNNEST(range(ng)) AS i FROM docs
+    ),
+    hashed AS (
+      SELECT g.doc_id, g.ng, g.i,
+             {sql_hex_long(
+                 f"md5(substring(d.text, g.i + 1, {WINNOW_K}))", 14, 1
+             )} AS h
+      FROM grams g JOIN docs d USING (doc_id)
+    ),
+    wmin AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashed
+      QUALIFY i <= ng - {WINNOW_W}
+    ),
+    pos AS (
+      SELECT doc_id, fp, CAST(MIN(i) AS BIGINT) AS i
+      FROM wmin GROUP BY 1, 2
+    ),
+    live AS (
+      SELECT fp FROM pos GROUP BY fp
+      HAVING COUNT(*) <= {WINNOW_DF_CAP}
+    ),
+    idx AS (SELECT p.doc_id, p.fp, p.i FROM pos p JOIN live l ON l.fp = p.fp),
+    hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.i - b.i AS delta, a.i AS ia
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    flag AS (
+      SELECT doc_a, doc_b, delta, ia,
+             CASE WHEN ia - LAG(ia) OVER (PARTITION BY doc_a, doc_b, delta
+                                          ORDER BY ia) > {_SPAN_GAP}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, delta, ia,
+             SUM(brk) OVER (PARTITION BY doc_a, doc_b, delta ORDER BY ia
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flag
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, delta,
+             CAST(COUNT(*) AS BIGINT) AS n_fps,
+             CAST(MIN(ia) AS BIGINT) AS start_a,
+             CAST(MAX(ia) - MIN(ia) + {WINNOW_K + WINNOW_W - 1}
+                  AS BIGINT) AS span_chars
+      FROM isl GROUP BY doc_a, doc_b, delta, run_id
+      HAVING COUNT(*) >= {_SPAN_MIN_FPS}
+    )
+    SELECT doc_a, doc_b, delta, n_fps, start_a, span_chars
+    FROM runs
+    ORDER BY span_chars DESC, doc_a, doc_b, delta, start_a
+    LIMIT {_SPAN_TOP}
+    """
+
+
+@pending_query("dedup_repeated_span_audit", oracle=_SPAN_ORACLE)
+def dedup_repeated_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED-SPAN LOCALIZATION — the substring-level rung the
+    whole-document dedup ladder stops short of (the published lesson:
+    long VERBATIM SPANS repeated across documents — licenses, quoted
+    passages, templated sections — survive document-level dedup and
+    are exactly what a span-removal pass must find): for every
+    document pair sharing position-aware winnowing fingerprints, a
+    shared contiguous span puts every shared fingerprint on one
+    DIAGONAL (ia − ib constant), so gaps-islands along each diagonal
+    (new run when the position gap exceeds {_SPAN_GAP} chars)
+    reconstructs the span — its start in doc_a, its fingerprint
+    support, and a guaranteed-coverage length estimate
+    max−min+{WINNOW_K + WINNOW_W - 1} (the winnowing window
+    guarantee applied at both ends). Top {_SPAN_TOP} spans by length,
+    fully tie-broken.
+
+    Positions are FIRST OCCURRENCE per (doc, fingerprint) — a span
+    repeated within one document is localized at its first site, and
+    a fingerprint recurring elsewhere simply falls off the diagonal
+    (the audit under-, never over-states). Diagonal matching is what
+    separates a real span from coincidental shared k-grams: scattered
+    matches land on scattered deltas and die under the
+    >= {_SPAN_MIN_FPS}-fingerprint run filter.
+
+    Scale shape: same narrow char pass + per-doc window minima as the
+    certified winnowing family, the SAME df-cap ({WINNOW_DF_CAP})
+    bounding the inverted-index pair join's Σdf², then per-(pair,
+    diagonal) windows — per-key groups, never a global sort — and a
+    TakeOrdered top-{_SPAN_TOP}. At 100 TB the position index is the
+    same persisted artifact as the fingerprint index with one extra
+    int column.
+
+    Reference basis: none; contract F8/F9 dedup family (SURVEY §2.10)
+    — the span-localization rung under
+    `dedup_winnowing_fingerprint_pairs`."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "text", (F.length("text") - WINNOW_K + 1).alias("ng")
+        )
+        .filter(F.col("ng") >= 1)
+    )
+    hashed = (
+        fan_out(d, spark)
+        .select(
+            "doc_id",
+            "ng",
+            "text",
+            F.posexplode(F.expr("sequence(0, ng - 1)")).alias("_p", "i"),
+        )
+        .select(
+            "doc_id",
+            "ng",
+            "i",
+            hex_prefix_long(
+                F.md5(F.expr(f"substring(text, i + 1, {WINNOW_K})")), 14, 1
+            ).alias("h"),
+        )
+    )
+    wmin = (
+        hashed.withColumn(
+            "fp",
+            F.min("h").over(
+                Window.partitionBy("doc_id")
+                .orderBy("i")
+                .rowsBetween(0, WINNOW_W - 1)
+            ),
+        )
+        .filter(F.col("i") <= F.col("ng") - WINNOW_W)
+        .select("doc_id", "i", "fp")
+    )
+    pos = wmin.groupBy("doc_id", "fp").agg(
+        F.min("i").cast("long").alias("i")
+    )
+    live = (
+        pos.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    idx = pos.join(live, "fp")
+    a = idx.select(
+        "fp", F.col("doc_id").alias("doc_a"), F.col("i").alias("ia")
+    )
+    b = idx.select(
+        "fp", F.col("doc_id").alias("doc_b"), F.col("i").alias("ib")
+    )
+    hits = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", (F.col("ia") - F.col("ib")).alias("delta"), "ia"
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("ia")
+    isl = hits.select(
+        "doc_a",
+        "doc_b",
+        "delta",
+        "ia",
+        F.sum(
+            F.when(
+                F.col("ia") - F.lag("ia").over(w) > _SPAN_GAP, 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "delta", "run_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.min("ia").cast("long").alias("start_a"),
+            (
+                F.max("ia") - F.min("ia") + (WINNOW_K + WINNOW_W - 1)
+            )
+            .cast("long")
+            .alias("span_chars"),
+        )
+        .filter(F.col("n_fps") >= _SPAN_MIN_FPS)
+    )
+    return (
+        runs.select(
+            "doc_a", "doc_b", "delta", "n_fps", "start_a", "span_chars"
+        )
+        .orderBy(
+            F.col("span_chars").desc(), "doc_a", "doc_b", "delta", "start_a"
+        )
+        .limit(_SPAN_TOP)
+    )
