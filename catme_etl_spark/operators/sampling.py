@@ -1801,3 +1801,248 @@ def sample_importance_reweight(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 debut queue: CURRICULUM SCHEDULE (quality-decile pacing —
+# the ORDER-over-epochs complement of the mix/budget planners, which
+# decide HOW MUCH of each source; this decides WHEN quality tiers
+# enter training).
+# ---------------------------------------------------------------------------
+
+_CURR_EPOCHS = 4
+_CURR_SB = 4096  # super-bucket width for the hierarchical prefix sum
+
+_CURRICULUM_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS nt,
+             CAST(len(list_distinct(
+                    list_filter(string_split(text, ' '), t -> t <> '')))
+                  AS BIGINT) AS nd
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, nt, (1000000 * nd) // nt AS s FROM d WHERE nt >= 1
+    ),
+    h AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(nt) AS BIGINT) AS tok
+      FROM sc GROUP BY s
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(tok) AS BIGINT) AS t
+      FROM h
+    ),
+    dec AS (
+      SELECT s, cnt, tok,
+             CAST(1 + (10 * COALESCE(SUM(cnt) OVER (
+                    ORDER BY s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)) // tot.n AS BIGINT) AS decile
+      FROM h, tot
+    ),
+    db AS (
+      SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS avail
+      FROM dec GROUP BY decile
+    ),
+    ep AS (SELECT UNNEST(range(1, {_CURR_EPOCHS + 1})) AS epoch),
+    adm AS (
+      SELECT ep.epoch, db.decile, db.n_docs, db.avail
+      FROM ep JOIN db ON db.decile <= (10 * ep.epoch + 3) // 4
+    ),
+    te AS (
+      SELECT epoch, CAST(SUM(avail) AS BIGINT) AS tadm
+      FROM adm GROUP BY epoch
+    ),
+    q AS (
+      SELECT a.epoch, a.decile, a.n_docs, a.avail,
+             ((tot.t // {_CURR_EPOCHS}) * a.avail) // te.tadm AS fl,
+             ((tot.t // {_CURR_EPOCHS}) * a.avail) % te.tadm AS rem
+      FROM adm a JOIN te ON te.epoch = a.epoch, tot
+    ),
+    x AS (
+      SELECT epoch,
+             CAST(MAX(tot.t // {_CURR_EPOCHS}) - SUM(fl) AS BIGINT) AS extra
+      FROM q, tot GROUP BY epoch
+    ),
+    rk AS (
+      SELECT q.epoch, q.decile,
+             CAST(COUNT(o.decile) AS BIGINT) AS sb
+      FROM q LEFT JOIN q o
+        ON o.epoch = q.epoch
+       AND (o.rem > q.rem OR (o.rem = q.rem AND o.decile < q.decile))
+      GROUP BY q.epoch, q.decile
+    )
+    SELECT q.epoch, q.decile, q.n_docs,
+           q.avail AS avail_tokens,
+           CAST(q.fl + CASE WHEN rk.sb < x.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota_tokens,
+           CAST(LEAST(q.fl + CASE WHEN rk.sb < x.extra THEN 1 ELSE 0 END,
+                      q.avail) AS BIGINT) AS served_tokens,
+           CAST(GREATEST(q.fl + CASE WHEN rk.sb < x.extra THEN 1 ELSE 0 END
+                         - q.avail, 0) AS BIGINT) AS shortfall_tokens
+    FROM q
+    JOIN rk ON rk.epoch = q.epoch AND rk.decile = q.decile
+    JOIN x ON x.epoch = q.epoch
+    ORDER BY q.epoch, q.decile
+    """
+
+
+@pending_query("sample_curriculum_schedule", oracle=_CURRICULUM_ORACLE)
+def sample_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM SCHEDULE over quality deciles — the pacing plan a
+    curriculum-learning dataloader executes (public recipe: train on
+    the cleanest tier first, anneal toward the full distribution):
+    documents are bucketed into lexical-diversity deciles (decile 1 =
+    highest distinct-token ratio, the `text_quality_score` metric on
+    its exact integer-ppm grid), and epoch e of {_CURR_EPOCHS} admits
+    deciles 1..ceil(10e/{_CURR_EPOCHS}) — the expanding competence
+    window — with a per-epoch token budget of total//{_CURR_EPOCHS}
+    apportioned across admitted deciles by the family's
+    largest-remainder idiom (sums to the budget EXACTLY; quotas a
+    shard-sizer can execute verbatim). served = min(quota, avail)
+    makes epoch-1 over-allocation an explicit shortfall column, the
+    same loud-deficit device as `sample_epoch_mix_plan`.
+
+    Deciles are VALUE-GROUPED: every doc with the same ppm score
+    lands in one decile (the decile of the group's first rank), so
+    boundaries never split a tie group and both engines agree without
+    any within-group ordering. The decile pass runs on the SCORE
+    HISTOGRAM (<= 1e6+1 rows at any corpus size, bounded by the ppm
+    grid, not by the corpus), and its cumulative is a HIERARCHICAL
+    prefix sum — per-super-bucket totals (<= {1000000 // _CURR_SB + 1}
+    rows) combined through a broadcast triangular self-join, plus a
+    within-super-bucket window partitioned by super-bucket — because
+    the module bans single-partition WindowExec even over bounded
+    inputs; the oracle computes the same integer with a flat window.
+
+    Integer bounds: the apportionment products (budget × avail) stay
+    in int64 while total corpus tokens <= ~3e9; both engines raise
+    LOUDLY beyond it (Spark ANSI overflow / DuckDB out-of-range — no
+    silent wrap on either side), and past that scale both sides move
+    to the same DECIMAL(38,0) kernel, the `sample_neyman_draw`
+    documented trade.
+
+    Scale shape: one tokenize agg over the corpus (map-side
+    combinable) -> bounded histogram -> |deciles|x|epochs| rows; the
+    remainder rank is the family's broadcast triangular join, never a
+    global sort.
+
+    Reference basis: none; contract curation-economics family
+    (SURVEY §2.10), the scheduling rung above the mix planners."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).cast("long").alias("nt"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("nd"),
+    )
+    sc = d.filter(F.col("nt") >= 1).select(
+        "nt", F.expr("(1000000 * nd) div nt").alias("s")
+    )
+    h = sc.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("nt").cast("long").alias("tok"),
+    )
+    tot = h.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("tok").cast("long").alias("t"),
+    )
+    # hierarchical prefix sum in score-DESC order: super-bucket
+    # totals via broadcast triangular join + within-bucket keyed window
+    hb = h.withColumn("sb", F.expr(f"s div {_CURR_SB}"))
+    sbt = hb.groupBy("sb").agg(F.sum("cnt").cast("long").alias("scnt"))
+    above = sbt.select(
+        F.col("sb").alias("sb2"), F.col("scnt").alias("scnt2")
+    )
+    sbc = (
+        sbt.join(F.broadcast(above), F.col("sb2") > F.col("sb"), "left")
+        .groupBy("sb")
+        .agg(F.coalesce(F.sum("scnt2"), F.lit(0)).cast("long").alias("cum_sb"))
+    )
+    win = (
+        Window.partitionBy("sb")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = (
+        hb.join(sbc, "sb")
+        .withColumn(
+            "cum_before",
+            (
+                F.col("cum_sb")
+                + F.coalesce(F.sum("cnt").over(win), F.lit(0))
+            ).cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cnt",
+            "tok",
+            (1 + F.expr("(10 * cum_before) div n")).alias("decile"),
+        )
+    )
+    db = dec.groupBy("decile").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("avail"),
+    )
+    ep = spark.range(1, _CURR_EPOCHS + 1).select(
+        F.col("id").cast("long").alias("epoch")
+    )
+    adm = F.broadcast(ep).join(
+        db, db.decile <= F.expr("(10 * epoch + 3) div 4")
+    )
+    te = adm.groupBy("epoch").agg(F.sum("avail").cast("long").alias("tadm"))
+    q = (
+        adm.join(F.broadcast(te), "epoch")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "epoch",
+            "decile",
+            "n_docs",
+            "avail",
+            F.expr(f"((t div {_CURR_EPOCHS}) * avail) div tadm").alias("fl"),
+            F.expr(f"((t div {_CURR_EPOCHS}) * avail) % tadm").alias("rem"),
+            F.expr(f"t div {_CURR_EPOCHS}").alias("budget"),
+        )
+    )
+    x = q.groupBy("epoch").agg(
+        (F.max("budget") - F.sum("fl")).cast("long").alias("extra")
+    )
+    other = q.select(
+        F.col("epoch").alias("epoch2"),
+        F.col("decile").alias("decile2"),
+        F.col("rem").alias("rem2"),
+    )
+    rk = (
+        q.join(
+            F.broadcast(other),
+            (F.col("epoch2") == F.col("epoch"))
+            & (
+                (F.col("rem2") > F.col("rem"))
+                | (
+                    (F.col("rem2") == F.col("rem"))
+                    & (F.col("decile2") < F.col("decile"))
+                )
+            ),
+            "left",
+        )
+        .groupBy("epoch", "decile", "n_docs", "avail", "fl")
+        .agg(F.count("decile2").cast("long").alias("sb"))
+    )
+    quota = F.col("fl") + F.when(F.col("sb") < F.col("extra"), 1).otherwise(0)
+    return (
+        rk.join(F.broadcast(x), "epoch")
+        .select(
+            "epoch",
+            "decile",
+            "n_docs",
+            F.col("avail").alias("avail_tokens"),
+            quota.cast("long").alias("quota_tokens"),
+            F.least(quota, F.col("avail")).cast("long").alias("served_tokens"),
+            F.greatest(quota - F.col("avail"), F.lit(0))
+            .cast("long")
+            .alias("shortfall_tokens"),
+        )
+        .orderBy("epoch", "decile")
+    )

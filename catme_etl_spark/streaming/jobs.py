@@ -2740,3 +2740,201 @@ def stream_compaction_scheduler(
         )
         .orderBy("list_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 debut queue: SOURCE QUOTA WITH ROLLOVER (admission control
+# — the ingest-side budget arm of the streaming family, beside the
+# release admission gate).
+# ---------------------------------------------------------------------------
+
+_QUOTA_NUM, _QUOTA_DEN = 9, 10  # per-day quota = 90% of the observed
+# daily average, so a calibrated replay exhibits both rejection (busy
+# days) and rollover (quiet days) at every SF
+
+_QUOTA_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+    grid AS (
+      SELECT t.event_type, CAST(UNNEST(generate_series(
+               CAST(b.mn AS TIMESTAMP), CAST(b.mx AS TIMESTAMP),
+               INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM ev) t, bounds b
+    ),
+    cnt AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS a
+      FROM ev GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT g.event_type, g.day,
+             CAST(datediff('day', b.mn, g.day) + 1 AS BIGINT) AS d,
+             COALESCE(c.a, 0) AS a
+      FROM grid g
+      LEFT JOIN cnt c ON c.event_type = g.event_type AND c.day = g.day,
+      bounds b
+    ),
+    q AS (
+      SELECT event_type,
+             (CAST(SUM(a) AS BIGINT) * {_QUOTA_NUM})
+               // ({_QUOTA_DEN} * CAST(COUNT(*) AS BIGINT)) AS quota
+      FROM daily GROUP BY 1
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, d.d, d.a, q.quota,
+             CAST(SUM(d.a) OVER (PARTITION BY d.event_type ORDER BY d.d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t
+      FROM daily d JOIN q ON q.event_type = d.event_type
+    ),
+    mm AS (
+      SELECT event_type, day, d, a, quota, t,
+             LEAST(0, MIN(d * quota - t) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING)) AS m
+      FROM cum
+    ),
+    adm AS (
+      SELECT event_type, day, d, a, quota,
+             t + m AS cum_adm,
+             t + m - COALESCE(LAG(t + m) OVER (
+               PARTITION BY event_type ORDER BY d), 0) AS admitted,
+             d * quota - (t + m) AS carry
+      FROM mm
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           a AS arrivals, quota AS quota_per_day,
+           CAST(admitted AS BIGINT) AS admitted,
+           CAST(a - admitted AS BIGINT) AS rejected,
+           CAST(carry AS BIGINT) AS carry
+    FROM adm ORDER BY event_type, day
+    """
+
+
+@pending_query("stream_source_quota_rollover", oracle=_QUOTA_ORACLE)
+def stream_source_quota_rollover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE DAILY INGEST QUOTA WITH ROLLOVER — admission
+    control for a crawl pipeline (each source may land Q docs/day;
+    unused budget carries forward, overflow is REJECTED, not queued),
+    the ingest-side sibling of `stream_release_admission_gate`: the
+    stream owns only the mergeable per-(source, day) arrival counts
+    (1-day event-time tumbling windows, complete mode — the same
+    bounded state as every daily-series arm), and the batch verdict
+    replays the quota ledger over the calibrated snapshot.
+
+    The exactness device is the MIN-PLUS CLOSED FORM of the rollover
+    recursion: admitted(d) = min(a(d), Q + carry(d-1)) with
+    carry(d) = dQ - A(d) unrolls to cumulative admitted
+    A(d) = t(d) + min(0, min_j<=d (jQ - t(j))) — a cumulative sum
+    plus a running minimum, so the SEQUENTIAL ledger becomes two
+    per-source windows (per-key groups, never a global sort) and
+    both engines walk identical integers instead of a recursive CTE
+    / driver loop. Uncapped rollover is what makes the closed form
+    exact, and is the documented semantics (a cap re-introduces the
+    recursion; the published fix is the same two-window form on
+    capped segments).
+
+    Quota is CALIBRATED from the snapshot — {_QUOTA_NUM}/{_QUOTA_DEN}
+    of the source's observed daily average (floor) — so the certified
+    replay exercises rejection on busy days AND rollover credit on
+    quiet ones at every SF. The day grid is dense (global min..max
+    day crossed with sources): a zero-arrival day still accrues
+    quota, which only the grid — not the observed rows — can
+    represent. NULL-ts rows are dropped identically on both engines
+    (the round-14 event-time convention).
+
+    Scale shape: stream state |sources|x|days| counters; the verdict
+    is two keyed windows + one largest-of join on |sources| rows.
+
+    Reference basis: none; contract C5/C7 streaming family."""
+    e = _stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    agg = e.groupBy(
+        F.col("event_type"), F.window("ts", "1 day").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("a"))
+    snap = _run_to_memory(agg, "complete").select(
+        "event_type", F.to_date(F.col("w.start")).alias("day"), "a"
+    )
+
+    from pyspark.sql import Window
+
+    bounds = snap.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    types = snap.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"),
+        F.col("mn"),
+    )
+    # Fresh aliases (new expression IDs) break the shared lineage with
+    # `grid`, which derives from the same memory-sink snapshot.
+    obs = snap.select(
+        F.col("event_type").alias("o_et"),
+        F.col("day").alias("o_day"),
+        F.col("a").alias("o_a"),
+    )
+    daily = (
+        grid.join(
+            obs,
+            (F.col("event_type") == F.col("o_et"))
+            & (F.col("day") == F.col("o_day")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            (F.datediff("day", "mn") + 1).cast("long").alias("d"),
+            F.coalesce("o_a", F.lit(0)).cast("long").alias("a"),
+        )
+    )
+    q = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"(CAST(SUM(a) AS BIGINT) * {_QUOTA_NUM})"
+                f" div ({_QUOTA_DEN} * COUNT(*))"
+            )
+            .cast("long")
+            .alias("quota")
+        )
+        .select(F.col("event_type").alias("q_et"), "quota")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    cum = (
+        daily.join(F.broadcast(q), F.col("event_type") == F.col("q_et"))
+        .drop("q_et")
+        .withColumn("t", F.sum("a").over(wcum).cast("long"))
+    )
+    mm = cum.withColumn(
+        "m",
+        F.least(
+            F.lit(0).cast("long"),
+            F.min(F.col("d") * F.col("quota") - F.col("t")).over(wcum),
+        ),
+    ).withColumn("cum_adm", F.col("t") + F.col("m"))
+    adm = mm.withColumn(
+        "admitted",
+        (
+            F.col("cum_adm")
+            - F.coalesce(F.lag("cum_adm").over(wlag), F.lit(0))
+        ).cast("long"),
+    )
+    return adm.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("a").alias("arrivals"),
+        F.col("quota").alias("quota_per_day"),
+        "admitted",
+        (F.col("a") - F.col("admitted")).cast("long").alias("rejected"),
+        (F.col("d") * F.col("quota") - F.col("cum_adm"))
+        .cast("long")
+        .alias("carry"),
+    ).orderBy("event_type", "day")
