@@ -5298,3 +5298,143 @@ def pipeline_index_lifecycle_report(
         )
         .orderBy("list_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# STORAGE LEG of compaction (round-13 verdict item #6): apply the
+# compaction verdicts to a PERSISTED posting store through the 2PC
+# `sheetdir` sink, re-open it, and certify the store's content against
+# the verdict digests. Test-driven (tests/test_round15_pending.py) —
+# not a registered query, the same discipline as the corpus-release
+# 2PC export leg (tests/test_round11_pending.py).
+# ---------------------------------------------------------------------------
+
+
+def pipeline_index_store_persist(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """Persist the post-compaction posting lists and VERIFY the store:
+    the compaction verdicts (`pipeline_vector_index_compaction`) say
+    which lists rewrite to live-only postings and record `live_md5` —
+    the content digest of the rewritten segment. This leg makes that
+    digest REAL: compacted lists write only their live postings,
+    uncompacted lists keep their tombstones in place, the whole store
+    lands through the two-phase-commit ``sheetdir`` sink (staged
+    files, atomic driver-side promote + ``_SUCCESS`` manifest — a
+    reader can never observe a half-written store), and the store is
+    then RE-OPENED through the same source, its live digests
+    re-derived from the persisted bytes, and joined back against the
+    verdict table. A row verifies iff the persisted posting count
+    equals the verdict's `n_postings_after` AND the re-derived live
+    digest byte-matches `live_md5`.
+
+    Scale shape: the posting write is one |members|-linear pass
+    partitioned by list (a posting list fits a worker by the index's
+    own bound); verification is one groupBy over the re-opened store
+    plus a |lists|-row join. At 100 TB the sink's promote-by-rename
+    becomes the manifest-commit variant the writer already documents
+    (readers trust the manifest; see `_SheetDirWriter`).
+
+    Reference basis: none; contract F10/F14 ANN family — the storage
+    rung that turns `live_md5` from a certificate into posting files.
+    """
+    from ..sources.pydatasource import SheetDirDataSource
+    from ._shared import shared_df
+
+    spark.dataSource.register(SheetDirDataSource)
+    verdict = pipeline_vector_index_compaction(spark, sf_dir)
+
+    def _members_builder():
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+        art = shared_broadcast(
+            "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+        )
+        batch = emb.filter(F.col("vec_id") % 10 == 9).select("vec_id")
+        adm = (
+            fan_out(batch, spark)
+            .mapInPandas(
+                _ingest_gen(art),
+                schema=(
+                    "vec_id long, cid long, n_cand long, min_adc long,"
+                    " sum_adc long, admitted long"
+                ),
+            )
+            .filter(F.col("admitted") == 1)
+            .select("vec_id", F.col("cid").alias("list_id"))
+        )
+        existing = (
+            fan_out(emb.filter(F.col("vec_id") % 10 != 9), spark)
+            .select("vec_id")
+            .mapInPandas(_assign_lookup_gen(art), "vec_id long, list_id long")
+        )
+        return existing.unionByName(adm)
+
+    members = shared_df(
+        "ivf_rebalance_members", sf_dir, spark, _members_builder,
+        materialize=True,
+    )
+    # Fresh aliases break the shared checkpoint-scan lineage between
+    # the members table and the verdict rows derived from it.
+    vflag = verdict.select(
+        F.col("list_id").alias("v_lid"), F.col("compacted").alias("v_comp")
+    )
+    keep = (
+        members.join(vflag, F.col("list_id") == F.col("v_lid"))
+        .filter(
+            (F.col("v_comp") == 0)
+            | (F.col("vec_id") % DELETE_MOD != 3)
+        )
+        .select("list_id", "vec_id")
+    )
+    keep.repartition("list_id").write.format("sheetdir").mode(
+        "overwrite"
+    ).save(store_dir)
+
+    rb = (
+        spark.read.format("sheetdir")
+        .load(store_dir)
+        .select(
+            F.col("list_id").cast("long").alias("list_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+    )
+    n_store = rb.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings_store")
+    )
+    dig = (
+        rb.filter(F.col("vec_id") % DELETE_MOD != 3)
+        .groupBy("list_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("vec_id")),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("store_md5"),
+            F.count(F.lit(1)).cast("long").alias("n_live_store"),
+        )
+    )
+    ok = (F.col("n_postings_store") == F.col("n_postings_after")) & (
+        F.col("store_md5") == F.col("live_md5")
+    )
+    return (
+        verdict.join(n_store, "list_id")
+        .join(dig, "list_id", "left")
+        .select(
+            "list_id",
+            "compacted",
+            "n_postings_after",
+            "n_postings_store",
+            "n_live_store",
+            "live_md5",
+            "store_md5",
+            F.when(ok, 1).otherwise(0).cast("long").alias("verified"),
+        )
+        .orderBy("list_id")
+    )

@@ -57,6 +57,27 @@ def _write_emb(spark, tmp_path, vecs):
     return out
 
 
+def _clustered_corpus():
+    """The 160-vector round-13/14 index fixture DENSIFIED with 40
+    extra dead ids (153 + 25k, all ≡ 3 mod DELETE_MOD): list
+    membership is md5-plant-driven (raw geometry does NOT decide it —
+    the r13 fixture lesson), so the compaction branch is forced by
+    raising the global dead FRACTION, not by planting geometry.
+    Observed deterministic split on this id set: lists 0/50/100
+    compact, list 150 does not — both verdict branches exercised."""
+    ids = list(range(160)) + [153 + 25 * k for k in range(1, 41)]
+    return [
+        (
+            i,
+            [
+                math.sin(i * 0.9 + j * 1.1) * (1.0 + (i % 7))
+                for j in range(64)
+            ],
+        )
+        for i in ids
+    ]
+
+
 # --- agg_spearman_corr -------------------------------------------------------
 
 
@@ -398,3 +419,75 @@ def test_quota_rollover_ledger_and_dense_grid(spark, tmp_path):
     # zero-quota source: everything rejected, no carry ever accrues.
     assert all(r[3] == 0 and r[4] == 0 and r[6] == 0 for r in view)
     assert [r[5] for r in view] == [0, 4, 0, 0]
+
+
+# --- pipeline_index_store_persist (storage leg, test-driven) -------------------
+
+
+def test_index_store_persist_roundtrip_and_tamper(spark, tmp_path):
+    """The storage leg turns `live_md5` into posting files: every list
+    verifies against the re-opened store (digest + count), compacted
+    lists persist live-only while uncompacted lists keep tombstones on
+    disk, the 2PC sink leaves a _SUCCESS manifest and no staging
+    residue, a second overwrite run still verifies, and a tampered
+    part file is DETECTED by the same digest re-derivation."""
+    import csv
+    import glob
+    import hashlib
+    import os
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.similarity import (
+        DELETE_MOD,
+        pipeline_index_store_persist,
+    )
+
+    _write_emb(spark, tmp_path, _clustered_corpus())
+    store = str(tmp_path / "index_store")
+    clear_shared()
+    try:
+        got = _spark_rows(pipeline_index_store_persist(spark, str(tmp_path), store))
+        again = _spark_rows(
+            pipeline_index_store_persist(spark, str(tmp_path), store)
+        )
+    finally:
+        clear_shared()
+    assert got == again  # overwrite re-run is idempotent
+    assert got and all(r[7] == 1 for r in got)  # every list verified
+    assert {r[1] for r in got} == {0, 1}  # both verdict branches exercised
+    for r in got:
+        _lid, comp, n_after, n_store, n_live, vmd5, smd5, _ok = r
+        assert n_store == n_after and smd5 == vmd5
+        if comp == 1:
+            assert n_live == n_store  # live-only on disk
+    assert any(r[4] < r[3] for r in got if r[1] == 0)  # tombstones kept
+    # 2PC surface: manifest lists every part, no staging residue.
+    assert os.path.exists(os.path.join(store, "_SUCCESS"))
+    with open(os.path.join(store, "_SUCCESS")) as f:
+        manifest = [ln.split(",")[0] for ln in f.read().splitlines() if ln]
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(store, "*.csv"))
+    )
+    assert sorted(manifest) == parts
+    assert not glob.glob(os.path.join(store, "_wip_*"))
+    # Tamper one part: add a bogus LIVE posting to some list, re-derive
+    # that list's digest from the store the way the verifier does.
+    victim = os.path.join(store, parts[0])
+    with open(victim, newline="") as f:
+        rows = list(csv.reader(f))
+    lid = rows[1][rows[0].index("list_id")]
+    bogus = 999983  # not ≡ 3 (mod DELETE_MOD) -> counts as live
+    assert bogus % DELETE_MOD != 3
+    with open(victim, "a", newline="") as f:
+        csv.writer(f).writerow([lid, str(bogus)])
+    live = []
+    for p in glob.glob(os.path.join(store, "*.csv")):
+        with open(p, newline="") as f:
+            for rec in csv.DictReader(f):
+                if rec["list_id"] == lid and int(rec["vec_id"]) % DELETE_MOD != 3:
+                    live.append(int(rec["vec_id"]))
+    tampered = hashlib.md5(
+        ",".join(str(v) for v in sorted(live)).encode()
+    ).hexdigest()
+    certified = {str(r[0]): r[5] for r in got}[lid]
+    assert tampered != certified  # the digest catches the extra posting
