@@ -86,7 +86,14 @@ def test_pending_queue_discipline():
     # — the 8th consecutive clean flip. The staged round-15 debut
     # queue (<= 6 names by the round-14 cadence policy; see
     # test_debut_cadence_funds_bound_10), pinned by name:
-    assert set(PENDING) == set()
+    assert set(PENDING) == {
+        "agg_spearman_corr",
+        "text_bpe_merge_candidates",
+        "sim_graph_pagerank_iter",
+        "dedup_repeated_span_audit",
+        "sample_curriculum_schedule",
+        "stream_source_quota_rollover",
+    }
 
 
 def test_max_staleness_bound():
