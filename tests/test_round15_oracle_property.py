@@ -254,3 +254,131 @@ def test_curriculum_oracle_equals_python_mirror(shapes):
     assert got == sorted(expect)
     for e in range(1, epochs + 1):
         assert sum(r[4] for r in got if r[0] == e) == budget
+
+
+# --- PageRank: exact-cosine group graphs vs integer mirror -------------------
+
+graph_strategy = st.lists(
+    st.sampled_from([0, 1, 2, 3, "h"]),  # group axis or hub
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(graph_strategy)
+def test_pagerank_oracle_equals_integer_mirror(groups):
+    groups = [0, 0] + groups  # guarantee at least one edge
+    vecs = []
+    for i, g in enumerate(groups):
+        if g == "h":
+            emb = [0.5, 0.5, 0.5, 0.5]
+        else:
+            emb = [1.0 if j == g else 0.0 for j in range(4)]
+        vecs.append((i + 1, emb))
+    embeddings = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    got = _oracle_rows("sim_graph_pagerank_iter", embeddings=embeddings)
+    # exact cosines: same group 1.0, hub with anything 0.5 or 1.0,
+    # different one-hot groups 0.0 — edges are threshold-unambiguous
+    edges = []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            gi, gj = groups[i], groups[j]
+            if gi == gj or gi == "h" or gj == "h":
+                edges.append((i + 1, j + 1))
+                edges.append((j + 1, i + 1))
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    e9 = 1_000_000_000
+    r = {v: e9 // n for v in deg}
+    for _ in range(3):
+        acc: dict[int, int] = {}
+        for u, d in edges:
+            acc[d] = acc.get(d, 0) + r[u] // deg[u]
+        r = {v: (15 * e9) // (100 * n) + (85 * acc[v]) // 100 for v in acc}
+    top = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = sorted((v, deg[v], rv) for v, rv in top)
+    assert got == expect
+
+
+# --- Repeated spans: full winnowing pipeline vs python mirror ----------------
+
+span_doc = st.text(alphabet="ab", min_size=0, max_size=60)
+span_strategy = st.tuples(
+    st.lists(span_doc, min_size=2, max_size=5),
+    st.text(alphabet="ab", min_size=0, max_size=50),  # shared chunk
+    st.lists(st.booleans(), min_size=2, max_size=5),  # who gets the chunk
+)
+
+
+def _span_mirror(texts, K=16, W=8, gap=24, min_fps=2, df_cap=64, top=15):
+    import hashlib
+
+    pos: dict[tuple[int, int], int] = {}
+    fp_docs: dict[int, set[int]] = {}
+    for did, t in texts:
+        if len(t) < K:
+            continue
+        ng = len(t) - K + 1
+        h = [
+            int(hashlib.md5(t[i : i + K].encode()).hexdigest()[:14], 16)
+            for i in range(ng)
+        ]
+        for i in range(ng - W + 1):
+            fp = min(h[i : i + W])
+            key = (did, fp)
+            if key not in pos or i < pos[key]:
+                pos[key] = i
+            fp_docs.setdefault(fp, set()).add(did)
+    live = {fp for fp, ds in fp_docs.items() if len(ds) <= df_cap}
+    by_fp: dict[int, list[tuple[int, int]]] = {}
+    for (did, fp), i in pos.items():
+        if fp in live:
+            by_fp.setdefault(fp, []).append((did, i))
+    hits: dict[tuple[int, int, int], list[int]] = {}
+    for fp, members in by_fp.items():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                (db, ib), (da, ia) = members[x], members[y]
+                # a.doc < b.doc with delta = a.i - b.i, ia = a.i
+                hits.setdefault((db, da, ib - ia), []).append(ib)
+    runs = []
+    for (da, db, delta), ias in hits.items():
+        ias.sort()
+        start = ias[0]
+        chunk = [ias[0]]
+        for ia in ias[1:]:
+            if ia - chunk[-1] > gap:
+                if len(chunk) >= min_fps:
+                    runs.append(
+                        (da, db, delta, len(chunk), chunk[0],
+                         chunk[-1] - chunk[0] + K + W - 1)
+                    )
+                chunk = [ia]
+            else:
+                chunk.append(ia)
+        if len(chunk) >= min_fps:
+            runs.append(
+                (da, db, delta, len(chunk), chunk[0],
+                 chunk[-1] - chunk[0] + K + W - 1)
+            )
+    runs.sort(key=lambda r: (-r[5], r[0], r[1], r[2], r[4]))
+    return sorted(runs[:top])
+
+
+@settings(max_examples=100, deadline=None)
+@given(span_strategy)
+def test_repeated_span_oracle_equals_python_mirror(args):
+    bases, chunk, spliced = args
+    texts = []
+    for i, base in enumerate(bases):
+        t = base
+        if i < len(spliced) and spliced[i]:
+            t = base[: len(base) // 2] + chunk + base[len(base) // 2 :]
+        texts.append((i + 1, t))
+    documents = pd.DataFrame(texts, columns=["doc_id", "text"])
+    got = _oracle_rows("dedup_repeated_span_audit", documents=documents)
+    assert got == _span_mirror(texts)
