@@ -4705,3 +4705,127 @@ def dedup_repeated_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_SPAN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# CROSS-RELEASE RETENTION GC (round-13 verdict candidate (b)): apply
+# the retention verdict to a PERSISTED manifest store — delete expired
+# releases' artifacts and certify the survivors still reproduce their
+# pin certificates from the stored bytes. Test-driven
+# (tests/test_round15_pending.py), the same discipline as the
+# compaction storage leg and the r11 2PC export leg.
+# ---------------------------------------------------------------------------
+
+
+def pipeline_release_gc(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """Retention GC over a persisted release-manifest store: each of
+    the three ledger releases first lands its CANONICALIZED manifest
+    rows in the 2PC ``sheetdir`` store (the artifact a release job
+    writes), the retention verdict (`pipeline_release_retention`)
+    decides who survives, the GC REWRITES the store keeping only
+    retained releases (the expired release's artifact is gone, not
+    flagged), and the post-GC store is re-opened and certified: a
+    surviving release VERIFIES iff the digest re-derived from its
+    stored rows — md5 over the ascending newline-joined canonical
+    rendering, the identical bytes `pipeline_release_pin` certifies —
+    equals the verdict's `manifest_md5`, and an expired release
+    verifies iff ZERO of its rows remain.
+
+    Scale shape: manifests are |sources|-row artifacts; the GC is one
+    filtered rewrite through the 2PC sink plus a |sources|-row digest
+    agg per surviving release. At 100 TB the stored manifests are the
+    registry the release jobs already maintain — this leg is the
+    delete-and-reproduce audit a provenance registry runs after GC.
+
+    Reference basis: none; contract training-data pipeline family
+    (SURVEY §2.10) — the storage rung under the retention ledger."""
+    from ..sources.pydatasource import SheetDirDataSource
+    from .sampling import hash_bucket
+
+    spark.dataSource.register(SheetDirDataSource)
+    verdict = pipeline_release_retention(spark, sf_dir)
+
+    d = load_table(spark, sf_dir, "documents")
+    surv0 = _decon_survivors(spark, sf_dir)
+    nd = _neardup_pairs_05(spark, sf_dir)
+    train = hash_bucket(F.col("doc_id"), 100) < 80
+
+    def man_for(mods):
+        if not mods:
+            return _release_manifest(d, surv0, nd)
+        sl = F.col("doc_id") % 7
+        hit = sl.isin(mods) & train
+        return _release_manifest(
+            d.filter(~hit), surv0.filter(~(sl.isin(mods))), nd
+        )
+
+    exports = None
+    for mods, (_seq, rid, _pred) in zip(
+        ([3, 5], [3], []), _RETENTION_PREDS
+    ):
+        rows = man_for(mods).select(
+            F.lit(rid).alias("release_id"),
+            F.concat_ws(
+                "|",
+                "source",
+                F.col("n_train_raw").cast("string"),
+                F.col("n_dropped_decon").cast("string"),
+                F.col("n_dropped_neardup").cast("string"),
+                F.col("n_train_final").cast("string"),
+                F.col("share_before_ppm").cast("string"),
+                F.col("share_after_ppm").cast("string"),
+                F.col("passing_tokens").cast("string"),
+                F.col("alloc_tokens").cast("string"),
+            ).alias("r"),
+        )
+        exports = rows if exports is None else exports.unionByName(rows)
+    exports.write.format("sheetdir").mode("overwrite").save(store_dir)
+
+    keep = verdict.filter(F.col("retained") == 1).select(
+        F.col("release_id").alias("k_rid")
+    )
+    pre = spark.read.format("sheetdir").load(store_dir).select(
+        "release_id", "r"
+    )
+    survivors = (
+        pre.join(F.broadcast(keep), F.col("release_id") == F.col("k_rid"))
+        .select("release_id", "r")
+        # materialize BEFORE the overwrite: the GC rewrite reads the
+        # same store directory it replaces (|releases|x|sources| rows)
+        .localCheckpoint()
+    )
+    survivors.write.format("sheetdir").mode("overwrite").save(store_dir)
+
+    post = spark.read.format("sheetdir").load(store_dir).select(
+        F.col("release_id").alias("s_rid"), "r"
+    )
+    dig = post.groupBy("s_rid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_store"),
+        F.md5(
+            F.concat_ws("\n", F.array_sort(F.collect_list("r"))).cast(
+                "binary"
+            )
+        ).alias("store_md5"),
+    )
+    ok = (
+        (F.col("retained") == 1)
+        & (F.col("store_md5") == F.col("manifest_md5"))
+    ) | ((F.col("retained") == 0) & F.col("store_md5").isNull())
+    return (
+        verdict.join(dig, verdict.release_id == dig.s_rid, "left")
+        .select(
+            "seq",
+            "release_id",
+            "retained",
+            "reason",
+            F.coalesce("n_rows_store", F.lit(0))
+            .cast("long")
+            .alias("n_rows_store"),
+            "manifest_md5",
+            "store_md5",
+            F.when(ok, 1).otherwise(0).cast("long").alias("verified"),
+        )
+        .orderBy("seq")
+    )

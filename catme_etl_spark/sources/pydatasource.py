@@ -431,12 +431,16 @@ class _SheetDirWriter(DataSourceWriter):
                 n += 1
         if n == 0:  # no headerless/empty sheets in the output
             os.remove(tmp)
-            return None
+            # Spark 4's Python DataSource API requires a
+            # WriterCommitMessage from every task — a zero-row
+            # sentinel; commit() drops it before promotion.
+            return _StagedSheet(staged="", rows=0)
         return _StagedSheet(staged=tmp, rows=n)
 
     def commit(self, messages):
         staged = sorted(
-            (m for m in messages if m is not None), key=lambda m: m.staged
+            (m for m in messages if m is not None and m.rows > 0),
+            key=lambda m: m.staged,
         )
         os.makedirs(self.dir, exist_ok=True)
         manifest = []

@@ -491,3 +491,56 @@ def test_index_store_persist_roundtrip_and_tamper(spark, tmp_path):
     ).hexdigest()
     certified = {str(r[0]): r[5] for r in got}[lid]
     assert tampered != certified  # the digest catches the extra posting
+
+
+# --- pipeline_release_gc (retention GC storage leg, test-driven) ---------------
+
+
+def test_release_gc_deletes_expired_and_certifies_survivors(
+    spark, sf_dir, tmp_path
+):
+    """The GC leg makes the retention verdict REAL: expired releases'
+    manifest artifacts are gone from the store (zero rows, not a
+    flag), every surviving release re-derives its pin certificate
+    byte-for-byte from the stored rows, the head release always
+    survives, and the store's 2PC surface stays clean."""
+    import glob
+    import os
+
+    from catme_etl_spark.operators._shared import clear_shared
+    from catme_etl_spark.operators.dedup import pipeline_release_gc
+
+    store = str(tmp_path / "release_store")
+    clear_shared()
+    try:
+        got = _spark_rows(pipeline_release_gc(spark, sf_dir, store))
+    finally:
+        clear_shared()
+    assert len(got) == 3 and all(r[7] == 1 for r in got)  # all verified
+    by_seq = {r[0]: r for r in got}
+    assert by_seq[3][2] == 1 and by_seq[3][3] == "head"
+    assert by_seq[2][2] == 1 and by_seq[2][3] == "rollback-window"
+    for _seq, _rid, retained, _reason, n_store, man_md5, store_md5, _ok in got:
+        if retained == 1:
+            assert n_store > 0 and store_md5 == man_md5
+        else:
+            assert n_store == 0 and store_md5 is None
+    # 2PC surface post-GC: manifest lists exactly the surviving parts.
+    assert os.path.exists(os.path.join(store, "_SUCCESS"))
+    with open(os.path.join(store, "_SUCCESS")) as f:
+        manifest = [ln.split(",")[0] for ln in f.read().splitlines() if ln]
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(store, "*.csv"))
+    )
+    assert sorted(manifest) == parts
+    assert not glob.glob(os.path.join(store, "_wip_*"))
+    # the stored bytes per surviving release are exactly its
+    # |sources| canonical rows: total rows == sum over retained rows
+    total = sum(r[4] for r in got)
+    import csv
+
+    disk = 0
+    for p in glob.glob(os.path.join(store, "*.csv")):
+        with open(p, newline="") as f:
+            disk += sum(1 for _ in csv.DictReader(f))
+    assert disk == total
