@@ -37,6 +37,37 @@ from ..operators.registry import pending_query, query
 
 _SINK_SEQ = count()
 
+# Scratch parent for the THROWAWAY checkpoints of one-shot
+# (AvailableNow → memory sink) queries. Without an explicit location
+# Spark creates the temp checkpoint under java.io.tmpdir (/tmp — spinning
+# storage here), and every micro-batch pays offset-WAL + commit-log +
+# state-store-delta fsyncs against it; measured on stream_tumbling_10min
+# at sf0.1 that is walCommit+commitOffsets ≈ 0.6 s plus state commit
+# time per query for a checkpoint that is deleted seconds later. These
+# checkpoints are ephemeral BY CONTRACT (the query is one-shot and the
+# sink is a memory table), so RAM-backed scratch is the honest cost;
+# durability is a property of RESUMABLE streams, and those keep their
+# explicit durable ``checkpointLocation`` (``stream_to_parquet``).
+# Override with $SPARK_GRAFT_STREAM_SCRATCH; falls back to the system
+# temp dir when /dev/shm is absent (e.g. macOS dev boxes).
+
+
+def _scratch_parent() -> str:
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if not base:
+        base = (
+            "/dev/shm"
+            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+            else None
+        )
+    if not base:
+        import tempfile
+
+        base = tempfile.gettempdir()
+    d = os.path.join(base, "catme_etl_stream_ckpt")
+    os.makedirs(d, exist_ok=True)
+    return d
+
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events parquet, normalized to a micro-
@@ -141,15 +172,20 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     multi-tenant deployment would run streams on their own session
     (``spark.newSession()``) instead.
     """
+    import shutil
+    import tempfile
+
     spark = df.sparkSession
     name = f"stream_sink_{next(_SINK_SEQ)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_scratch_parent())
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -159,6 +195,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
