@@ -95,7 +95,12 @@ def clear_shared() -> None:
                 pass
 
 
-def fan_out(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    spark: SparkSession,
+    *keys: str,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Spread a small-file input across the cluster before heavy
     per-row expansion (explode → hash → wide aggregate).
 
@@ -117,8 +122,34 @@ def fan_out(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
     No-op when the input already has at least cluster parallelism —
     i.e. at real scale, where a 100 TB table arrives as thousands of
     splits and another shuffle would be pure harm.
+
+    ``bytes_per_task`` (optional) makes the target SCALE-ADAPTIVE
+    instead of always the core count: the task count is derived from
+    the optimizer's size estimate (``optimizedPlan().stats()`` — a
+    driver-side plan read, zero Spark jobs), clamped to
+    [1, defaultParallelism]. Callers whose per-row work is moderate
+    (numeric-vector kernels: a fused BLAS pass per Arrow batch) use
+    this so a kilobyte-scale input does not fan to 32 python-worker
+    round-trips per stage (measured: an empty mapInPandas over the
+    sf0.1 embeddings costs 0.63 s at 32 partitions vs 0.41 s at 8);
+    at real scale the estimate exceeds the clamp and the behavior is
+    identical to the classic form. Callers with ~100× per-row
+    expansion (shingling, simhash) keep the unsized form — for them
+    full fan-out pays even on tiny inputs.
     """
     target = spark.sparkContext.defaultParallelism
+    if bytes_per_task:
+        try:
+            est = int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            est = -1
+        if est >= 0:
+            target = max(1, min(target, -(-est // bytes_per_task)))
     if df.rdd.getNumPartitions() >= target:
         return df
     if keys:

@@ -25,6 +25,8 @@ plumbing, different centroid table).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -32,7 +34,7 @@ from ..functions.texttools import hex_prefix_long, sql_hex_long
 from ..functions.vector import SQL_NORM, make_cosine_pandas_udf, sql_cosine
 from ..sources.tables import load_table
 from ._shared import (
-    fan_out,
+    fan_out as _fan_out_unsized,
     require_bounded,
     shared_broadcast,
     shared_matrix_broadcast,
@@ -42,6 +44,28 @@ from .registry import pending_query, query
 TOP_K = 5
 NPROBE = 2
 CENTROID_STRIDE = 50
+
+# Scale-adaptive fan-out for this module's numeric-vector kernels
+# (guide §2: make partitioning derive from input size, not the core
+# count). Every fan_out here feeds an Arrow/numpy kernel whose
+# per-row cost is a fused BLAS pass — moderate — so a kilobyte-scale
+# vector slice should not pay 32 python-worker round-trips per stage
+# (~0.2 s of pure overhead at sf0.1, ×9 passes in the k-center loop).
+# 128 KiB of vectors per task ≈ 1.6k embedding rows; past ~4 MiB of
+# input the target hits the defaultParallelism clamp and the plan is
+# identical to the classic fan_out. Results are partition-independent
+# by construction (row-local kernels; per-partition winners reduce
+# under a global tie rule) — re-certified against the oracle for the
+# whole family.
+_EMB_BYTES_PER_TASK = int(
+    os.environ.get("CATME_EMB_BYTES_PER_TASK", str(128 << 10))
+)
+
+
+def fan_out(df, spark, *keys):
+    return _fan_out_unsized(
+        df, spark, *keys, bytes_per_task=_EMB_BYTES_PER_TASK
+    )
 
 
 def _topk_against(bc, k: int, exclude_self: bool):

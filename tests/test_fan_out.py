@@ -36,6 +36,44 @@ def test_keyed_fan_out_replaces_aggregation_exchange(spark, sf_dir):
     assert count_shuffles(agg) == 1
 
 
+def test_sized_fan_out_derives_target_from_input_bytes(spark, sf_dir):
+    """bytes_per_task makes the target scale-adaptive: a kilobyte-scale
+    input gets a handful of tasks, not one per core; a huge
+    bytes-per-task collapses to 1; and the defaultParallelism clamp
+    means big inputs behave exactly like the classic form."""
+    d = load_table(spark, sf_dir, "embeddings")
+    target = spark.sparkContext.defaultParallelism
+    classic = fan_out(d, spark).rdd.getNumPartitions()
+    assert classic == target
+    sized = fan_out(d, spark, bytes_per_task=128 << 10).rdd.getNumPartitions()
+    assert 1 <= sized <= target
+    # the sf0.001/0.01 fixture is well under cores x 128 KiB, so the
+    # sized target must actually be smaller than the core count
+    assert sized < target
+    assert (
+        fan_out(d, spark, bytes_per_task=1 << 40).rdd.getNumPartitions()
+        == 1
+    )
+    # tiny bytes_per_task -> estimate/bpt exceeds the clamp -> classic
+    assert (
+        fan_out(d, spark, bytes_per_task=1).rdd.getNumPartitions()
+        == target
+    )
+
+
+def test_similarity_fan_out_is_sized(spark, sf_dir):
+    """The similarity module's wrapper routes every vector kernel
+    through the sized form (its results are partition-independent;
+    certified by the oracle sweep)."""
+    from catme_etl_spark.operators import similarity as sim
+
+    d = load_table(spark, sf_dir, "embeddings")
+    assert (
+        sim.fan_out(d, spark).rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    )
+
+
 def test_clear_shared_forces_rebuild(spark, sf_dir):
     from catme_etl_spark.operators._shared import _DF_CACHE, shared_df
 
