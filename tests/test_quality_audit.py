@@ -58,3 +58,23 @@ def test_fk_audit_detects_injected_violations(spark, sf_dir, tmp_path):
 def test_fk_audit_clean_on_pristine_data(spark, sf_dir):
     got = {r.check_name: r.violations for r in quality_fk_audit(spark, sf_dir).collect()}
     assert set(got.values()) == {0}
+
+
+def test_profile_legs_form_equals_fused_form(spark, sf_dir):
+    """The single-split profile plan (independent crossJoined legs)
+    computes byte-identical measures to the fused one-pass production
+    form — each leg is the same aggregate over the same rows, and
+    HLL++ register merges are partition-independent."""
+    from catme_etl_spark.operators.quality import (
+        _is_single_split,
+        _profile_source,
+        table_profile_wide_approx,
+    )
+
+    l = _profile_source(spark, sf_dir)
+    assert _is_single_split(l)  # fixture arrives as one row group
+    legs = table_profile_wide_approx(l).collect()[0].asDict()
+    fanned = l.repartition(spark.sparkContext.defaultParallelism)
+    assert not _is_single_split(fanned)
+    fused = table_profile_wide_approx(fanned).collect()[0].asDict()
+    assert legs == fused
