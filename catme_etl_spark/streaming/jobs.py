@@ -1234,6 +1234,80 @@ def _minhash_band_cols():
     return xs, mins, f"array({', '.join(bkeys)})"
 
 
+def _minhash_band_gen():
+    """mapInPandas generator computing the exact per-doc band keys of
+    :func:`_minhash_band_cols` (r14 optimization, guide §4.2): the
+    interpreted higher-order form evaluated 32 seeded Carter-Wegman
+    lambdas per shingle per row (~800k interpreted evals per
+    micro-batch at sf0.1); here the shingle set is one Java-equivalent
+    regex pass (``re.ASCII`` pins \\S to Java's ASCII class), the
+    56-bit md5 values are bulk hashlib, and all 32 seed minima come
+    from ONE numpy broadcast + ``minimum.reduceat`` over the
+    flattened batch. a·x+b < 2^62 + 2^31 so int64 never wraps — the
+    same bound the JVM/DuckDB literals rely on. Emits
+    (doc_id, band, bkey) rows; docs with no shingle (< 3 tokens or
+    null text) emit nothing, matching the ``size(_xs) > 0`` filter."""
+    import re
+    from hashlib import md5 as _md5
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.texttools import MINHASH_P, minhash_constants
+    from ..operators.dedup import _BAND_ROWS, _N_SEEDS
+
+    pat = re.compile(r"(?=(?:^| )(\S+ \S+ \S+))", re.ASCII)
+    consts = minhash_constants(_N_SEEDS)
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    n_bands = _N_SEEDS // _BAND_ROWS
+
+    def gen(batches):
+        for pdf in batches:
+            doc_ids, offs, xs_all = [], [], []
+            pos = 0
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                if text is None:
+                    continue
+                gs = pat.findall(text)
+                if not gs:
+                    continue
+                xs_all.extend(
+                    int(_md5(g.encode()).hexdigest()[:14], 16) % MINHASH_P
+                    for g in gs
+                )
+                doc_ids.append(doc_id)
+                offs.append(pos)
+                pos += len(gs)
+            if not doc_ids:
+                continue
+            xs = np.array(xs_all, dtype=np.int64)[None, :]
+            h = np.minimum.reduceat(
+                (A * xs + B) % MINHASH_P, np.array(offs), axis=1
+            )  # (n_seeds, n_docs)
+            hs = h.astype("U10")
+            bkeys = [
+                [
+                    ",".join(hs[b * _BAND_ROWS + r, j] for r in range(_BAND_ROWS))
+                    for b in range(n_bands)
+                ]
+                for j in range(len(doc_ids))
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        np.array(doc_ids, dtype=np.int64), n_bands
+                    ),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(doc_ids)
+                    ),
+                    "bkey": [k for row in bkeys for k in row],
+                }
+            )
+
+    return gen
+
+
 from ..operators.dedup import _MINHASH_BANDS_CTES as _MH_BANDS_CTES  # noqa: E402
 
 _STREAM_MINHASH_ORACLE = f"""
@@ -1253,9 +1327,13 @@ def stream_minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banded MinHash LSH index maintained BY the stream (C7) —
     the near-dup sibling of `stream_bloom_index_maintenance`: corpus
     documents arrive as micro-batches, each doc's 32-seed signature
-    and 8 band keys are computed ROW-WISE inside array expressions
-    (shingle → md5 → Carter-Wegman mins — no explode, no per-doc
-    aggregation state), and the only stateful step is the index fold:
+    and 8 band keys are computed STATELESSLY per batch (shingle →
+    md5 → Carter-Wegman mins, one vectorized numpy pass inside
+    `mapInPandas` — value-identical to the interpreted
+    higher-order-expression form it replaced, which paid ~800k
+    interpreted lambda evals per micro-batch; r14 optimization,
+    guide §4.2 — no per-doc aggregation state), and the only
+    stateful step is the index fold:
     a streaming groupBy(band, bkey) maintaining (n_docs, canonical =
     min doc_id) per bucket. COUNT and MIN are both
     commutative/associative merges, so out-of-order micro-batches
@@ -1273,12 +1351,10 @@ def stream_minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     no banding signal; exact dedup owns them).
 
     Reference basis: none; contract C7 streaming family + F9 LSH."""
-    xs, mins, bkeys = _minhash_band_cols()
     docs = _stream_docs(spark, sf_dir).select("doc_id", "text")
-    d = docs.withColumn("_xs", F.expr(xs)).filter(F.expr("size(_xs) > 0"))
-    for s, m in enumerate(mins):
-        d = d.withColumn(f"_h{s}", F.expr(m))
-    d = d.select("doc_id", F.posexplode(F.expr(bkeys)).alias("band", "bkey"))
+    d = docs.mapInPandas(
+        _minhash_band_gen(), schema="doc_id long, band int, bkey string"
+    )
     agg = d.groupBy("band", "bkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").alias("canonical_id"),
@@ -1704,10 +1780,66 @@ _WINNOW_SHARD = 64  # this stream owns fp-space slice fp % 64 == 0; a
 # index as its state — sharding by FINGERPRINT keeps every posting of
 # a fingerprint on one worker, so counts and canonicals stay exact.
 
-_WINNOW_FP_ROWWISE = (
-    f"array_distinct(transform(sequence(0, ng - {_WW}), i ->"
-    f" array_min(slice(_hs, i + 1, {_WW}))))"
-)
+def _winnow_shard_gen(k: int, w: int, shard: int):
+    """mapInPandas generator for the per-batch winnowing pass: per doc,
+    56-bit md5 k-gram hashes (bulk hashlib over byte slices — one
+    encode per ASCII doc, char-slice fallback otherwise, so the hashed
+    bytes equal Spark's ``md5(substring(text, i+1, k))`` exactly),
+    vectorized sliding-window-of-``w`` minima, per-doc distinct, and
+    the ``fp % shard == 0`` slice filter. Emits (doc_id, fp) postings
+    only — the stateful index fold stays a JVM streaming groupBy.
+    Value-identical to the interpreted transform/array_min(slice)
+    row-wise expressions it replaces (same md5 prefix → BIGINT
+    mapping, same window minima, same distinct-per-doc posting set);
+    docs shorter than k + w - 1 produce no full window and are
+    dropped, matching the previous ``ng >= w`` filter."""
+    from hashlib import md5 as _md5
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            doc_out: list[np.ndarray] = []
+            fp_out: list[np.ndarray] = []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                if text is None:
+                    continue
+                ng = len(text) - k + 1
+                if ng < w:
+                    continue
+                if text.isascii():
+                    b = text.encode()
+                    it = (
+                        int.from_bytes(_md5(b[i : i + k]).digest()[:7], "big")
+                        for i in range(ng)
+                    )
+                else:
+                    it = (
+                        int.from_bytes(
+                            _md5(text[i : i + k].encode()).digest()[:7],
+                            "big",
+                        )
+                        for i in range(ng)
+                    )
+                hs = np.fromiter(it, dtype=np.int64, count=ng)
+                fps = np.unique(swv(hs, w).min(axis=1))
+                fps = fps[fps % shard == 0]
+                if len(fps):
+                    fp_out.append(fps)
+                    doc_out.append(
+                        np.full(len(fps), doc_id, dtype=np.int64)
+                    )
+            if fp_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_out),
+                        "fp": np.concatenate(fp_out),
+                    }
+                )
+
+    return gen
 
 
 @query(
@@ -1745,9 +1877,13 @@ def stream_winnowing_shard_index(
     `stream_minhash_band_index`, completing the streaming-index family
     (Bloom filter, LSH band index, winnowing fp index): each arriving
     document's {_WK}-char k-gram hashes, window-of-{_WW} minima, and
-    shard filter are computed ROW-WISE inside higher-order array
-    expressions (transform → array_min(slice) → array_distinct —
-    no explode, no per-doc aggregation state), leaving ONE stateful
+    shard filter are computed STATELESSLY per batch (a window
+    function per doc is illegal in one streaming query, so the
+    per-doc pass runs inside `mapInPandas`: bulk md5 over byte
+    slices + a vectorized numpy sliding-window min — identical
+    values to the previous interpreted higher-order-expression form,
+    which cost 1.4-2 s per micro-batch in interpreted lambda
+    evaluation; r14 optimization, guide §4.2), leaving ONE stateful
     fold: a streaming groupBy(fp) maintaining (n_docs, canonical =
     min doc_id) per fingerprint. COUNT and MIN are
     commutative/associative merges, and the complete-mode snapshot is
@@ -1766,30 +1902,14 @@ def stream_winnowing_shard_index(
 
     Reference basis: none; contract C7 streaming family + the F75
     winnowing rung."""
-    docs = (
-        _stream_docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "text",
-            (F.length("text") - _WK + 1).alias("ng"),
-        )
-        .filter(F.col("ng") >= _WW)
+    docs = _stream_docs(spark, sf_dir).select("doc_id", "text")
+    d = docs.mapInPandas(
+        _winnow_shard_gen(_WK, _WW, _WINNOW_SHARD),
+        schema="doc_id long, fp long",
     )
-    hs = (
-        f"transform(sequence(0, ng - 1), i -> "
-        f"CAST(conv(substring(md5(substring(text, i + 1, {_WK})), 1, 14),"
-        f" 16, 10) AS BIGINT))"
-    )
-    d = docs.withColumn("_hs", F.expr(hs)).select(
-        "doc_id", F.explode(F.expr(_WINNOW_FP_ROWWISE)).alias("fp")
-    )
-    agg = (
-        d.filter(F.col("fp") % _WINNOW_SHARD == 0)
-        .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("canonical_id"),
-        )
+    agg = d.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("canonical_id"),
     )
     return _run_to_memory(agg, "complete")
 

@@ -259,7 +259,7 @@ def test_minhash_band_index_restart_recovers_state(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from catme_etl_spark.streaming.jobs import _minhash_band_cols
+    from catme_etl_spark.streaming.jobs import _minhash_band_gen
 
     landing = str(tmp_path / "landing")
     out_dir = str(tmp_path / "out")
@@ -277,14 +277,10 @@ def test_minhash_band_index_restart_recovers_state(spark, sf_dir, tmp_path):
         shutil.move(part, os.path.join(landing, name + ".parquet"))
 
     def band_index(df):
-        # the registered op's own kernel: row-wise signatures, one
-        # stateful (band, bkey) fold
-        xs, mins, bkeys = _minhash_band_cols()
-        d = df.withColumn("_xs", F.expr(xs)).filter(F.expr("size(_xs) > 0"))
-        for s, m in enumerate(mins):
-            d = d.withColumn(f"_h{s}", F.expr(m))
-        d = d.select(
-            "doc_id", F.posexplode(F.expr(bkeys)).alias("band", "bkey")
+        # the registered op's own kernel: stateless per-batch
+        # signatures (mapInPandas), one stateful (band, bkey) fold
+        d = df.select("doc_id", "text").mapInPandas(
+            _minhash_band_gen(), schema="doc_id long, band int, bkey string"
         )
         return d.groupBy("band", "bkey").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -471,8 +467,8 @@ def test_winnowing_shard_restart_recovers_state(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from catme_etl_spark.streaming.jobs import (
-        _WINNOW_FP_ROWWISE,
         _WINNOW_SHARD,
+        _winnow_shard_gen,
         _WK,
         _WW,
     )
@@ -493,32 +489,15 @@ def test_winnowing_shard_restart_recovers_state(spark, sf_dir, tmp_path):
         shutil.move(part, os.path.join(landing, name + ".parquet"))
 
     def shard_index(df):
-        # the registered op's own kernel: row-wise k-gram hashes +
-        # window minima + shard filter, one stateful (fp) fold
-        hs = (
-            f"transform(sequence(0, ng - 1), i -> "
-            f"CAST(conv(substring(md5(substring(text, i + 1, {_WK})),"
-            f" 1, 14), 16, 10) AS BIGINT))"
+        # the registered op's own kernel: stateless per-batch winnowing
+        # pass (mapInPandas), one stateful (fp) fold
+        d = df.select("doc_id", "text").mapInPandas(
+            _winnow_shard_gen(_WK, _WW, _WINNOW_SHARD),
+            schema="doc_id long, fp long",
         )
-        d = (
-            df.select(
-                "doc_id",
-                "text",
-                (F.length("text") - _WK + 1).alias("ng"),
-            )
-            .filter(F.col("ng") >= _WW)
-            .withColumn("_hs", F.expr(hs))
-            .select(
-                "doc_id", F.explode(F.expr(_WINNOW_FP_ROWWISE)).alias("fp")
-            )
-        )
-        return (
-            d.filter(F.col("fp") % _WINNOW_SHARD == 0)
-            .groupBy("fp")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.min("doc_id").cast("long").alias("canonical_id"),
-            )
+        return d.groupBy("fp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
         )
 
     def run_once(tag):
@@ -671,3 +650,82 @@ def test_ivf_occupancy_restart_recovers_state(spark, sf_dir, tmp_path):
     a_mass = snap_a.agg(F.sum("n_admitted")).collect()[0][0]
     b_mass = snap_b.agg(F.sum("n_admitted")).collect()[0][0]
     assert a_mass < b_mass
+
+
+def test_winnow_shard_kernel_matches_hof_expression(spark, sf_dir):
+    """The r14 numpy winnowing kernel emits the exact (doc_id, fp)
+    posting set of the interpreted higher-order-expression form it
+    replaced (same md5-prefix -> BIGINT mapping, same window-of-W
+    minima, same per-doc distinct, same shard filter)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.streaming.jobs import (
+        _WINNOW_SHARD,
+        _winnow_shard_gen,
+        _WK,
+        _WW,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    hs = (
+        f"transform(sequence(0, ng - 1), i -> "
+        f"CAST(conv(substring(md5(substring(text, i + 1, {_WK})),"
+        f" 1, 14), 16, 10) AS BIGINT))"
+    )
+    rowwise = (
+        f"array_distinct(transform(sequence(0, ng - {_WW}), i ->"
+        f" array_min(slice(_hs, i + 1, {_WW}))))"
+    )
+    old = (
+        docs.select(
+            "doc_id", "text", (F.length("text") - _WK + 1).alias("ng")
+        )
+        .filter(F.col("ng") >= _WW)
+        .withColumn("_hs", F.expr(hs))
+        .select("doc_id", F.explode(F.expr(rowwise)).alias("fp"))
+        .filter(F.col("fp") % _WINNOW_SHARD == 0)
+    )
+    new = docs.mapInPandas(
+        _winnow_shard_gen(_WK, _WW, _WINNOW_SHARD),
+        schema="doc_id long, fp long",
+    )
+    a = {(r.doc_id, r.fp) for r in old.collect()}
+    b = {(r.doc_id, r.fp) for r in new.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_minhash_band_kernel_matches_hof_expression(spark, sf_dir):
+    """The r14 numpy band-key kernel emits the exact
+    (doc_id, band, bkey) set of the interpreted
+    higher-order-expression form it replaced (same shingle regex
+    under Java/ASCII \\S semantics, same md5-56 % P shingle hashes,
+    same 32 Carter-Wegman minima, same band-key strings)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from catme_etl_spark.streaming.jobs import (
+        _minhash_band_cols,
+        _minhash_band_gen,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    xs, mins, bkeys = _minhash_band_cols()
+    d = docs.withColumn("_xs", F.expr(xs)).filter(F.expr("size(_xs) > 0"))
+    for s, m in enumerate(mins):
+        d = d.withColumn(f"_h{s}", F.expr(m))
+    old = d.select(
+        "doc_id", F.posexplode(F.expr(bkeys)).alias("band", "bkey")
+    )
+    new = docs.mapInPandas(
+        _minhash_band_gen(), schema="doc_id long, band int, bkey string"
+    )
+    a = {(r.doc_id, r.band, r.bkey) for r in old.collect()}
+    b = {(r.doc_id, r.band, r.bkey) for r in new.collect()}
+    assert a == b and len(a) > 0
