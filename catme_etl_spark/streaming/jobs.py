@@ -157,13 +157,16 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Execute a one-shot (AvailableNow) streaming query into a memory
     sink; return the sink as a batch DataFrame.
 
-    Shuffle partitions are dropped to 8 for the query's lifetime: a
-    stateful streaming query creates one state store PER shuffle
-    partition PER micro-batch, so 32 partitions × 4 micro-batches of a
-    small test stream is pure constant overhead. The value is captured
-    by the query at start (it is recorded in the checkpoint), and the
-    session's batch setting is restored after — on a real cluster a
-    long-lived stream sizes this to its state volume instead.
+    Shuffle partitions are dropped to ``$SPARK_GRAFT_STREAM_SHUFFLE``
+    (default 4) for the query's lifetime: a stateful streaming query
+    creates one state store PER shuffle partition PER micro-batch, so
+    32 partitions × 4 micro-batches of a small test stream is pure
+    constant overhead (measured at sf0.1: 8 partitions cost ~0.2-0.3 s
+    more per query than 4; 2 is no better — the floor moves to
+    planning/commit). The value is captured by the query at start (it
+    is recorded in the checkpoint), and the session's batch setting is
+    restored after — on a real cluster a long-lived stream sizes this
+    to its state volume instead, which is what the env knob is for.
 
     SINGLE-THREADED assumption: the conf override is session-global
     for the query's lifetime, so a batch query run CONCURRENTLY on the
@@ -178,7 +181,10 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     spark = df.sparkSession
     name = f"stream_sink_{next(_SINK_SEQ)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"),
+    )
     ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_scratch_parent())
     try:
         q = (
