@@ -341,15 +341,17 @@ def test_debut_queues_flipped_live():
     (CORRECTNESS_r09); round 9's 12 in round 10 (CORRECTNESS_r10);
     round 10's 12 in round 11 (CORRECTNESS_r11); round 11's 12 in round 12
     (CORRECTNESS_r12); round 12's 12 in round 13 (CORRECTNESS_r13);
-    round 13's 12 must sit inside the round-14 certification window."""
+    round 13's 12 in round 14 (all green in CORRECTNESS_r14, checked
+    below against the committed driver record — the round-14 window
+    requirement is thereby discharged, so round-15's emit is free to
+    spend its slots on the r14 optimization blast radius)."""
+    import json
+    import os
+
     import __spark_entry__  # noqa: F401 — registers every query
 
-    from catme_etl_spark.operators.ordering import SWEEP_ORDER
     from catme_etl_spark.operators.registry import ORACLE, PENDING, QUERIES
 
-    import tools.rotation as rotation
-
-    window = set(SWEEP_ORDER[: rotation.WINDOW_SLOTS])
     for name in (
         ROUND7_DEBUT_QUEUE
         + ROUND8_DEBUT_QUEUE
@@ -362,8 +364,15 @@ def test_debut_queues_flipped_live():
         assert name in QUERIES, f"{name} missing from live registry"
         assert name in ORACLE, f"{name} lost its oracle in the flip"
         assert name not in PENDING, f"{name} still queued"
+    record = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r14.json"
+    )
+    with open(record) as f:
+        certified = json.load(f)
     for name in ROUND13_DEBUT_QUEUE:
-        assert name in window, f"{name} outside the certification window"
+        row = certified.get(name)
+        assert row is not None, f"{name} missing from CORRECTNESS_r14"
+        assert row["hash_match"], f"{name} not green in CORRECTNESS_r14"
 
 
 def test_flip_tool_finds_every_pending_site():
