@@ -52,21 +52,65 @@ _SINK_SEQ = count()
 # temp dir when /dev/shm is absent (e.g. macOS dev boxes).
 
 
-def _scratch_parent() -> str:
+def _scratch_parent(spark: SparkSession | None = None) -> str:
     base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if not base:
+        # The /dev/shm default is NODE-LOCAL: on a multi-node cluster a
+        # streaming checkpoint (state store written from executors) on a
+        # non-shared local path is broken, so the RAM-backed default only
+        # engages when the master is local[*] (driver == executors). A
+        # cluster with RAM-backed SHARED scratch opts in via the env var.
+        is_local = True
+        if spark is not None:
+            try:
+                is_local = spark.conf.get("spark.master", "local").startswith(
+                    "local"
+                )
+            except Exception:
+                is_local = True
         base = (
             "/dev/shm"
-            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+            if is_local
+            and os.path.isdir("/dev/shm")
+            and os.access("/dev/shm", os.W_OK)
             else None
         )
     if not base:
         import tempfile
 
         base = tempfile.gettempdir()
-    d = os.path.join(base, "catme_etl_stream_ckpt")
+    # Per-user parent (round-14 ADVICE): a fixed world-shared tmpfs path
+    # is a squat hazard — another user owning it makes mkdtemp fail with
+    # EACCES for everyone else. uid suffix keeps the parent user-owned.
+    d = os.path.join(base, f"catme_etl_stream_ckpt_{os.getuid()}")
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _max_files_per_trigger() -> str:
+    """Source sizing for the one-shot harness streams (guide §2.1).
+
+    The fixture stagers below write 4 slice files; at
+    ``maxFilesPerTrigger=1`` every one-shot query pays 4 micro-batches
+    of trigger planning + state-store commits — measured ≈ 0.3-0.9 s of
+    pure per-batch fixed cost per query at sf0.1 — for semantics that
+    do not depend on the batch boundaries: the slices are time/id-
+    ordered so nothing ever arrives behind the watermark, complete-mode
+    folds are order-insensitive, and append-mode emission is decided by
+    the FINAL watermark (max event time − delay), which is identical at
+    any batch count (the engine's terminal no-data batch seals against
+    it either way). Default is therefore one data batch (all 4 files);
+    ``$SPARK_GRAFT_STREAM_MAX_FILES=1`` reproduces the 4-batch regime
+    (tests pin that both produce identical results). A real deployment
+    sizes the trigger by landing-zone volume exactly like this knob.
+
+    Two stagers deliberately DO NOT use this: the lateness audit
+    (`_stream_events_lateness`) and the admission gate
+    (`_stream_docs_mod4`), whose oracles replay per-slice watermark /
+    cap-exhaustion mechanics — their outputs depend on the 4-batch
+    arrival order by design.
+    """
+    return os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES", "4")
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,13 +130,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # = new data). The test fixture is one parquet file in a read-only
     # dir, so stage it into /tmp as four TIME-ORDERED slices (event-
     # time quartiles, written oldest first — the pattern of a real
-    # landing zone, where files arrive roughly in event-time order) and
-    # process one file per trigger: every streaming job here genuinely
-    # runs multiple micro-batches, so watermarks advance between
-    # batches and stateful operators carry state across them — not a
-    # degenerate single-batch pass. Time-ordering matters: slicing any
-    # other way would make whole batches arrive behind the advanced
-    # watermark and be dropped as late.
+    # landing zone, where files arrive roughly in event-time order).
+    # Trigger sizing is `_max_files_per_trigger()` (guide §2.1): the
+    # default takes all 4 files in one data batch — results are
+    # batch-count-independent for every consumer of this stager (see
+    # the helper's docstring) — while $SPARK_GRAFT_STREAM_MAX_FILES=1
+    # reproduces the 4-batch regime, where watermarks advance between
+    # batches and stateful operators carry state across them (the mode
+    # tests/test_streaming.py pins equal). Time-ordering matters in
+    # that regime: slicing any other way would make whole batches
+    # arrive behind the advanced watermark and be dropped as late.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = os.path.join(
         "/tmp/catme_etl_stream_src_v2", sf_dir.strip("/").replace("/", "_")
@@ -139,7 +186,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
     df = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _max_files_per_trigger())
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
@@ -185,7 +232,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"),
     )
-    ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_scratch_parent())
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_scratch_parent(spark))
     try:
         q = (
             df.writeStream.format("memory")
@@ -979,7 +1026,7 @@ def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _max_files_per_trigger())
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
@@ -1291,7 +1338,10 @@ def _minhash_band_gen():
             h = np.minimum.reduceat(
                 (A * xs + B) % MINHASH_P, np.array(offs), axis=1
             )  # (n_seeds, n_docs)
-            hs = h.astype("U10")
+            # width derived from the modulus (round-14 ADVICE): at
+            # MINHASH_P = 2^31-1 this is U10; a wider prime would
+            # otherwise silently truncate band-key components.
+            hs = h.astype(f"U{len(str(MINHASH_P))}")
             bkeys = [
                 [
                     ",".join(hs[b * _BAND_ROWS + r, j] for r in range(_BAND_ROWS))
@@ -2072,7 +2122,7 @@ def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _max_files_per_trigger())
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
@@ -2663,12 +2713,16 @@ def stream_release_admission_gate(
         _decon_survivors,
         _neardup_pairs_05,
         _release_manifest,
+        _survivor_token_stats,
     )
     from ..sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
     man = _release_manifest(
-        d, _decon_survivors(spark, sf_dir), _neardup_pairs_05(spark, sf_dir)
+        d,
+        _decon_survivors(spark, sf_dir),
+        _neardup_pairs_05(spark, sf_dir),
+        tok_stats=_survivor_token_stats(spark, sf_dir),
     )
     n_docs = d.count()
     intake = n_docs // _ADMIT_INTAKE_DIV

@@ -729,3 +729,58 @@ def test_minhash_band_kernel_matches_hof_expression(spark, sf_dir):
     a = {(r.doc_id, r.band, r.bkey) for r in old.collect()}
     b = {(r.doc_id, r.band, r.bkey) for r in new.collect()}
     assert a == b and len(a) > 0
+
+
+def test_single_batch_trigger_matches_multi_batch(spark, monkeypatch):
+    """Round-15 source sizing (guide §2.1): the default one-data-batch
+    trigger (all 4 staged files at once) must produce exactly the
+    4-micro-batch regime's rows for every batch-count-independent
+    consumer class — complete-mode folds, append-mode session windows
+    sealed by the FINAL watermark, update-mode stateful operators whose
+    consumer takes the final snapshot, and watermarked dedup."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "stream_tumbling_10min",        # complete-mode aggregation
+        "stream_session_sealed",        # append-mode session windows
+        "stream_stateful_user_totals",  # update-mode custom state
+        "stream_dedup_event_id",        # dropDuplicatesWithinWatermark
+    ):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+        multi = sorted(tuple(r) for r in qs[name](spark, sf).collect())
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "4")
+        single = sorted(tuple(r) for r in qs[name](spark, sf).collect())
+        assert multi == single and multi, name
+
+
+def test_scratch_parent_is_per_user_and_local_only(spark, tmp_path, monkeypatch):
+    """The RAM-backed /dev/shm checkpoint default must only engage on a
+    local master (state stores write from executors — a node-local path
+    is broken on a cluster), the parent must be uid-scoped (round-14
+    ADVICE: fixed world-shared tmpfs paths are a squat hazard), and the
+    env override must always win."""
+    import os
+
+    from catme_etl_spark.streaming.jobs import _scratch_parent
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH", raising=False)
+    p = _scratch_parent(spark)  # test session master is local[N]
+    assert p.endswith(f"catme_etl_stream_ckpt_{os.getuid()}")
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        assert p.startswith("/dev/shm")
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "spark://cluster:7077"
+
+    class _ClusterSession:
+        conf = _Conf()
+
+    p2 = _scratch_parent(_ClusterSession())
+    assert not p2.startswith("/dev/shm")
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", str(tmp_path))
+    p3 = _scratch_parent(spark)
+    assert p3.startswith(str(tmp_path))
