@@ -2772,6 +2772,48 @@ def _neardup_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _survivor_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document (doc_id, nt, ndt) token stats over the decon
+    survivors, shared + localCheckpointed once per session (guide
+    §2.4 — repeated scans of a shared artifact): the budget stage of
+    `_release_manifest` re-tokenized every final document's full text
+    (string split + array_distinct) on EVERY manifest build, and the
+    release family builds up to six manifests per session (capstone,
+    gate, pin, admission gate, diff ×2). nt/ndt are row-local, so one
+    |survivors|-row 3-column table serves every build: final sets are
+    always subsets of the full survivor set (prior-release survivors
+    are a filter of it), and the budget's nt/ndt values don't depend
+    on which release the document survives into. The 100 TB
+    equivalent is the per-doc stats column a release job writes next
+    to the decontaminated manifest and every downstream stage reads."""
+
+    def build() -> DataFrame:
+        from ..functions.texttools import tokens
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = tokens("text")
+        return (
+            _decon_survivors(spark, sf_dir)
+            .select("doc_id")
+            .join(d, "doc_id")
+            .select(
+                "doc_id",
+                F.size(toks).alias("nt"),
+                F.size(F.array_distinct(toks)).alias("ndt"),
+            )
+        )
+
+    # persist (not localCheckpoint): an InMemoryRelation exposes real
+    # row/size statistics once materialized, so each manifest's
+    # final⋈stats join can still become a broadcast join at fixture
+    # scale — a LogicalRDD checkpoint reports unknown stats and forced
+    # a sort-merge join of both sides per manifest (measured ~2× the
+    # whole query).
+    return shared_df(
+        "survivor_token_stats", sf_dir, spark, build, materialize=False
+    )
+
+
 @query("pipeline_corpus_release", oracle=_RELEASE_ORACLE)
 def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus RELEASE manifest (round-9 verdict item
@@ -2825,10 +2867,17 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     surv0 = _decon_survivors(spark, sf_dir)
     nd = _neardup_pairs_05(spark, sf_dir)
-    return _release_manifest(d, surv0, nd)
+    return _release_manifest(
+        d, surv0, nd, tok_stats=_survivor_token_stats(spark, sf_dir)
+    )
 
 
-def _release_manifest(d: DataFrame, surv0: DataFrame, nd: DataFrame):
+def _release_manifest(
+    d: DataFrame,
+    surv0: DataFrame,
+    nd: DataFrame,
+    tok_stats: DataFrame | None = None,
+):
     """Stages 2-4 of the corpus-release pipeline over EXPLICIT inputs
     (documents table, decontamination survivors, near-dup pairs) —
     factored out of `pipeline_corpus_release` so a release built over
@@ -2838,7 +2887,14 @@ def _release_manifest(d: DataFrame, surv0: DataFrame, nd: DataFrame):
     of a document subset are exactly the full corpus's pairs
     restricted to subset x subset (banded LSH candidacy is pairwise),
     so the shared `_minhash_pairs` artifact filters instead of
-    rebuilding."""
+    rebuilding.
+
+    ``tok_stats`` (optional): a per-doc (doc_id, nt, ndt) table
+    covering every possible final document (`_survivor_token_stats` —
+    final sets are subsets of the full decon survivors). When given,
+    the budget stage joins it instead of re-tokenizing the final
+    documents' text — same rows, same values, one tokenization pass
+    per session instead of one per manifest build (guide §2.4)."""
     from .sampling import hash_bucket
 
     ndu = nd.select(
@@ -2858,7 +2914,20 @@ def _release_manifest(d: DataFrame, surv0: DataFrame, nd: DataFrame):
         .distinct()
     )
     drops = leak.unionAll(within).distinct()
-    final = surv0.join(drops, "doc_id", "left_anti")
+    # localCheckpoint the two reused manifest intermediates (guide §3.3
+    # / §5: materialize to truncate plan replay). Without it the
+    # composed manifest plan re-executes `final`'s join lineage for
+    # both of its consumers (fin agg + budget join) and `m`'s whole
+    # upstream for every one of its 4-6 references (t, b, lo, rr) —
+    # the release-diff plan carried 163 Exchanges and re-ran the
+    # tokenize/join leg ~8× (measured 5.5-6.0 s; 3.2-3.3 s after).
+    # Both tables are tiny (|survivors| × 2 cols; |sources| rows), so
+    # the checkpoint is pennies and every consumer reads a scan. Per
+    # _shared's shared_df note, AQE materializes the upstream stages
+    # at construction — still inside the query's own timed window.
+    final = surv0.join(drops, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
 
     train_raw = d.filter(hash_bucket(F.col("doc_id"), 100) < 80)
     raw = train_raw.groupBy("source").agg(
@@ -2871,12 +2940,15 @@ def _release_manifest(d: DataFrame, surv0: DataFrame, nd: DataFrame):
         F.count(F.lit(1)).cast("long").alias("n_final")
     )
 
-    toks = tokens("text")
-    ft = final.join(d.select("doc_id", "text"), "doc_id").select(
-        "source",
-        F.size(toks).alias("nt"),
-        F.size(F.array_distinct(toks)).alias("ndt"),
-    )
+    if tok_stats is not None:
+        ft = final.join(tok_stats, "doc_id").select("source", "nt", "ndt")
+    else:
+        toks = tokens("text")
+        ft = final.join(d.select("doc_id", "text"), "doc_id").select(
+            "source",
+            F.size(toks).alias("nt"),
+            F.size(F.array_distinct(toks)).alias("ndt"),
+        )
     passing = (
         F.col("nt").between(20, 80)
         & (F.col("ndt").cast("double") / F.col("nt") > 0.25)
@@ -2911,6 +2983,7 @@ def _release_manifest(d: DataFrame, surv0: DataFrame, nd: DataFrame):
             .alias("passing_tokens"),
         )
     )
+    m = m.localCheckpoint(eager=False)
     t = m.agg(
         F.sum("n_train_raw").cast("long").alias("total_raw"),
         F.sum("n_train_final").cast("long").alias("total_final"),
@@ -3641,11 +3714,14 @@ def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_slice = (F.col("doc_id") % 7 == 3) & (
         hash_bucket(F.col("doc_id"), 100) < 80
     )
-    man_b = _release_manifest(d, surv0, nd)
+    man_b = _release_manifest(
+        d, surv0, nd, tok_stats=_survivor_token_stats(spark, sf_dir)
+    )
     man_a = _release_manifest(
         d.filter(~in_slice),
         surv0.filter(~(F.col("doc_id") % 7 == 3)),
         nd,
+        tok_stats=_survivor_token_stats(spark, sf_dir),
     )
     a = man_a.select(
         "source",
@@ -3738,7 +3814,9 @@ def quality_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     surv0 = _decon_survivors(spark, sf_dir)
     nd = _neardup_pairs_05(spark, sf_dir)
-    man = _release_manifest(d, surv0, nd)
+    man = _release_manifest(
+        d, surv0, nd, tok_stats=_survivor_token_stats(spark, sf_dir)
+    )
     drift = F.abs(F.col("share_after_ppm") - F.col("share_before_ppm"))
     return man.agg(
         F.count(F.lit(1)).cast("long").alias("n_sources"),
@@ -3833,6 +3911,7 @@ def pipeline_release_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(~in_slice),
         surv0.filter(~(F.col("doc_id") % 7 == 3)),
         nd,
+        tok_stats=_survivor_token_stats(spark, sf_dir),
     )
     canon = man.select(
         F.concat_ws(
@@ -4138,11 +4217,16 @@ def pipeline_release_retention(
 
     def man_for(mods):
         if not mods:
-            return _release_manifest(d, surv0, nd)
+            return _release_manifest(
+        d, surv0, nd, tok_stats=_survivor_token_stats(spark, sf_dir)
+    )
         sl = F.col("doc_id") % 7
         hit = sl.isin(mods) & train
         return _release_manifest(
-            d.filter(~hit), surv0.filter(~(sl.isin(mods))), nd
+            d.filter(~hit),
+            surv0.filter(~(sl.isin(mods))),
+            nd,
+            tok_stats=_survivor_token_stats(spark, sf_dir),
         )
 
     mans = [man_for([3, 5]), man_for([3]), man_for([])]
@@ -4310,7 +4394,9 @@ def quality_dedup_source_bias(
     d = load_table(spark, sf_dir, "documents")
     surv0 = _decon_survivors(spark, sf_dir)
     nd = _neardup_pairs_05(spark, sf_dir)
-    man = _release_manifest(d, surv0, nd)
+    man = _release_manifest(
+        d, surv0, nd, tok_stats=_survivor_token_stats(spark, sf_dir)
+    )
     g = man.agg(
         F.sum("n_train_raw").cast("long").alias("traw"),
         F.sum("n_dropped_decon").cast("long").alias("tdec"),
@@ -4754,11 +4840,16 @@ def pipeline_release_gc(
 
     def man_for(mods):
         if not mods:
-            return _release_manifest(d, surv0, nd)
+            return _release_manifest(
+        d, surv0, nd, tok_stats=_survivor_token_stats(spark, sf_dir)
+    )
         sl = F.col("doc_id") % 7
         hit = sl.isin(mods) & train
         return _release_manifest(
-            d.filter(~hit), surv0.filter(~(sl.isin(mods))), nd
+            d.filter(~hit),
+            surv0.filter(~(sl.isin(mods))),
+            nd,
+            tok_stats=_survivor_token_stats(spark, sf_dir),
         )
 
     exports = None
