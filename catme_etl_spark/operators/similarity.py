@@ -2458,24 +2458,42 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     of greedy k-center makes this the standard seed set for diverse
     sampling, annotation budgeting, and cluster initialization.
 
-    Scale shape: k-1 passes over the corpus, each ONE narrow
-    mapInPandas scan (vectorized numpy, dims folded in the oracle's
-    exact left-to-right order so argmax inputs agree cross-engine to
-    the ulp) emitting a single best-candidate row per partition; the
-    driver reduces |partitions| candidates with the same
-    (dmin desc, vec_id asc) rule — never more than 32 tiny rows
-    cross. No shuffle after the initial fan-out; at 100 TB this is
-    k scans of a columnar table with a 1-row reduce each, the
-    textbook distributed form of the greedy algorithm. Centers
-    travel to tasks in the closure (k × dim doubles — bytes); pass i
-    recomputes all i-1 center distances (O(k²·n/2) total multiply-
-    adds). A persisted running-min column (one fresh-literal codegen
-    distance per pass, O(k·n)) produced identical hashes but measured
-    NO faster end-to-end at fixture scale — per-pass expression
-    compilation and cache materialization ate the savings — so the
-    stateless kernel stays; at k this small the extra multiply-adds
-    are noise next to per-pass job cost either way, and at larger k
-    the running-min form is the documented switch.
+    Scale shape, two tiers (guide §1.2 — the r14 profile showed the 9
+    sequential mapInPandas jobs were ~all per-pass fixed cost,
+    8-vs-32-core ratio 0.98; §4.5 — keep the matrix resident across
+    rounds instead of re-crossing the boundary per selection):
+
+    - **Broadcast tier** (corpus within the repo's bounded-build-side
+      budget, `_shared.MAX_COLLECT_ROWS` — the SAME tier, bound, and
+      loud overflow error that gate the brute-force cosine kernels):
+      the greedy loop runs over the session-shared
+      ``embeddings_matrix`` broadcast (ids, matrix, norms — the
+      artifact every sim kernel reads), all k selections in one numpy
+      pass sequence with ZERO Spark jobs after the artifact. k-center
+      is a k-row selection over exactly the matrix the brute kernels
+      already materialize, so it rides the same tier rather than
+      paying 1 seed job + k-1 scan jobs of per-pass fixed cost
+      (measured: ~0.37 s/job at sf0.1 — the whole r14 cost). (A
+      barrier-mode allGather kernel — one job, rounds synchronized
+      executor-side — was tried first and measured ~1 s/round of
+      barrier-coordinator latency, 3× WORSE than the per-pass form;
+      evidence in OPTIMIZATION_r15.md.)
+    - **Per-pass tier** (corpus above the collect budget): the r14
+      form, k-1 narrow mapInPandas scans each emitting one
+      best-candidate row per partition, driver-reduced under the same
+      tie rule. At 100 TB this is k scans of a columnar table with a
+      1-row reduce each, the textbook distributed form of the greedy
+      algorithm.
+
+    Both tiers fold dims in the oracle's exact left-to-right order and
+    apply ``np.minimum`` per center in selection order — min is exact,
+    so the running min equals the per-pass recompute bit for bit and
+    partitioning cannot perturb any compared double (pinned by
+    tests/test_coreset_kcenter.py). A persisted running-min column
+    (one fresh-literal codegen distance per pass, O(k·n)) produced
+    identical hashes but measured NO faster end-to-end at fixture
+    scale — per-pass expression compilation and cache materialization
+    ate the savings — so the stateless kernels stay.
 
     Degenerate corpora (< k distinct positions) stay deterministic
     and engine-identical: once every point's distance is 0 the argmax
@@ -2484,13 +2502,68 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: none (the reference has no vector ops); contract
     training-data family (SURVEY §2.10), sibling of the dedup/ANN
     tiers over the same corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    try:
+        bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    except ValueError:
+        # corpus above the bounded-collect budget: the distributed
+        # per-pass tier is the scale path
+        return spark.createDataFrame(
+            _kcenter_passes(fan_out(emb, spark)),
+            "sel_rank long, vec_id long, d2_sel double",
+        )
+    ids, mat, _norms = bc.value
+    return spark.createDataFrame(
+        _kcenter_from_matrix(ids, mat),
+        "sel_rank long, vec_id long, d2_sel double",
+    )
+
+
+def _kcenter_from_matrix(ids, mat) -> list[tuple[int, int, float]]:
+    """All CORESET_K greedy selections over the in-memory (ids,
+    matrix) pair — the broadcast-tier kernel. Identical arithmetic to
+    :func:`_kcenter_passes`: same per-dim left-to-right fold, same
+    ``np.minimum`` fold in selection order, same (dmin desc, vec_id
+    asc) tie rule — partitioning never perturbs a compared double, so
+    the global argmax here equals the per-partition winners' reduce."""
+    import math
+
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    A = np.asarray(mat, dtype=np.float64)
+    j = int(np.argmin(ids))
+    center = A[j]
+    out = [(1, int(ids[j]), 0.0)]
+    dmin = None
+    for rank in range(2, CORESET_K + 1):
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for i in range(A.shape[1]):
+            diff = A[:, i] - center[i]
+            acc = acc + diff * diff
+        dmin = acc if dmin is None else np.minimum(dmin, acc)
+        j = int(np.lexsort((ids, -dmin))[0])
+        center = A[j]
+        out.append(
+            (
+                rank,
+                int(ids[j]),
+                math.floor(float(dmin[j]) * 1000000 + 0.5) / 1000000,
+            )
+        )
+    return out
+
+
+def _kcenter_passes(pts: DataFrame) -> list[tuple[int, int, float]]:
+    """The per-pass tier: k-1 mapInPandas scans, one best-candidate
+    row per partition per pass, driver-reduced under the same
+    (dmin desc, vec_id asc) rule. The scale form for inputs whose
+    partition count exceeds the concurrent slot count."""
     import math
 
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pts = fan_out(emb, spark)
     seed = pts.orderBy("vec_id").limit(1).collect()[0]
     centers: list[list[float]] = [[float(x) for x in seed.embedding]]
     out = [(1, int(seed.vec_id), 0.0)]
@@ -2532,9 +2605,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             (rank, int(w.vec_id), math.floor(w.dmin * 1000000 + 0.5) / 1000000)
         )
-    return spark.createDataFrame(
-        out, "sel_rank long, vec_id long, d2_sel double"
-    )
+    return out
 
 
 sample_coreset_kcenter.__doc__ = sample_coreset_kcenter.__doc__.replace(
