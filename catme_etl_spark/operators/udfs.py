@@ -392,8 +392,20 @@ def grouped_map_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(y)
         return pd.Series(out, dtype="float64")
 
+    # NULL-value discipline (round-14 ADVICE): a null event value
+    # reaches the UDF as NaN and poisons the recurrence from that
+    # position on — which is exactly what the oracle's SQL recurrence
+    # does (0.2*NULL + 0.8*y = NULL propagates to the final row), except
+    # SQL lands on NULL where the float loop lands on NaN. Emit NULL for
+    # any group containing a null value so the hypothetical-null case is
+    # oracle-exact too (the fixture has none; hash-neutral there).
     return packed.select(
         "user_id",
         "n_events",
-        F.round(ewma_arr(F.col("h.value")), 6).alias("ewma_value"),
+        F.when(
+            F.exists(F.col("h.value"), lambda x: x.isNull()),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(ewma_arr(F.col("h.value")), 6))
+        .alias("ewma_value"),
     )
