@@ -116,6 +116,82 @@ def _topk_against(bc, k: int, exclude_self: bool):
 _COS_AB = sql_cosine("a.embedding", "b.embedding")
 
 
+def _pair_cosine(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, acol: str, bcol: str
+) -> DataFrame:
+    """``cos_raw`` for id pairs, computed against the session-shared
+    embeddings matrix broadcast: the candidate stream ships ONLY ids
+    (plus any passthrough columns) across the exchanges and the Python
+    boundary, and each task gathers the vectors from the broadcast
+    (guide §2.3/§8 — move keys and metadata, attach the payload via a
+    broadcast instead of joining it onto every candidate row).
+    Measured on the 460k-pair SRP verification at sf0.1: the join+UDF
+    form moved ~470 MB of array cells through the exchanges and Arrow;
+    the id stream is ~7 MB. It also removes the §4.4 double
+    ``ArrowEvalPython`` the filter-above-UDF shape planned.
+
+    Bit-identical to ``make_cosine_pandas_udf`` over the joined
+    arrays: same float64 row matrices (float32 storage widens exactly
+    either way), same einsum reductions, and per-row results are
+    independent of batch composition. Pinned by
+    tests/test_pair_cosine.py.
+
+    Falls back to the join+UDF form when the corpus exceeds the
+    broadcast-tier budget (`_shared.MAX_COLLECT_ROWS`) — at that scale
+    the arrays must flow through the join, and the LSH/IVF candidate
+    generation is already what bounds the pair count."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    try:
+        bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    except ValueError:
+        cos_udf = make_cosine_pandas_udf()
+        ea = emb.select(
+            F.col("vec_id").alias(acol), F.col("embedding").alias("_ea")
+        )
+        eb = emb.select(
+            F.col("vec_id").alias(bcol), F.col("embedding").alias("_eb")
+        )
+        return (
+            pairs.join(ea, acol)
+            .join(eb, bcol)
+            .withColumn("cos_raw", cos_udf("_ea", "_eb"))
+            .select(*pairs.columns, "cos_raw")
+        )
+
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pairs.schema.fields
+        )
+        + ", cos_raw double"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        ids, mat, _norms = bc.value
+        pos = {int(v): i for i, v in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = mat[[pos[int(x)] for x in pdf[acol]]]
+            B = mat[[pos[int(x)] for x in pdf[bcol]]]
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            denom = na * nb
+            out = np.where(
+                denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom)
+            )
+            res = pdf.copy()
+            res["cos_raw"] = out
+            yield res
+
+    return pairs.mapInPandas(gen, out_schema)
+
+
 def ml_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml integration path: ``BucketedRandomProjectionLSH``
     over L2-normalized vectors (unit sphere: d² = 2 − 2·cos, so the
@@ -290,10 +366,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
     bc = shared_matrix_broadcast("ivf_centroids", sf_dir, spark, cent)
-    return _ivf_plan(emb, bc, spark)
+    return _ivf_plan(emb, bc, spark, sf_dir)
 
 
-def _ivf_plan(emb: DataFrame, bc, spark: SparkSession) -> DataFrame:
+def _ivf_plan(
+    emb: DataFrame, bc, spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """assign → probe → inverted-list equi-join → score → top-k against
     any broadcast centroid table ``(ids, matrix, norms)``."""
     # nearest-NPROBE centroids per vector; rn=1 is the list assignment
@@ -309,18 +387,19 @@ def _ivf_plan(emb: DataFrame, bc, spark: SparkSession) -> DataFrame:
     assign = near.filter(F.col("rn") == 1).select("vec_id", "cid")
     probes = near.select(F.col("vec_id").alias("query_id"), "cid")
 
-    lists = assign.join(emb, "vec_id").select(
-        "cid", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    # inverted lists and candidates carry IDS ONLY — the vectors are
+    # attached inside _pair_cosine via the broadcast matrix, so the
+    # cid shuffle and the candidate stream never move array cells
+    lists = assign.select("cid", F.col("vec_id").alias("neighbor_id"))
+    cand = probes.join(lists, "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
-    cand = (
-        probes.join(lists, "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(qv, "query_id")
-    )
-    cos_udf = make_cosine_pandas_udf()
-    scored = cand.select(
-        "query_id", "neighbor_id", cos_udf(F.col("ea"), F.col("eb")).alias("cos_raw")
+    scored = _pair_cosine(
+        spark,
+        sf_dir,
+        cand.select("query_id", "neighbor_id"),
+        "query_id",
+        "neighbor_id",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
@@ -373,7 +452,7 @@ def ivf_kmeans_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ids, mat, norms
 
     bc = shared_broadcast("ivf_kmeans_centroids", sf_dir, spark, fit_centroids)
-    return _ivf_plan(emb, bc, spark)
+    return _ivf_plan(emb, bc, spark, sf_dir)
 
 
 _KMEANS_RECALL_FLOOR = 0.3  # measured 0.48 at sf0.01; tier-sanity floor
@@ -588,15 +667,9 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would issue thousands of py4j round-trips (measured 30+ s of pure
     driver time before any execution).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cand = _srp_candidates(spark, sf_dir)
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos_udf = make_cosine_pandas_udf()
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cos_raw", cos_udf("emb_a", "emb_b"))
+        _pair_cosine(spark, sf_dir, cand, "vec_a", "vec_b")
         .filter(F.round("cos_raw", 6) >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
     )
@@ -1085,17 +1158,8 @@ def pipeline_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-    )
-    cos_udf = make_cosine_pandas_udf()
     dup = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cos_raw", cos_udf("emb_a", "emb_b"))
+        _pair_cosine(spark, sf_dir, cand, "vec_a", "vec_b")
         .filter(F.round("cos_raw", 6) >= 0.4)
         .select("vec_a", "vec_b")
     )
@@ -2321,22 +2385,19 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = near.select(
         F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("probe_rn")
     )
-    lists = assign.join(emb, "vec_id").select(
-        "cid", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    # ids-only candidate stream; vectors attach via the broadcast
+    # matrix inside _pair_cosine (guide §2.3/§8)
+    lists = assign.select("cid", F.col("vec_id").alias("neighbor_id"))
+    cand = probes.join(lists, "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
-    cand = (
-        probes.join(lists, "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(qv, "query_id")
-    )
-    cos_udf = make_cosine_pandas_udf()
-    scored = cand.select(
+    scored = _pair_cosine(
+        spark,
+        sf_dir,
+        cand.select("query_id", "neighbor_id", "probe_rn"),
         "query_id",
         "neighbor_id",
-        "probe_rn",
-        cos_udf(F.col("ea"), F.col("eb")).alias("cos_raw"),
-    )
+    ).select("query_id", "neighbor_id", "probe_rn", "cos_raw")
     w = (
         Window.partitionBy("query_id")
         .orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
