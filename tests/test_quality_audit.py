@@ -78,3 +78,35 @@ def test_profile_legs_form_equals_fused_form(spark, sf_dir):
     assert not _is_single_split(fanned)
     fused = table_profile_wide_approx(fanned).collect()[0].asDict()
     assert legs == fused
+
+
+def test_profile_distinct_leg_sketch_equals_raw_sketch(spark, sf_dir):
+    """The single-split approx profile derives each column's exact
+    count AND its HLL++ estimate from one distinct pass. That rests on
+    HLL++ being duplicate-insensitive (register state is a max over
+    value hashes): the sketch over distinct(col) must equal the sketch
+    over the raw rows, and count(col) over the distinct set must equal
+    countDistinct(col)."""
+    from catme_etl_spark.operators.quality import (
+        _PROFILE_NUM,
+        _PROFILE_RSD,
+        _PROFILE_STR,
+        _profile_source,
+    )
+
+    l = _profile_source(spark, sf_dir)
+    for _, col in _PROFILE_NUM + _PROFILE_STR:
+        raw = l.agg(
+            F.countDistinct(col).alias("nd"),
+            F.approx_count_distinct(col, rsd=_PROFILE_RSD).alias("ad"),
+        ).first()
+        leg = (
+            l.select(col)
+            .distinct()
+            .agg(
+                F.count(col).cast("long").alias("nd"),
+                F.approx_count_distinct(col, rsd=_PROFILE_RSD).alias("ad"),
+            )
+            .first()
+        )
+        assert (raw["nd"], raw["ad"]) == (leg["nd"], leg["ad"]), col
