@@ -3722,6 +3722,21 @@ def _ingest_gen(art_bc):
 
         ids, Q, assign, codes, cids, C, wids, W = art_bc.value
         existing = ids % 10 != 9
+        # Once per task: existing member row-indices per inverted list.
+        # The old per-row `np.isin(assign, probes[r])` re-scanned the
+        # whole corpus assignment per new vector (O(batch × corpus) plus
+        # a Python loop of numpy-call overhead); gathering precomputed
+        # member lists and segment-reducing the flattened ADC stream is
+        # the same arithmetic over the same candidates (min/sum/len are
+        # order-insensitive), verdict bit-identical (int64 throughout;
+        # FACTOR·min·n ≲ 2e11 at int8-range quantization, far under
+        # int64). Pinned against the loop form by
+        # tests/test_streaming.py::test_ingest_gen_vectorized_matches_loop.
+        members = [
+            np.nonzero((assign == c) & existing)[0].astype(np.int64)
+            for c in cids
+        ]
+        mlen = np.array([len(a) for a in members], dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -3744,29 +3759,40 @@ def _ingest_gen(art_bc):
                     + (Wm * Wm).sum(axis=1)[None, :]
                     - 2 * (qm @ Wm.T)
                 )
-            out = {
-                "vec_id": [], "cid": [], "n_cand": [],
-                "min_adc": [], "sum_adc": [], "admitted": [],
-            }
-            for r in range(len(ia)):
-                cand = np.isin(assign, probes[r]) & existing
-                cidx = np.nonzero(cand)[0]
-                adc = np.zeros(len(cidx), dtype=np.int64)
-                for m in range(PQ_M):
-                    adc += luts[m][r][codes[cidx, m]]
-                n = len(cidx)
-                if n:
-                    mn, sm = int(adc.min()), int(adc.sum())
-                    adm = 0 if INGEST_REJECT_FACTOR * mn * n < sm else 1
-                else:
-                    mn, sm, adm = -1, 0, 1
-                out["vec_id"].append(int(ia[r]))
-                out["cid"].append(int(probes[r][0]))
-                out["n_cand"].append(n)
-                out["min_adc"].append(mn)
-                out["sum_adc"].append(sm)
-                out["admitted"].append(adm)
-            yield pd.DataFrame(out)
+            nrows = len(ia)
+            pidx = np.searchsorted(cids, probes)  # (nrows, NPROBE)
+            lens = mlen[pidx].sum(axis=1)
+            flat_parts = [members[j] for j in pidx.ravel()]
+            flat = (
+                np.concatenate(flat_parts)
+                if flat_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            rep = np.repeat(np.arange(nrows), lens)
+            adc = np.zeros(flat.shape[0], dtype=np.int64)
+            for m in range(PQ_M):
+                adc += luts[m][rep, codes[flat, m]]
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nz = lens > 0
+            mn = np.full(nrows, -1, dtype=np.int64)
+            sm = np.zeros(nrows, dtype=np.int64)
+            if flat.size and nz.any():
+                starts = offs[nz]
+                mn[nz] = np.minimum.reduceat(adc, starts)
+                sm[nz] = np.add.reduceat(adc, starts)
+            adm = np.where(
+                nz, INGEST_REJECT_FACTOR * mn * lens >= sm, True
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ia.astype(np.int64),
+                    "cid": probes[:, 0].astype(np.int64),
+                    "n_cand": lens,
+                    "min_adc": mn,
+                    "sum_adc": sm,
+                    "admitted": adm.astype(np.int64),
+                }
+            )
 
     return gen
 

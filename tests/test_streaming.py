@@ -784,3 +784,82 @@ def test_scratch_parent_is_per_user_and_local_only(spark, tmp_path, monkeypatch)
     monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", str(tmp_path))
     p3 = _scratch_parent(spark)
     assert p3.startswith(str(tmp_path))
+
+
+def test_ingest_gen_vectorized_matches_loop(spark, sf_dir):
+    """The segment-reduce form of the ADC admission kernel emits
+    byte-identical rows to the original per-row isin/loop form — same
+    candidates (member lists per probed centroid), same int64
+    arithmetic, min/sum/len order-insensitive."""
+    import numpy as np
+    import pandas as pd
+
+    from catme_etl_spark.operators._shared import (
+        shared_broadcast,
+        shared_matrix_broadcast,
+    )
+    from catme_etl_spark.operators.similarity import (
+        INGEST_REJECT_FACTOR,
+        NPROBE,
+        PQ_M,
+        PQ_SUB,
+        _ingest_gen,
+        _ivfpq_artifacts,
+    )
+    from catme_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bc = shared_matrix_broadcast("embeddings_matrix", sf_dir, spark, emb)
+    art = shared_broadcast(
+        "ivfpq_artifacts", sf_dir, spark, lambda: _ivfpq_artifacts(bc)
+    )
+    ids, Q, assign, codes, cids, C, wids, W = art.value
+    new_ids = ids[ids % 10 == 9]
+    pdf = pd.DataFrame({"vec_id": new_ids})
+
+    got = pd.concat(list(_ingest_gen(art)(iter([pdf])))).reset_index(
+        drop=True
+    )
+
+    # reference: the original per-row loop form
+    existing = ids % 10 != 9
+    ia = pdf["vec_id"].to_numpy()
+    pos = np.searchsorted(ids, ia)
+    qa = Q[pos]
+    dq = (
+        (qa * qa).sum(axis=1)[:, None]
+        + (C * C).sum(axis=1)[None, :]
+        - 2 * (qa @ C.T)
+    )
+    order = np.argsort(dq, axis=1, kind="stable")
+    probes = cids[order[:, :NPROBE]]
+    luts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+        qm, Wm = qa[:, lo:hi], W[:, lo:hi]
+        luts.append(
+            (qm * qm).sum(axis=1)[:, None]
+            + (Wm * Wm).sum(axis=1)[None, :]
+            - 2 * (qm @ Wm.T)
+        )
+    rows = []
+    for r in range(len(ia)):
+        cand = np.isin(assign, probes[r]) & existing
+        cidx = np.nonzero(cand)[0]
+        adc = np.zeros(len(cidx), dtype=np.int64)
+        for m in range(PQ_M):
+            adc += luts[m][r][codes[cidx, m]]
+        n = len(cidx)
+        if n:
+            mn, sm = int(adc.min()), int(adc.sum())
+            adm = 0 if INGEST_REJECT_FACTOR * mn * n < sm else 1
+        else:
+            mn, sm, adm = -1, 0, 1
+        rows.append((int(ia[r]), int(probes[r][0]), n, mn, sm, adm))
+    ref = pd.DataFrame(
+        rows,
+        columns=["vec_id", "cid", "n_cand", "min_adc", "sum_adc", "admitted"],
+    )
+    assert got.astype("int64").values.tolist() == ref.values.tolist()
